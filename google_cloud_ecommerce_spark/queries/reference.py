@@ -1,0 +1,368 @@
+"""The reference's analytics suite (SURVEY.md §2.5 Q1-Q6) plus its
+per-row transform chain (§2.3), re-expressed over the driver's
+``events(event_id, ts, user_id, event_type, value, props)`` table.
+
+Column mapping (FIXTURES.md §2): ``ts`` = event_time, ``value`` = price,
+``props`` ('{"k": N}') = the category_code dict-string the reference
+stringified at ``batch_pipeline/write_session_batch.py:18-20`` — here
+parsed natively with ``get_json_object`` instead of stored as text.
+``user_id`` + a 30-minute inactivity gap replaces ``user_session``
+(the testdata has no session uuid column).
+
+Numeric-determinism policy (applies to every oracle-checked query in
+this repo): double sums go through DECIMAL(18,4) so the aggregate is
+exact and order-independent — Spark sums partitions in nondeterministic
+order, so a raw double sum would differ from any sequential oracle in
+the last ulps. Averages and ratios are rounded to a fixed scale AFTER a
+deterministic cast back to double. Counts/ids stay integral. Every
+computed column is aliased identically in the DataFrame build and the
+oracle SQL (the driver's comparator hashes by sorted column name).
+
+Scale notes per query are inline; the global posture: all of these are
+hash-aggregates on low-cardinality keys (day/hour/weekday/event_type),
+so Catalyst plans partial (map-side) + final aggregation — shuffle
+volume is per-group partials, not rows, and that holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from google_cloud_ecommerce_spark.catalog import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in microseconds
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _k(col: str = "props") -> Column:
+    """The reference's category id, parsed from the props dict-string
+    (write_session_batch.py:18-20 stringified it; we parse it natively)."""
+    return F.get_json_object(F.col(col), "$.k").cast("long")
+
+
+def _dsum(col: Column) -> Column:
+    """Order-independent double sum: exact DECIMAL accumulation, then a
+    deterministic cast back to double."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Q1 — daily_events: count per day x event_type
+# (README.md:58-60; images/daily_events.png). Flagship query.
+# ---------------------------------------------------------------------------
+
+
+def daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — top_categories: filter one event type, top-10 categories by volume
+# (README.md:62-64; images/most_visited_subcategories.png: filter
+# event_type='view', keep 10 members by count). Ties broken by category id
+# so the limit is deterministic.
+# Scale: filter pushes to the parquet scan; TakeOrderedAndProject keeps
+# only 10 rows per partition before the final merge — no global sort.
+# ---------------------------------------------------------------------------
+
+
+def top_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .groupBy(_k().alias("category"))
+        .agg(F.count("*").alias("volume"))
+        .orderBy(F.desc("volume"), F.asc("category"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — hour_event_value: sum(price) + avg(price) per hour x event_type
+# (README.md:66-68; images/hour_event_price.png: cell label = SUM, cell
+# color = AVG).
+# ---------------------------------------------------------------------------
+
+
+def hour_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sum_dec = F.sum(F.col("value").cast("decimal(18,4)"))
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.hour("ts").cast("long").alias("hour"), "event_type")
+        .agg(
+            sum_dec.cast("double").alias("sum_value"),
+            F.round(sum_dec.cast("double") / F.count("*"), 4).alias("avg_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — weekday_conversion_volume: count per weekday x event_type
+# (README.md:70-72; images/purchase_conversion_volume.png).
+# Weekday convention: Spark dayofweek (1=Sunday..7=Saturday); the oracle
+# normalizes DuckDB's 0-based dow to match (SURVEY.md §7 risk note).
+# ---------------------------------------------------------------------------
+
+
+def weekday_conversion_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.dayofweek("ts").cast("long").alias("weekday"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — conversion_rate: share of each event_type within a category bucket
+# (README.md:74-76; images/purchase_conversion_rate.png "Percents are
+# based on each row of each pane" = count / sum(count) OVER (PARTITION BY
+# pane)). Buckets = k % 10 (top-5-subcategory analog on synthetic data).
+# The window input is integral counts, so the ratio is deterministic.
+# ---------------------------------------------------------------------------
+
+
+def conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy((_k() % 10).alias("bucket"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("bucket")
+    return counts.select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.round(F.col("n_events") / F.sum("n_events").over(w), 6).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — purchase_funnel: sessionize by (user_id, 30-min gap), then count
+# sessions reaching each funnel stage (README.md:35-37's two funnels:
+# view->purchase, and the 3-stage click->view->purchase analog of
+# view->cart->purchase; strict time ordering within the session).
+# Gap arithmetic in integral microseconds (unix_micros) so session
+# boundaries are bit-exact across engines.
+# Scale: the lag/cumsum windows partition by user_id — shuffle on a
+# high-cardinality key, no global ordering anywhere; the final rollup is
+# a single-row aggregate of per-session booleans.
+# ---------------------------------------------------------------------------
+
+
+def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    by_user = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sessions = ev.select(
+        "*",
+        F.when(
+            F.coalesce(F.col("us") - F.lag("us").over(by_user), F.lit(SESSION_GAP_US + 1))
+            > SESSION_GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).select(
+        "*",
+        F.sum("is_new").over(by_user.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+
+    def first_us(event_type: str) -> Column:
+        return F.min(F.when(F.col("event_type") == event_type, F.col("us")))
+
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        first_us("click").alias("t_click"),
+        first_us("view").alias("t_view"),
+        first_us("purchase").alias("t_purchase"),
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_with_view"),
+        F.sum((F.col("t_view") <= F.col("t_purchase")).cast("long")).alias("n_view_then_purchase"),
+        F.sum(
+            ((F.col("t_click") <= F.col("t_view")) & (F.col("t_view") <= F.col("t_purchase"))).cast(
+                "long"
+            )
+        ).alias("n_click_view_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transform-chain parity (§2.3 operators #12-#17, #21): the reference's
+# RDD map + Beam DoFn enrichment as one codegen'd projection.
+# ---------------------------------------------------------------------------
+
+
+def event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+        F.dayofweek("ts").cast("long").alias("weekday"),
+        F.coalesce(_k(), F.lit(-1)).alias("category"),
+        F.round(F.col("value"), 2).alias("price"),
+        F.when(F.col("value") >= 100, "high").otherwise("low").alias("price_tier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# csv_roundtrip (§2.3 #18/#19): serialize each event to the reference's
+# wire format (comma-joined utf-8 line, second-precision timestamp —
+# send_session_stream.py:30-33) and parse it back to typed columns
+# (write_session_stream.py:51-57). Demonstrates the encode/decode pair
+# without a Python worker in sight.
+# ---------------------------------------------------------------------------
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wire = _events(spark, sf_dir).select(
+        F.encode(
+            F.concat_ws(
+                ",",
+                F.col("event_id").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                F.col("user_id").cast("string"),
+                "event_type",
+                F.col("value").cast("string"),
+            ),
+            "UTF-8",
+        ).alias("payload")
+    )
+    parts = F.split(F.decode(F.col("payload"), "UTF-8"), ",")
+    return wire.select(
+        parts.getItem(0).cast("long").alias("event_id"),
+        F.to_timestamp(parts.getItem(1), "yyyy-MM-dd HH:mm:ss").alias("ts_second"),
+        parts.getItem(2).cast("long").alias("user_id"),
+        parts.getItem(3).alias("event_type"),
+        parts.getItem(4).cast("double").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# record_id (§2.3 #21): dense row id over a total order — the correct
+# version of the reference's per-chunk pandas index
+# (write_session_batch.py:172-173). A global row_number is inherently a
+# single-partition sort: reference-parity only. The scale path for
+# uniqueness-only ids is monotonically_increasing_id (no shuffle).
+# ---------------------------------------------------------------------------
+
+
+def record_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("ts", "event_id")
+    return _events(spark, sf_dir).select(
+        (F.row_number().over(w) - 1).cast("long").alias("record_id"),
+        "event_id",
+        "event_type",
+    )
+
+
+QUERIES = {
+    "daily_events": daily_events,
+    "top_categories": top_categories,
+    "hour_event_value": hour_event_value,
+    "weekday_conversion_volume": weekday_conversion_volume,
+    "conversion_rate": conversion_rate,
+    "purchase_funnel": purchase_funnel,
+    "event_enrichment": event_enrichment,
+    "csv_roundtrip": csv_roundtrip,
+    "record_id": record_id,
+}
+
+_K_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+ORACLE = {
+    "daily_events": """
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "top_categories": f"""
+        SELECT {_K_SQL} AS category, count(*) AS volume
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1 ORDER BY volume DESC, category ASC LIMIT 10
+    """,
+    "hour_event_value": """
+        SELECT CAST(hour(ts) AS BIGINT) AS hour, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "weekday_conversion_volume": """
+        SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday, event_type,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "conversion_rate": f"""
+        WITH counts AS (
+            SELECT {_K_SQL} % 10 AS bucket, event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT bucket, event_type, n_events,
+               ROUND(n_events * 1.0 / SUM(n_events) OVER (PARTITION BY bucket), 6) AS share
+        FROM counts
+    """,
+    "purchase_funnel": f"""
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+        ), flagged AS (
+            SELECT *, CASE WHEN COALESCE(us - lag(us) OVER w, {SESSION_GAP_US + 1})
+                                > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), sess AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        ), per_session AS (
+            SELECT user_id, session_id,
+                   MIN(CASE WHEN event_type = 'click' THEN us END) AS t_click,
+                   MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view,
+                   MIN(CASE WHEN event_type = 'purchase' THEN us END) AS t_purchase
+            FROM sess GROUP BY 1, 2
+        )
+        SELECT count(*) AS n_sessions,
+               SUM(CAST(t_view IS NOT NULL AS BIGINT)) AS n_with_view,
+               SUM(CAST(t_view <= t_purchase AS BIGINT)) AS n_view_then_purchase,
+               SUM(CAST(t_click <= t_view AND t_view <= t_purchase AS BIGINT))
+                   AS n_click_view_purchase
+        FROM per_session
+    """,
+    "event_enrichment": f"""
+        SELECT event_id, CAST(ts AS DATE) AS day, CAST(hour(ts) AS BIGINT) AS hour,
+               CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday,
+               COALESCE({_K_SQL}, -1) AS category,
+               ROUND(value, 2) AS price,
+               CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS price_tier
+        FROM events
+    """,
+    "csv_roundtrip": """
+        WITH wire AS (
+            SELECT concat_ws(',', CAST(event_id AS VARCHAR),
+                             strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                             CAST(user_id AS VARCHAR), event_type,
+                             CAST(value AS VARCHAR)) AS line
+            FROM events
+        ), parts AS (SELECT string_split(line, ',') AS p FROM wire)
+        SELECT CAST(p[1] AS BIGINT) AS event_id,
+               strptime(p[2], '%Y-%m-%d %H:%M:%S') AS ts_second,
+               CAST(p[3] AS BIGINT) AS user_id,
+               p[4] AS event_type,
+               CAST(p[5] AS DOUBLE) AS value
+        FROM parts
+    """,
+    "record_id": """
+        SELECT CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS record_id,
+               event_id, event_type
+        FROM events
+    """,
+}

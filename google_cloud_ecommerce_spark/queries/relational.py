@@ -1,2 +1,448 @@
-QUERIES = {}
-ORACLE = {}
+"""Relational surface: the join/agg/window/set-op vocabulary the
+reference *implies* but never codes (SURVEY.md §2.7: "no join, union,
+intersect, or except appears in any of the four scripts"; §2.5's
+aggregate vocabulary is count/sum/avg/share/top-k). Exercised over the
+driver's TPC-H-ish star schema so every operator class has an
+oracle-checked entry.
+
+Numeric determinism: double measures are summed through DECIMAL(18,4)
+(exact, order-independent), cast back to double for output — see
+queries/reference.py for the policy rationale.
+
+Scale posture (100 TB):
+  - Dimension joins (region/nation/supplier/customer at thousands of
+    rows while lineitem is billions) are explicitly broadcast — no
+    shuffle of the fact table for a dim lookup.
+  - Fact-fact joins (orders x lineitem) are equi-joins on the natural
+    key; Catalyst plans sort-merge with both sides hash-partitioned on
+    the key, and AQE handles skew splits.
+  - Top-k uses orderBy+limit (TakeOrderedAndProject: per-partition
+    heap, no global sort); per-group top-k uses a window partitioned on
+    the group key (shuffle on group key, never a global order).
+  - The only intentionally global-ordered query is lineitem_quartiles
+    (ntile needs a total order); marked as such in its docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from google_cloud_ecommerce_spark.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col) -> F.Column:
+    """Exact, order-independent sum of a double expression."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+def _revenue_dec() -> F.Column:
+    """extendedprice * (1 - discount) as an EXACT decimal product.
+
+    The measures are 2-decimal-quantized doubles; multiplying them as
+    doubles then rounding lands on .00005 halfway points constantly,
+    where engines disagree on the tie-break. Casting each factor to
+    decimal first makes the product exact and engine-independent.
+    """
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    return price * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+
+
+def _charge_dec() -> F.Column:
+    """revenue * (1 + tax), exact decimal (see _revenue_dec)."""
+    return _revenue_dec() * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+_CHARGE_SQL = f"({_REV_SQL}) * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+# ---------------------------------------------------------------------------
+# tpch_q1_pricing_summary — the canonical scan+filter+hash-aggregate:
+# 2 group keys, 8 aggregates, predicate pushed to the parquet scan.
+# ---------------------------------------------------------------------------
+
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sum_dec = F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            sum_dec.cast("double").alias("sum_base_price"),
+            F.sum(_revenue_dec()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge_dec()).cast("double").alias("sum_charge"),
+            F.round(_dsum(F.col("l_quantity")) / F.count("*"), 4).alias("avg_qty"),
+            F.round(sum_dec.cast("double") / F.count("*"), 4).alias("avg_price"),
+            F.round(_dsum(F.col("l_discount")) / F.count("*"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shipping_priority (TPC-H Q3 shape) — dim-filtered 3-way join + top-10
+# revenue. customer is broadcast (1.5k rows vs 60k/15k facts; at 100 TB
+# the same hint keeps the fact tables unshuffled for the dim filter).
+# ---------------------------------------------------------------------------
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# nation_revenue (TPC-H Q5 shape) — the full 6-table star join, dims
+# broadcast, grouped by nation.
+# ---------------------------------------------------------------------------
+
+
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_customers_per_segment — per-group top-k via ranking window
+# (SURVEY.md §2.8: we expose row_number/rank even though the reference
+# only used share-of-total). Ties broken by custkey for determinism.
+# ---------------------------------------------------------------------------
+
+
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(_dsum(F.col("o_totalprice")).alias("total_spent"), F.count("*").alias("n_orders"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+    return (
+        per_cust.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_priority_rollup — ROLLUP (priority, status): subtotal + grand
+# total rows, the grouping-sets surface.
+# ---------------------------------------------------------------------------
+
+
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_status_pivot — groupBy+pivot (SURVEY.md Q3's pivot form). The
+# pivoted value list is declared, which keeps the plan a single pass
+# (no distinct-values pre-query) — the scalable form.
+# ---------------------------------------------------------------------------
+
+
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops + semi/anti joins (SURVEY.md §2.7): the README.md:35-37 funnel
+# complement ("viewed but never purchased") expressed relationally.
+# ---------------------------------------------------------------------------
+
+
+def large_parts_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: large parts that actually appear in lineitem."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 40).select("p_partkey")
+    ordered = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return part.intersect(ordered).withColumnRenamed("p_partkey", "partkey")
+
+
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: parts with no lineitem at all."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    ordered = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return part.exceptAll(ordered.distinct()).withColumnRenamed("p_partkey", "partkey")
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — NOT EXISTS without a subquery materialization."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(orders, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+def high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join — customers with at least one order above 400k."""
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400_000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(big, "c_custkey", "left_semi").select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# first_shipment_per_order — the as-of-join shape (earliest event at or
+# after an anchor time, per key). Composition: equi-join on the key +
+# window row_number, fully shuffle-partitioned by o_orderkey — the
+# built-in-ops form of an as-of join (no applyInPandas needed because
+# the match key is an exact equi-key here).
+# ---------------------------------------------------------------------------
+
+
+def first_shipment_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("l_shipdate", "l_linenumber")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            F.col("l_shipdate").alias("first_shipdate"),
+            F.col("l_linenumber").cast("long").alias("first_linenumber"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_quartiles — ntile over a total order (price, tie-broken by
+# the unique line key). Deliberately the one global-sort query in the
+# suite; at 100 TB the same statistic would come from percentile_approx
+# (no total order), kept here because ntile is exact and oracle-able.
+# ---------------------------------------------------------------------------
+
+
+def lineitem_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("l_extendedprice")).alias("sum_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# monthly_revenue_running — time-bucketed agg + cumulative window (the
+# "trend" chart shape of Q1, over the relational data). The cumulative
+# sum runs over exact decimals before the final cast, so the running
+# totals are order-stable.
+# ---------------------------------------------------------------------------
+
+
+def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.trunc("o_orderdate", "month").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        F.col("rev_dec").cast("double").alias("monthly_revenue"),
+        "n_orders",
+        F.sum("rev_dec").over(w).cast("double").alias("cumulative_revenue"),
+    )
+
+
+QUERIES = {
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "shipping_priority": shipping_priority,
+    "nation_revenue": nation_revenue,
+    "top_customers_per_segment": top_customers_per_segment,
+    "order_priority_rollup": order_priority_rollup,
+    "order_status_pivot": order_status_pivot,
+    "large_parts_ordered": large_parts_ordered,
+    "parts_never_ordered": parts_never_ordered,
+    "customers_without_orders": customers_without_orders,
+    "high_value_customers": high_value_customers,
+    "first_shipment_per_order": first_shipment_per_order,
+    "lineitem_quartiles": lineitem_quartiles,
+    "monthly_revenue_running": monthly_revenue_running,
+}
+
+_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def _dsum_sql(expr: str) -> str:
+    return _DSUM.format(expr=expr)
+
+
+ORACLE = {
+    "tpch_q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum_sql('l_quantity')} AS sum_qty,
+               {_dsum_sql('l_extendedprice')} AS sum_base_price,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM({_CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+               ROUND({_dsum_sql('l_quantity')} / count(*), 4) AS avg_qty,
+               ROUND({_dsum_sql('l_extendedprice')} / count(*), 4) AS avg_price,
+               ROUND({_dsum_sql('l_discount')} / count(*), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+    """,
+    "shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    "nation_revenue": f"""
+        SELECT n_name AS nation,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1
+    """,
+    "top_customers_per_segment": f"""
+        WITH per_cust AS (
+            SELECT c_mktsegment, c_custkey, c_name,
+                   {_dsum_sql('o_totalprice')} AS total_spent,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2, 3
+        )
+        SELECT c_mktsegment, c_custkey, c_name, total_spent, n_orders,
+               CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY total_spent DESC, c_custkey ASC)
+                    AS BIGINT) AS rank
+        FROM per_cust QUALIFY rank <= 3
+    """,
+    "order_priority_rollup": f"""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+               {_dsum_sql('o_totalprice')} AS total_price
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "order_status_pivot": """
+        SELECT o_orderpriority,
+               COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_open,
+               COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_finished,
+               COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_partial
+        FROM orders GROUP BY 1
+    """,
+    "large_parts_ordered": """
+        SELECT p_partkey AS partkey FROM part WHERE p_size >= 40
+        INTERSECT
+        SELECT l_partkey AS partkey FROM lineitem
+    """,
+    "parts_never_ordered": """
+        SELECT p_partkey AS partkey FROM part
+        EXCEPT ALL
+        SELECT DISTINCT l_partkey AS partkey FROM lineitem
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "high_value_customers": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    "first_shipment_per_order": """
+        SELECT o_orderkey, l_shipdate AS first_shipdate,
+               CAST(l_linenumber AS BIGINT) AS first_linenumber
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= o_orderdate
+        QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY l_shipdate, l_linenumber) = 1
+    """,
+    "lineitem_quartiles": f"""
+        WITH ranked AS (
+            SELECT l_extendedprice,
+                   CAST(ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                        AS BIGINT) AS quartile
+            FROM lineitem
+        )
+        SELECT quartile, count(*) AS n,
+               {_dsum_sql('l_extendedprice')} AS sum_price,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+        FROM ranked GROUP BY 1
+    """,
+    "monthly_revenue_running": """
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT month, CAST(rev_dec AS DOUBLE) AS monthly_revenue, n_orders,
+               CAST(SUM(rev_dec) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE) AS cumulative_revenue
+        FROM monthly
+    """,
+}

@@ -1,2 +1,447 @@
-QUERIES = {}
-ORACLE = {}
+"""Deduplication operators over ``documents`` (and ``embeddings``) —
+the LLM-data-pipeline surface the reference lacks (its streaming path
+is explicitly at-least-once with "no dedup", SURVEY.md §2.9 T3).
+
+Five families, each a ``queries()`` entry with a DuckDB oracle:
+
+  exact          md5 fingerprint group-by (hash-aggregate; at 100 TB this
+                 is one shuffle on the 16-byte digest, ~free)
+  minhash LSH    shingle -> 16 minhashes -> 8 bands -> band-bucket join;
+                 candidate pairs verified with exact Jaccard. The join is
+                 on band keys, so work scales with collisions, not n^2.
+  simhash        60-bit sign-fingerprint; hamming<=3 pairs found via the
+                 4-band pigeonhole trick (a pair within distance 3 must
+                 agree on at least one of 4 bands) — again no n^2 scan.
+  n-gram Jaccard 3-word shingle inverted index self-join (exact, for the
+                 high-threshold regime where the index join is sparse)
+  embedding      cosine >= threshold near-dup pairs on the embedding
+                 column (brute-force form here; the LSH-bucketed scale
+                 path lives in operators/similarity.py)
+
+All hashing is md5-derived and all folds are explicit left-folds, so
+every value is bit-identical across engines (see operators/_common.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from google_cloud_ecommerce_spark.catalog import load_table
+from google_cloud_ecommerce_spark.operators._common import (
+    MERSENNE31,
+    MINHASH_A,
+    MINHASH_B,
+    N_BANDS,
+    N_MINHASH,
+    dot_expr,
+    dot_sql,
+    token_hash_expr,
+    token_hash_sql,
+    tokens_expr,
+    tokens_sql,
+)
+
+JACCARD_THRESHOLD = 0.8
+NGRAM_JACCARD_THRESHOLD = 0.2
+SIMHASH_MAX_HAMMING = 3
+COSINE_DUP_THRESHOLD = 0.9
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-fingerprint groups: keeper (min doc_id) + copy count per group."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+    SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_MINHASH_SPARK = (
+    "transform(array({pairs}), p -> "
+    "array_min(transform(hs, h -> (p[0] * h + p[1]) % {p})))"
+)
+
+
+def _minhash_sig_expr() -> str:
+    """array<bigint> of 16 minhashes over the distinct-token hash set."""
+    pairs = ", ".join(f"array({a}L, {b}L)" for a, b in zip(MINHASH_A, MINHASH_B))
+    return _MINHASH_SPARK.format(pairs=pairs, p=MERSENNE31)
+
+
+def _minhash_sig_sql() -> str:
+    pairs = ", ".join(f"[{a}::BIGINT, {b}::BIGINT]" for a, b in zip(MINHASH_A, MINHASH_B))
+    return (
+        f"list_transform([{pairs}], p -> "
+        f"list_min(list_transform(hs, h -> (p[1] * h + p[2]) % {MERSENNE31})))"
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs + exact Jaccard verification.
+
+    Plan shape (holds at scale): one pass computes signatures (no
+    shuffle), explode to 8 (band, key) rows/doc, self-join on the band
+    key (shuffle on band keys only), then verify candidates with an
+    exact Jaccard via the token inverted index restricted to candidate
+    doc ids. No stage touches n^2 pairs.
+    """
+    docs = _docs(spark, sf_dir)
+    sigs = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(array_distinct({tokens_expr('text')}), t -> {token_hash_expr('t')})"
+        ).alias("hs"),
+    ).select("doc_id", F.expr(_minhash_sig_expr()).alias("sig"))
+
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), b -> "
+                f"named_struct('band', b, 'key', sig[2*b] * {MERSENNE31}L + sig[2*b+1]))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.expr(
+                f"CAST(size(filter(zip_with(l.sig, r.sig, (x, y) -> x = y), v -> v)) AS BIGINT)"
+            ).alias("n_sig_match"),
+        )
+        .distinct()
+    )
+
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({tokens_expr('text')})")).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    inter = (
+        toks.alias("ta")
+        .join(toks.alias("tb"), (F.col("ta.tok") == F.col("tb.tok")))
+        .filter(F.col("ta.doc_id") < F.col("tb.doc_id"))
+        .groupBy(F.col("ta.doc_id").alias("doc_a"), F.col("tb.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    verified = (
+        cands.join(inter, ["doc_a", "doc_b"], "inner")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_tok", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sig_match",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified
+
+
+def _dedup_minhash_sql() -> str:
+    return f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(list_distinct({tokens_sql('text')}),
+                                  t -> {token_hash_sql('t')}) AS hs
+            FROM documents
+        ), sigs AS (
+            SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hs
+        ), bands AS (
+            SELECT doc_id, sig, b AS band,
+                   sig[2*b + 1] * {MERSENNE31}::BIGINT + sig[2*b + 2] AS key
+            FROM sigs, unnest(range(0, {N_BANDS})) AS t(b)
+        ), cands AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   CAST(len(list_filter(range(1, {N_MINHASH + 1}),
+                        i -> l.sig[i] = r.sig[i])) AS BIGINT) AS n_sig_match
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ), toks AS (
+            SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS tok
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1
+        ), inter AS (
+            SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, count(*) AS n_inter
+            FROM toks ta JOIN toks tb ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b, c.n_sig_match,
+               ROUND(i.n_inter * 1.0 / (sa.n_tok + sb.n_tok - i.n_inter), 6) AS jaccard
+        FROM cands c
+        JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE ROUND(i.n_inter * 1.0 / (sa.n_tok + sb.n_tok - i.n_inter), 6)
+              >= {JACCARD_THRESHOLD}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_expr() -> str:
+    """60-bit simhash over distinct token hashes — Spark side."""
+    return (
+        "aggregate(sequence(0, 59), 0L, (acc, j) -> acc + "
+        "IF(aggregate(hs, 0L, (a, h) -> a + "
+        "(CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1L ELSE -1L END)) > 0, "
+        "shiftleft(1L, j), 0L))"
+    )
+
+
+def _simhash_sql() -> str:
+    return (
+        "list_sum(list_transform(range(0, 60), j -> "
+        "CASE WHEN list_sum(list_transform(hs, h -> "
+        "CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        "THEN (1::BIGINT << j) ELSE 0 END))"
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 60-bit simhash fingerprint (the dedup key artifact)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(array_distinct({tokens_expr('text')}), t -> {token_hash_expr('t')})"
+            ).alias("hs"),
+        )
+        .select("doc_id", F.expr(_simhash_expr()).alias("simhash"))
+    )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming <= 3 via 4-band pigeonhole join."""
+    sim = dedup_simhash(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "named_struct('band', b, 'key', shiftright(simhash, 15 * b) & 32767L))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    pairs = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(l.simhash ^ r.simhash) AS BIGINT)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+    return pairs
+
+
+_SIMHASH_BASE_SQL = """
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform(list_distinct({toks}), t -> {thash}) AS hs
+        FROM documents
+    ), sims AS (SELECT doc_id, {simhash} AS simhash FROM hs)
+"""
+
+
+def _simhash_base_sql() -> str:
+    return _SIMHASH_BASE_SQL.format(
+        toks=tokens_sql("text"), thash=token_hash_sql("t"), simhash=_simhash_sql()
+    )
+
+
+def _dedup_simhash_sql() -> str:
+    return _simhash_base_sql() + "SELECT doc_id, simhash FROM sims"
+
+
+def _dedup_simhash_pairs_sql() -> str:
+    return (
+        _simhash_base_sql()
+        + f"""
+        , bands AS (
+            SELECT doc_id, simhash, b AS band,
+                   (simhash >> (15 * b)) & 32767 AS key
+            FROM sims, unnest(range(0, 4)) AS t(b)
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram (3-word shingle) Jaccard
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SPARK = (
+    "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), i -> "
+    "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
+)
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), i -> "
+    "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))"
+)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs >= threshold via inverted-index join."""
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(tokens_expr("text")).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+def _dedup_ngram_sql() -> str:
+    return f"""
+        WITH docs_t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+        sh AS (
+            SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM docs_t
+        ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_inter,
+               ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6)
+              >= {NGRAM_JACCARD_THRESHOLD}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (brute-force form; LSH scale path in
+# operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    with_norm = emb.select(
+        "vec_id", "v", F.expr(f"sqrt({dot_expr('v', 'v')})").alias("norm")
+    )
+    a = with_norm.alias("a")
+    b = with_norm.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                F.expr(f"{dot_expr('a.v', 'b.v')}") / (F.col("a.norm") * F.col("b.norm")), 4
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def _dedup_embedding_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({dot_sql('a.v', 'b.v')} / (a.norm * b.norm), 4) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE ROUND({dot_sql('a.v', 'b.v')} / (a.norm * b.norm), 4)
+              >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _dedup_minhash_sql(),
+    "dedup_simhash": _dedup_simhash_sql(),
+    "dedup_simhash_pairs": _dedup_simhash_pairs_sql(),
+    "dedup_ngram_jaccard": _dedup_ngram_sql(),
+    "dedup_embedding_cosine": _dedup_embedding_sql(),
+}

@@ -1,2 +1,234 @@
-QUERIES = {}
-ORACLE = {}
+"""Similarity search over the embedding column (`embeddings(vec_id,
+embedding float[64], label)`): brute-force cosine top-k as the exact
+baseline, and a random-projection (sign-LSH) bucketed variant as the
+scale path.
+
+Scale posture: the query set is tiny and broadcast; the corpus is never
+shuffled for the brute-force scan (map-side compute + per-partition
+top-k via the ranking window on the small query-id partition count).
+The LSH variant prunes the corpus to matching sign-buckets before any
+distance math — at 100 TB that's the difference between a full scan per
+query and touching ~1/2^p of the data. Projection hyperplanes are fixed
+seeded literals inlined into both engines (operators/_common.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from google_cloud_ecommerce_spark.catalog import load_table
+from google_cloud_ecommerce_spark.operators._common import (
+    N_PROJECTIONS,
+    PROJECTIONS,
+    dot_expr,
+    dot_sql,
+    spark_double_array,
+    sql_double_array,
+)
+
+N_QUERY_VECS = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("norm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+
+
+# ---------------------------------------------------------------------------
+# Brute-force exact top-k
+# ---------------------------------------------------------------------------
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for each query vector (vec_id < 5).
+
+    Ranking uses the raw double cosine (ties broken by neighbor id);
+    only the output column is rounded.
+    """
+    corpus = _with_norm(_emb(spark, sf_dir))
+    queries = corpus.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", F.expr(f"{dot_expr('qv', 'v')}") / (F.col("qnorm") * F.col("norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def _similarity_topk_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   {dot_sql('q.v', 'c.v')} / (q.norm * c.norm) AS cos
+            FROM n q JOIN n c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS}
+        )
+        SELECT q_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+                    AS BIGINT) AS rank,
+               ROUND(cos, 4) AS cosine
+        FROM scored
+        QUALIFY rank <= {TOP_K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH (random hyperplane) bucketing
+# ---------------------------------------------------------------------------
+
+
+def _bucket_expr() -> str:
+    """8-bit sign bucket from the fixed projections — Spark side."""
+    terms = []
+    for p in range(N_PROJECTIONS):
+        proj = spark_double_array(PROJECTIONS[p])
+        terms.append(f"IF({dot_expr('v', proj)} > 0, shiftleft(1L, {p}), 0L)")
+    return " + ".join(terms)
+
+
+def _bucket_sql() -> str:
+    terms = []
+    for p in range(N_PROJECTIONS):
+        proj = sql_double_array(PROJECTIONS[p])
+        terms.append(f"CASE WHEN {dot_sql('v', proj)} > 0 THEN (1::BIGINT << {p}) ELSE 0 END")
+    return " + ".join(terms)
+
+
+def similarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket histogram — the partition-pruning artifact of the index."""
+    return (
+        _emb(spark, sf_dir)
+        .withColumn("bucket", F.expr(_bucket_expr()))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket.
+
+    Same output shape as similarity_topk; recall < 1 by construction.
+    At scale the bucket column is the partition/cluster key, so a query
+    touches one bucket instead of the full corpus.
+    """
+    emb = _with_norm(_emb(spark, sf_dir)).withColumn("bucket", F.expr(_bucket_expr()))
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn("cos", F.expr(f"{dot_expr('qv', 'v')}") / (F.col("qnorm") * F.col("norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def _similarity_buckets_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT {_bucket_sql()} AS bucket, count(*) AS n_vectors
+        FROM e GROUP BY 1
+    """
+
+
+def _similarity_lsh_topk_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm,
+                   {_bucket_sql()} AS bucket
+            FROM e
+        ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   {dot_sql('q.v', 'c.v')} / (q.norm * c.norm) AS cos
+            FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS}
+        )
+        SELECT q_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+                    AS BIGINT) AS rank,
+               ROUND(cos, 4) AS cosine
+        FROM scored
+        QUALIFY rank <= {TOP_K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding stats (norm profile of the corpus)
+# ---------------------------------------------------------------------------
+
+
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(_emb(spark, sf_dir))
+    sum_dec = F.sum(F.round("norm", 6).cast("decimal(18,6)"))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(sum_dec.cast("double") / F.count("*"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )
+
+
+def _embedding_label_stats_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT label, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        )
+        SELECT label, count(*) AS n_vectors,
+               ROUND(CAST(SUM(CAST(ROUND(norm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 4) AS avg_norm,
+               ROUND(min(norm), 4) AS min_norm,
+               ROUND(max(norm), 4) AS max_norm
+        FROM n GROUP BY 1
+    """
+
+
+QUERIES = {
+    "similarity_topk": similarity_topk,
+    "similarity_buckets": similarity_buckets,
+    "similarity_lsh_topk": similarity_lsh_topk,
+    "embedding_label_stats": embedding_label_stats,
+}
+
+ORACLE = {
+    "similarity_topk": _similarity_topk_sql(),
+    "similarity_buckets": _similarity_buckets_sql(),
+    "similarity_lsh_topk": _similarity_lsh_topk_sql(),
+    "embedding_label_stats": _embedding_label_stats_sql(),
+}

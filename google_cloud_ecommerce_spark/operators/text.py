@@ -1,2 +1,257 @@
-QUERIES = {}
-ORACLE = {}
+"""Text analysis over ``documents``: language ID (stopword-count
+heuristic), quality scoring, token counting (whitespace + BPE-ish
+regex), and document fingerprinting (rolling polynomial hash).
+
+All per-document, embarrassingly parallel — no shuffle except the
+explicit corpus-level aggregates. Every expression is a built-in
+column function (no Python UDFs), so the whole module stays inside
+whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from google_cloud_ecommerce_spark.catalog import load_table
+from google_cloud_ecommerce_spark.operators._common import (
+    FOLD_BASE,
+    MERSENNE31,
+    token_hash_expr,
+    token_hash_sql,
+    tokens_expr,
+    tokens_sql,
+)
+
+# Tiny per-language stopword lists (heuristic language ID). Chain order
+# below (alphabetical, first-wins on ties) is part of the operator's
+# contract so results are deterministic.
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "en": ["the", "a", "and", "of", "to", "is"],
+    "es": ["el", "la", "los", "y", "que", "es"],
+    "fr": ["le", "les", "et", "que", "des", "est"],
+    "zh": ["de", "shi", "bu", "le", "zai", "he"],
+}
+LANGS = sorted(STOPWORDS)
+
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _stopword_count_expr(lang: str) -> str:
+    quoted = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter(toks, t -> t IN ({quoted})))"
+
+
+def _stopword_count_sql(lang: str) -> str:
+    quoted = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({quoted})))"
+
+
+def _argmax_case(count_fn) -> str:
+    """First-wins >= chain over LANGS — identical text in both engines."""
+    clauses = []
+    for lang in LANGS:
+        others = [count_fn(o) for o in LANGS if o != lang]
+        cond = " AND ".join(f"{count_fn(lang)} >= {o}" for o in others)
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{LANGS[-1]}' END"
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.expr(f"{tokens_expr('lower(text)')}").alias("toks")
+    )
+    counts = toks.select(
+        "doc_id",
+        "lang",
+        *[F.expr(_stopword_count_expr(lang)).cast("long").alias(f"s_{lang}") for lang in LANGS],
+        F.expr(_argmax_case(_stopword_count_expr)).alias("predicted_lang"),
+    )
+    return counts.select(
+        "doc_id",
+        "lang",
+        "predicted_lang",
+        (F.col("predicted_lang") == F.col("lang")).cast("long").alias("is_match"),
+        *[F.col(f"s_{lang}") for lang in LANGS],
+    )
+
+
+def _text_lang_id_sql() -> str:
+    s_cols = ",\n               ".join(
+        f"CAST({_stopword_count_sql(lang)} AS BIGINT) AS s_{lang}" for lang in LANGS
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang, {tokens_sql('lower(text)')} AS toks FROM documents
+        )
+        SELECT doc_id, lang,
+               {_argmax_case(_stopword_count_sql)} AS predicted_lang,
+               CAST(({_argmax_case(_stopword_count_sql)}) = lang AS BIGINT) AS is_match,
+               {s_cols}
+        FROM t
+    """
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/diversity/stopword-based quality score in [0, 1].
+
+    Integer inputs (token counts, char sums) keep every intermediate
+    deterministic; the score formula is written identically in the
+    oracle so the final doubles are bit-equal.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"),
+        F.expr(f"{tokens_expr('lower(text)')}").alias("toks"),
+    )
+    en_stop = _stopword_count_expr("en")
+    return toks.select(
+        "doc_id",
+        "n_chars",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").cast("long").alias("n_distinct"),
+        F.round(
+            F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))") / F.expr("size(toks)"), 4
+        ).alias("avg_token_len"),
+        F.round(F.expr("size(array_distinct(toks))") / F.expr("size(toks)"), 4).alias("ttr"),
+        F.round(F.expr(en_stop) / F.expr("size(toks)"), 4).alias("stopword_ratio"),
+        F.round(
+            F.least(F.expr("size(toks)") / F.lit(50.0), F.lit(1.0)) * 0.5
+            + F.expr("size(array_distinct(toks))") / F.expr("size(toks)") * 0.3
+            + F.least(F.expr(en_stop) / F.expr("size(toks)") * 5.0, F.lit(1.0)) * 0.2,
+            4,
+        ).alias("quality_score"),
+    )
+
+
+def _text_quality_sql() -> str:
+    en_stop = _stopword_count_sql("en")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                   {tokens_sql('lower(text)')} AS toks
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0
+                     / len(toks), 4) AS avg_token_len,
+               ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr,
+               ROUND({en_stop} * 1.0 / len(toks), 4) AS stopword_ratio,
+               ROUND(least(len(toks) / 50.0, 1.0) * 0.5
+                     + len(list_distinct(toks)) * 1.0 / len(toks) * 0.3
+                     + least({en_stop} * 1.0 / len(toks) * 5.0, 1.0) * 0.2,
+                     4) AS quality_score
+        FROM t
+    """
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace vs BPE-ish regex segmentation
+# ---------------------------------------------------------------------------
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"CAST(size({tokens_expr('text')}) AS BIGINT)").alias("ws_tokens"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}', 0)) AS BIGINT)"
+        ).alias("bpe_tokens"),
+        F.expr(f"CAST(size(array_distinct({tokens_expr('text')})) AS BIGINT)").alias(
+            "distinct_tokens"
+        ),
+    )
+
+
+def _token_counts_sql() -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(len({tokens_sql('text')}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS BIGINT)
+                   AS bpe_tokens,
+               CAST(len(list_distinct({tokens_sql('text')})) AS BIGINT) AS distinct_tokens
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: order-sensitive rolling hash over the token
+# stream (content-defined identity; same doc text => same fingerprint,
+# any reordering => different).
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fold = (
+        f"aggregate(transform({tokens_expr('text')}, t -> {token_hash_expr('t')}), "
+        f"0L, (acc, h) -> (acc * {FOLD_BASE} + h) % {MERSENNE31})"
+    )
+    return _docs(spark, sf_dir).select("doc_id", F.expr(fold).alias("fingerprint"))
+
+
+def _doc_fingerprint_sql() -> str:
+    return f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform({tokens_sql('text')}, t -> {token_hash_sql('t')})),
+                   (acc, h) -> (acc * {FOLD_BASE} + h) % {MERSENNE31}) AS fingerprint
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# Corpus rollup: per (lang, source) token totals — the "dataset card"
+# aggregate a training pipeline reports.
+# ---------------------------------------------------------------------------
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "lang",
+        "source",
+        F.expr(f"CAST(size({tokens_expr('text')}) AS BIGINT)").alias("n_tok"),
+        F.col("n_chars"),
+    )
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _corpus_stats_sql() -> str:
+    return f"""
+        SELECT lang, source, count(*) AS n_docs,
+               SUM(CAST(len({tokens_sql('text')}) AS BIGINT)) AS total_tokens,
+               SUM(n_chars) AS total_chars
+        FROM documents GROUP BY 1, 2
+    """
+
+
+QUERIES = {
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "token_counts": token_counts,
+    "doc_fingerprint": doc_fingerprint,
+    "corpus_stats": corpus_stats,
+}
+
+ORACLE = {
+    "text_lang_id": _text_lang_id_sql(),
+    "text_quality": _text_quality_sql(),
+    "token_counts": _token_counts_sql(),
+    "doc_fingerprint": _doc_fingerprint_sql(),
+    "corpus_stats": _corpus_stats_sql(),
+}

@@ -1,0 +1,106 @@
+"""Streaming semantics beyond the oracle: the replay source really
+drips files, dropDuplicates really removes injected at-least-once
+duplicates, and append-mode watermarking really holds back open
+windows (the part complete-mode oracles can't see)."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from google_cloud_ecommerce_spark.catalog import load_table
+from google_cloud_ecommerce_spark.queries.reference import daily_events
+from google_cloud_ecommerce_spark.streaming import jobs
+from google_cloud_ecommerce_spark.streaming.replay import (
+    read_replay_stream,
+    write_replay_dir,
+)
+
+
+def test_replay_dir_partitions_all_rows(spark, sf_smoke):
+    d = write_replay_dir(spark, sf_smoke, n_files=4)
+    try:
+        files = glob.glob(f"{d}/chunk-*.parquet")
+        assert len(files) == 4
+        n = spark.read.parquet(d).count()
+        assert n == load_table(spark, sf_smoke, "events").count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_overlap_injects_duplicates(spark, sf_smoke):
+    base = load_table(spark, sf_smoke, "events").count()
+    d = write_replay_dir(spark, sf_smoke, n_files=4, overlap_every=5)
+    try:
+        raw = spark.read.parquet(d)
+        assert raw.count() > base  # duplicates present on the wire
+        assert raw.select("event_id").distinct().count() == base
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_equals_batch_daily_events(spark, sf_smoke):
+    stream_rows = {
+        (r.day, r.event_type): r.n_events
+        for r in jobs.streaming_daily_events(spark, sf_smoke).collect()
+    }
+    batch_rows = {
+        (r.day, r.event_type): r.n_events
+        for r in daily_events(spark, sf_smoke).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_append_mode_watermark_holds_back_open_windows(spark, sf_smoke):
+    """With append output + watermark, windows newer than
+    (max_ts - delay) stay in state and are never emitted by the final
+    availableNow batch — the late-data contract."""
+    d = write_replay_dir(spark, sf_smoke, n_files=4)
+    name = f"append_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = read_replay_stream(spark, d, max_files_per_trigger=1)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table(name)
+        events = load_table(spark, sf_smoke, "events")
+        max_ts = events.agg(F.max("ts")).collect()[0][0]
+        emitted_max = emitted.agg(F.max("ws")).collect()[0][0]
+        batch_max = (
+            events.groupBy(F.date_trunc("hour", "ts").alias("ws"))
+            .count()
+            .agg(F.max("ws"))
+            .collect()[0][0]
+        )
+        # the newest (still-open) window must be withheld
+        assert emitted_max < batch_max
+        # everything emitted is a closed window w.r.t. the final watermark
+        assert emitted.count() > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_dedup_counts_match_distinct(spark, sf_smoke):
+    rows = {
+        r.event_type: r.n_events
+        for r in jobs.streaming_dedup_counts(spark, sf_smoke).collect()
+    }
+    batch = {
+        r.event_type: r["count"]
+        for r in load_table(spark, sf_smoke, "events").groupBy("event_type").count().collect()
+    }
+    assert rows == batch

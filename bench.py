@@ -1,0 +1,89 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Run: python bench.py  [--repeat N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from google_cloud_ecommerce_spark.queries import all_queries  # noqa: E402
+from google_cloud_ecommerce_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference suite (events), the relational classics,
+# and one representative per extension family. Streaming jobs are
+# excluded (their cost is replay-dir I/O, not query execution).
+HEADLINE = [
+    "daily_events",
+    "top_categories",
+    "hour_event_value",
+    "weekday_conversion_volume",
+    "conversion_rate",
+    "purchase_funnel",
+    "event_enrichment",
+    "tpch_q1_pricing_summary",
+    "shipping_priority",
+    "nation_revenue",
+    "top_customers_per_segment",
+    "monthly_revenue_running",
+    "first_shipment_per_order",
+    "dedup_exact",
+    "doc_fingerprint",
+    "token_counts",
+    "text_quality",
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "embedding_label_stats",
+]
+
+
+def main() -> None:
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+
+    # Warm up the JVM / codegen / parquet footers outside the timings.
+    queries["daily_events"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -234,9 +234,11 @@ def high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # first_shipment_per_order — the as-of-join shape (earliest event at or
 # after an anchor time, per key). Composition: equi-join on the key +
-# window row_number, fully shuffle-partitioned by o_orderkey — the
-# built-in-ops form of an as-of join (no applyInPandas needed because
-# the match key is an exact equi-key here).
+# lexicographic struct-min aggregation. The struct-min form beats the
+# row_number-window form at every scale: it gets map-side partial
+# aggregation (partials shrink the shuffle to one row per key) and
+# needs no sort, where the window needs a full shuffle + per-partition
+# sort just to discard all but row 1.
 # ---------------------------------------------------------------------------
 
 
@@ -246,14 +248,14 @@ def first_shipment_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(li, orders.o_orderkey == li.l_orderkey).filter(
         F.col("l_shipdate") >= F.col("o_orderdate")
     )
-    w = Window.partitionBy("o_orderkey").orderBy("l_shipdate", "l_linenumber")
+    first = F.min(F.struct("l_shipdate", "l_linenumber")).alias("first")
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("o_orderkey")
+        .agg(first)
         .select(
             "o_orderkey",
-            F.col("l_shipdate").alias("first_shipdate"),
-            F.col("l_linenumber").cast("long").alias("first_linenumber"),
+            F.col("first.l_shipdate").alias("first_shipdate"),
+            F.col("first.l_linenumber").cast("long").alias("first_linenumber"),
         )
     )
 

@@ -1,0 +1,101 @@
+"""Typed sources and sinks (SURVEY.md §2.1-§2.2).
+
+The reference's I/O surface, Spark-first:
+
+  #1/#2 chunked CSV scan   -> declared-schema CSV reader (a partitioned
+        (pd.read_csv chunksize)  scan replaces manual chunking; never
+                                 inferSchema in production paths)
+  #3 cloud-storage paths   -> Spark reads gs://, s3a://, file:// URIs
+                              natively through Hadoop FS; nothing to do
+  #5 pandas ingestion      -> Arrow-backed createDataFrame
+  #6 DDL create table      -> spark.sql CREATE TABLE ... USING parquet
+  #7 batch insert sink     -> append writes (saveAsTable / parquet dir)
+  #8 streaming append sink -> foreachBatch parquet epochs (exactly-once
+                              per epoch vs the reference's bare
+                              WRITE_APPEND at-least-once)
+  #10 Spark->pandas egress -> Arrow toPandas, at the boundary only
+
+The reference stringly-typed everything (``write_session_batch.py:29``
+``astype(str)``); every reader here takes an explicit DDL schema, which
+is what keeps predicate pushdown and type-aware encodings alive at
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_CSV_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_csv(spark: SparkSession, path: str, schema_ddl: str, header: bool = True) -> DataFrame:
+    """Typed CSV scan — the fix for the reference's all-string ingestion."""
+    return (
+        spark.read.schema(schema_ddl)
+        .option("header", str(header).lower())
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema_ddl: str) -> DataFrame:
+    """Typed JSON-lines scan (schema declared, no inference pass)."""
+    return spark.read.schema(schema_ddl).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    (
+        df.write.mode(mode)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Day-partitioned layout (SURVEY.md §4: partition the events table
+    by event date, mirroring the day/hour/weekday query axes) — at scale
+    this is what turns Q1-style filters into partition pruning."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def create_table_ddl(spark: SparkSession, name: str, location: str, schema_ddl: str) -> None:
+    """#6 — the Spanner CREATE TABLE (write_session_batch.py:61-88) as a
+    metastore-registered parquet table."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({schema_ddl}) USING parquet LOCATION '{location}'"
+    )
+
+
+def append_to_table(df: DataFrame, name: str) -> None:
+    """#7 — batched append replacing row-list Spanner inserts."""
+    df.write.mode("append").insertInto(name)
+
+
+def foreach_batch_parquet_sink(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """#8 — streaming append sink with per-epoch exactly-once semantics.
+
+    ``foreachBatch`` hands each micro-batch a batch DataFrame + epoch id;
+    writing each epoch to its own subdirectory makes replays idempotent
+    (an epoch re-delivered after failure overwrites the same path instead
+    of double-appending — the upgrade over the reference's WRITE_APPEND).
+    """
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,90 @@
+"""Grouped-map Pandas operators (SURVEY.md §2.10): the vectorized,
+Arrow-batched replacement for the reference's row-at-a-time Python
+(``rdd.map(get_product_information)`` at write_session_batch.py:42-43
+and the Beam DoFn at write_session_stream.py:51-59).
+
+``session_stats_pandas`` intentionally computes something a pure-SQL
+plan could also express, so it can carry a full DuckDB oracle — the
+point is proving the applyInPandas bridge (shuffle by key -> Arrow
+batch per group -> pandas -> Arrow back) is semantics-preserving.
+Integer microsecond arithmetic keeps pandas/numpy int64 math identical
+to the engines'.
+
+Scale: groupBy(user_id).applyInPandas shuffles once on a
+high-cardinality key and holds ONE group in memory at a time per task —
+the right shape for per-entity custom logic at 100 TB (a group here is
+a user's events, thousands at most, never a partition).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from google_cloud_ecommerce_spark.catalog import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+SESSION_STATS_SCHEMA = (
+    "user_id bigint, n_events bigint, n_sessions bigint, "
+    "max_session_events bigint, max_session_span_seconds double"
+)
+
+
+def _session_stats_one_user(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["us", "event_id"]).reset_index(drop=True)
+    gaps = pdf["us"].diff()
+    is_new = (gaps.isna()) | (gaps > SESSION_GAP_US)
+    session_id = is_new.cumsum()
+    by_session = pdf.groupby(session_id)["us"]
+    sizes = by_session.size()
+    spans = by_session.max() - by_session.min()
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [int(len(pdf))],
+            "n_sessions": [int(sizes.shape[0])],
+            "max_session_events": [int(sizes.max())],
+            "max_session_span_seconds": [round(int(spans.max()) / 1_000_000, 4)],
+        }
+    )
+
+
+def session_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    return ev.groupBy("user_id").applyInPandas(_session_stats_one_user, SESSION_STATS_SCHEMA)
+
+
+SESSION_STATS_SQL = f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN COALESCE(us - lag(us) OVER w, {SESSION_GAP_US + 1})
+                            > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_id, count(*) AS n_ev, max(us) - min(us) AS span_us
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, SUM(n_ev) AS n_events, count(*) AS n_sessions,
+           MAX(n_ev) AS max_session_events,
+           ROUND(MAX(span_us) / 1000000.0, 4) AS max_session_span_seconds
+    FROM per_session GROUP BY 1
+"""
+
+
+QUERIES = {
+    "session_stats_pandas": session_stats_pandas,
+}
+
+ORACLE = {
+    "session_stats_pandas": SESSION_STATS_SQL,
+}

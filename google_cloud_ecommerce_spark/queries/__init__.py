@@ -13,23 +13,29 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from google_cloud_ecommerce_spark.operators import dedup, multimodal, similarity, text
+def _modules():
+    from google_cloud_ecommerce_spark.operators import (
+        dedup,
+        multimodal,
+        pandas_ops,
+        similarity,
+        text,
+    )
     from google_cloud_ecommerce_spark.queries import reference, relational
     from google_cloud_ecommerce_spark.streaming import jobs as streaming_jobs
 
+    return (reference, relational, dedup, similarity, text, multimodal, pandas_ops, streaming_jobs)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (reference, relational, dedup, similarity, text, multimodal, streaming_jobs):
+    for mod in _modules():
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
-    from google_cloud_ecommerce_spark.operators import dedup, multimodal, similarity, text
-    from google_cloud_ecommerce_spark.queries import reference, relational
-    from google_cloud_ecommerce_spark.streaming import jobs as streaming_jobs
-
     merged: dict[str, str] = {}
-    for mod in (reference, relational, dedup, similarity, text, multimodal, streaming_jobs):
+    for mod in _modules():
         merged.update(mod.ORACLE)
     return merged

@@ -267,6 +267,50 @@ def record_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# user_event_gaps — explicit lag/lead surface (SURVEY.md §2.8): per-user
+# inter-event gap statistics. Gap math in integral microseconds; the
+# average divides two exact integers.
+# ---------------------------------------------------------------------------
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    by_user = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("us") - F.lag("us").over(by_user)).alias("gap_us")
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.count("*")).alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.sum("gap_us") / F.count("gap_us") / 1_000_000, 4).alias("avg_gap_seconds"),
+        F.round(F.max("gap_us") / 1_000_000, 4).alias("max_gap_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# value_percentiles — exact interpolated percentiles per event_type
+# (Spark `percentile`; at 100 TB the same query ships as
+# percentile_approx with a declared error bound — exact kept here
+# because it is oracle-checkable).
+# ---------------------------------------------------------------------------
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 QUERIES = {
     "daily_events": daily_events,
     "top_categories": top_categories,
@@ -277,6 +321,8 @@ QUERIES = {
     "event_enrichment": event_enrichment,
     "csv_roundtrip": csv_roundtrip,
     "record_id": record_id,
+    "user_event_gaps": user_event_gaps,
+    "value_percentiles": value_percentiles,
 }
 
 _K_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
@@ -364,5 +410,25 @@ ORACLE = {
         SELECT CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS record_id,
                event_id, event_type
         FROM events
+    """,
+    "user_event_gaps": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps,
+               ROUND(SUM(gap_us) * 1.0 / count(gap_us) / 1000000, 4) AS avg_gap_seconds,
+               ROUND(MAX(gap_us) / 1000000.0, 4) AS max_gap_seconds
+        FROM g GROUP BY 1
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99,
+               count(*) AS n_events
+        FROM events GROUP BY 1
     """,
 }

@@ -306,6 +306,42 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# order_cube — full CUBE (all 4 grouping sets) over priority x status.
+# ---------------------------------------------------------------------------
+
+
+def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# parties_union — UNION ALL with a discriminator column (the set-op the
+# reference's two pipelines implied: one logical entity stream from two
+# physically distinct sources).
+# ---------------------------------------------------------------------------
+
+
+def parties_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_key"),
+        F.col("c_name").alias("party_name"),
+        F.lit("customer").alias("party_type"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_key"),
+        F.col("s_name").alias("party_name"),
+        F.lit("supplier").alias("party_type"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return cust.unionByName(supp)
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "shipping_priority": shipping_priority,
@@ -320,6 +356,8 @@ QUERIES = {
     "first_shipment_per_order": first_shipment_per_order,
     "lineitem_quartiles": lineitem_quartiles,
     "monthly_revenue_running": monthly_revenue_running,
+    "order_cube": order_cube,
+    "parties_union": parties_union,
 }
 
 _DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
@@ -387,6 +425,18 @@ ORACLE = {
         SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
                {_dsum_sql('o_totalprice')} AS total_price
         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "order_cube": f"""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+               {_dsum_sql('o_totalprice')} AS total_price
+        FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "parties_union": """
+        SELECT c_custkey AS party_key, c_name AS party_name,
+               'customer' AS party_type, c_acctbal AS acctbal
+        FROM customer
+        UNION ALL
+        SELECT s_suppkey, s_name, 'supplier', s_acctbal FROM supplier
     """,
     "order_status_pivot": """
         SELECT o_orderpriority,

@@ -38,12 +38,17 @@ HEADLINE = [
     "top_customers_per_segment",
     "monthly_revenue_running",
     "first_shipment_per_order",
+    "asof_purchase_view",
+    "purchase_attribution",
+    "event_type_stats_salted",
+    "user_cardinality",
     "dedup_exact",
     "doc_fingerprint",
     "token_counts",
     "text_quality",
     "similarity_topk",
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
     "embedding_label_stats",
 ]
 

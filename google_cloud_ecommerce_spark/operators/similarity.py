@@ -185,6 +185,105 @@ def _similarity_lsh_topk_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-style scale path: a small
+# centroid set partitions the corpus into cells; a query probes only its
+# NPROBE nearest cells. Centroids here are a deterministic corpus
+# subset (vec_id in [100, 116)) instead of trained k-means means, which
+# keeps the whole index SQL-expressible so the oracle can verify the
+# cell assignment + probe + exact-rerank pipeline end to end. At 100 TB
+# the cell id becomes the partition/cluster key of the stored corpus
+# (same posture as the LSH bucket), centroids stay broadcast, and the
+# rerank touches NPROBE/N_CENTROIDS of the data.
+# ---------------------------------------------------------------------------
+
+CENTROID_LO, CENTROID_HI = 100, 116  # 16 centroid vectors
+N_PROBE = 4
+
+
+def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with its nearest-centroid cell (argmax cosine, ties to the
+    lower centroid id). One broadcast of 16 centroids; the corpus never
+    shuffles for assignment."""
+    emb = _with_norm(_emb(spark, sf_dir))
+    cents = emb.filter(
+        (F.col("vec_id") >= CENTROID_LO) & (F.col("vec_id") < CENTROID_HI)
+    ).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "c_cos", F.expr(f"{dot_expr('v', 'cv')}") / (F.col("norm") * F.col("cnorm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= N_PROBE)
+        .select("vec_id", "v", "norm", "c_id", "c_rank")
+    )
+
+
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: each query probes its N_PROBE nearest cells; exact
+    cosine rerank inside the candidate set."""
+    assigned = _assigned(spark, sf_dir)
+    corpus = assigned.filter(F.col("c_rank") == 1).select("vec_id", "v", "norm", "c_id")
+    probes = assigned.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("c_id").alias("probe_cell"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("c_id") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn("cos", F.expr(f"{dot_expr('qv', 'v')}") / (F.col("qnorm") * F.col("norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def _similarity_ivf_topk_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        ), cents AS (
+            SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n
+            WHERE vec_id >= {CENTROID_LO} AND vec_id < {CENTROID_HI}
+        ), assigned AS (
+            SELECT n.vec_id, n.v, n.norm, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {dot_sql('n.v', 'c.cv')} / (n.norm * c.cnorm) DESC, c.c_id
+                   ) AS c_rank
+            FROM n CROSS JOIN cents c
+        ), corpus AS (
+            SELECT vec_id, v, norm, c_id FROM assigned WHERE c_rank = 1
+        ), probes AS (
+            SELECT vec_id AS q_id, v AS qv, norm AS qnorm, c_id AS probe_cell
+            FROM assigned WHERE vec_id < {N_QUERY_VECS} AND c_rank <= {N_PROBE}
+        ), scored AS (
+            SELECT p.q_id, c.vec_id AS neighbor_id,
+                   {dot_sql('p.qv', 'c.v')} / (p.qnorm * c.norm) AS cos
+            FROM corpus c JOIN probes p
+              ON c.c_id = p.probe_cell AND c.vec_id != p.q_id
+        )
+        SELECT q_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+                    AS BIGINT) AS rank,
+               ROUND(cos, 4) AS cosine
+        FROM scored
+        QUALIFY rank <= {TOP_K}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Per-label embedding stats (norm profile of the corpus)
 # ---------------------------------------------------------------------------
 
@@ -223,6 +322,7 @@ QUERIES = {
     "similarity_topk": similarity_topk,
     "similarity_buckets": similarity_buckets,
     "similarity_lsh_topk": similarity_lsh_topk,
+    "similarity_ivf_topk": similarity_ivf_topk,
     "embedding_label_stats": embedding_label_stats,
 }
 
@@ -230,5 +330,6 @@ ORACLE = {
     "similarity_topk": _similarity_topk_sql(),
     "similarity_buckets": _similarity_buckets_sql(),
     "similarity_lsh_topk": _similarity_lsh_topk_sql(),
+    "similarity_ivf_topk": _similarity_ivf_topk_sql(),
     "embedding_label_stats": _embedding_label_stats_sql(),
 }

@@ -21,10 +21,21 @@ def _modules():
         similarity,
         text,
     )
-    from google_cloud_ecommerce_spark.queries import reference, relational
+    from google_cloud_ecommerce_spark.queries import joins, reference, relational, scale
     from google_cloud_ecommerce_spark.streaming import jobs as streaming_jobs
 
-    return (reference, relational, dedup, similarity, text, multimodal, pandas_ops, streaming_jobs)
+    return (
+        reference,
+        relational,
+        joins,
+        scale,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        pandas_ops,
+        streaming_jobs,
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,195 @@
+"""Temporal join operators the reference's funnel analysis implies but
+never codes (SURVEY.md §2.7: the reference has zero joins; its
+view→purchase funnels semantically need point-in-time matching).
+
+Three join shapes Spark has no dedicated operator for, each expressed
+so Catalyst picks a scalable physical plan:
+
+  asof_purchase_view    backward as-of join via union + ordered window
+                        (ONE shuffle on user_id; no inequality join, no
+                        per-key explosion — the pattern that replaces
+                        `ASOF JOIN` at 100 TB)
+  purchase_attribution  equi + range join (same-user views in the hour
+                        before each purchase): sort-merge on the equi
+                        key, range predicate evaluated as a join filter
+  value_band_stats      non-equi join against a tiny literal band table
+                        (BroadcastNestedLoopJoin — correct ONLY because
+                        the build side is O(10) rows and the probe side
+                        streams map-side)
+
+Scale posture: the as-of union trick is the load-bearing one. A naive
+`views v JOIN purchases p ON v.user = p.user AND v.ts <= p.ts` produces
+|views per user| × |purchases per user| intermediate rows before the
+max() prunes them; the union+last-ignore-nulls form is linear in input
+and needs exactly one hash partition by user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from google_cloud_ecommerce_spark.catalog import load_table
+
+ATTRIBUTION_WINDOW_US = 3_600 * 1_000_000  # views within 1 hour before purchase
+
+# (band_name, lo inclusive, hi exclusive) — hi=None is +inf.
+VALUE_BANDS = (
+    ("low", 0.0, 50.0),
+    ("mid", 50.0, 200.0),
+    ("high", 200.0, 500.0),
+    ("premium", 500.0, None),
+)
+
+
+def _ev_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us"), "user_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# asof_purchase_view — for each purchase, the most recent view by the
+# same user at or before the purchase instant (ties on the same
+# microsecond: the view matches; among equal-time views the highest
+# event_id wins — encoded by the (us, side, event_id) sort).
+# ---------------------------------------------------------------------------
+
+
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev_us(spark, sf_dir).filter(F.col("event_type").isin("view", "purchase"))
+    tagged = ev.withColumn(
+        "side", F.when(F.col("event_type") == "view", F.lit(0)).otherwise(F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_val = F.when(F.col("side") == 0, F.struct("us", "event_id"))
+    matched = tagged.withColumn("prior_view", F.last(view_val, ignorenulls=True).over(w))
+    return matched.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("prior_view.event_id").alias("view_event_id"),
+        F.round((F.col("us") - F.col("prior_view.us")) / 1_000_000, 4).alias("gap_seconds"),
+    )
+
+
+ASOF_PURCHASE_VIEW_SQL = """
+    WITH ev AS (
+        SELECT event_id, epoch_us(ts) AS us, user_id,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), matched AS (
+        SELECT *,
+               last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w
+                   AS view_event_id,
+               last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS) OVER w AS view_us
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_event_id, user_id, view_event_id,
+           ROUND((us - view_us) / 1000000.0, 4) AS gap_seconds
+    FROM matched WHERE side = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# purchase_attribution — equi + range join: count same-user views in the
+# hour before each purchase (left join keeps zero-view purchases).
+# ---------------------------------------------------------------------------
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev_us(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", F.col("us").alias("p_us")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"), F.col("us").alias("v_us")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_us") >= F.col("p_us") - ATTRIBUTION_WINDOW_US)
+        & (F.col("v_us") < F.col("p_us")),
+        "left",
+    )
+    return joined.groupBy("purchase_event_id", "user_id").agg(
+        F.count("v_us").alias("n_views_prior_hour")
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = f"""
+    WITH ev AS (
+        SELECT event_id, epoch_us(ts) AS us, user_id, event_type FROM events
+    ), p AS (
+        SELECT event_id AS purchase_event_id, user_id, us AS p_us
+        FROM ev WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id AS v_user_id, us AS v_us FROM ev WHERE event_type = 'view'
+    )
+    SELECT purchase_event_id, user_id, count(v_us) AS n_views_prior_hour
+    FROM p LEFT JOIN v
+      ON user_id = v_user_id
+     AND v_us >= p_us - {ATTRIBUTION_WINDOW_US}
+     AND v_us < p_us
+    GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# value_band_stats — non-equi broadcast join against a literal band
+# table (the generic form of the reference's fixed category buckets).
+# ---------------------------------------------------------------------------
+
+
+def value_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(n, lo, hi) for n, lo, hi in VALUE_BANDS],
+        "band string, lo double, hi double",
+    )
+    cond = (F.col("value") >= F.col("lo")) & (
+        F.col("hi").isNull() | (F.col("value") < F.col("hi"))
+    )
+    return (
+        ev.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _bands_values_sql() -> str:
+    rows = ", ".join(
+        f"('{n}', {lo!r}, {'NULL' if hi is None else repr(hi)})" for n, lo, hi in VALUE_BANDS
+    )
+    return f"(VALUES {rows}) AS bands(band, lo, hi)"
+
+
+VALUE_BAND_STATS_SQL = f"""
+    SELECT band, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events JOIN {_bands_values_sql()}
+      ON value >= lo AND (hi IS NULL OR value < hi)
+    GROUP BY 1
+"""
+
+
+QUERIES = {
+    "asof_purchase_view": asof_purchase_view,
+    "purchase_attribution": purchase_attribution,
+    "value_band_stats": value_band_stats,
+}
+
+ORACLE = {
+    "asof_purchase_view": ASOF_PURCHASE_VIEW_SQL,
+    "purchase_attribution": PURCHASE_ATTRIBUTION_SQL,
+    "value_band_stats": VALUE_BAND_STATS_SQL,
+}

@@ -21,11 +21,16 @@ memory sink, which in production becomes parquet/Kafka via
 
 from __future__ import annotations
 
+import os
 import shutil
 import uuid
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from google_cloud_ecommerce_spark.streaming.replay import (
     read_replay_stream,
@@ -144,11 +149,122 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(replay, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Custom stateful operator — applyInPandasWithState sessionization.
+# Where session_window gives fixed gap-close semantics, this is the
+# arbitrary-user-state form (SURVEY.md §2.9 / pyspark guide: "custom
+# stateful operators"): per-user state is (session_start_us, last_us,
+# n_events); a completed session is emitted the moment an event arrives
+# past the 30-minute gap. A per-user flush sentinel injected after the
+# last real chunk closes every open session, which makes the streaming
+# result total — and therefore oracle-checkable against the batch
+# sessionization SQL, not just rows-only.
+#
+# Scale posture: state is O(live sessions) and keyed by user_id — the
+# state store shards with the shuffle partitioning; nothing global. In
+# production the sentinel's job is done by a processing-time timeout
+# (GroupStateTimeout.ProcessingTimeTimeout); the sentinel keeps the test
+# deterministic.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+FLUSH_TYPE = "__flush__"
+
+_SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+_SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, n_events bigint, span_seconds double"
+)
+
+
+def _session_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
+    open_sess = tuple(state.get) if state.exists else None
+    emitted: list[tuple[int, int, int]] = []
+    for us, etype in zip(rows["us"], rows["event_type"]):
+        us = int(us)
+        if etype == FLUSH_TYPE:
+            if open_sess is not None:
+                emitted.append(open_sess)
+                open_sess = None
+        elif open_sess is None:
+            open_sess = (us, us, 1)
+        elif us - open_sess[1] >= SESSION_GAP_US:
+            emitted.append(open_sess)
+            open_sess = (us, us, 1)
+        else:
+            open_sess = (open_sess[0], us, open_sess[2] + 1)
+    if open_sess is not None:
+        state.update(open_sess)
+    elif state.exists:
+        state.remove()
+    if emitted:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(emitted),
+                "session_start": [pd.to_datetime(s[0], unit="us") for s in emitted],
+                "n_events": [s[2] for s in emitted],
+                # exact IEEE division of int by 1e6 — bitwise equal across
+                # engines, no decimal-rounding tie-break to disagree on
+                "span_seconds": [(s[1] - s[0]) / 1_000_000 for s in emitted],
+            }
+        )
+
+
+def _write_flush_chunk(spark: SparkSession, replay_dir: str, sf_dir: str) -> None:
+    """One sentinel event per user, 31 min past the global max ts —
+    written last so it is the final replayed chunk."""
+    from google_cloud_ecommerce_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    flush = (
+        events.groupBy("user_id")
+        .agg(F.max(F.unix_micros("ts")).alias("max_us"))
+        .select(
+            (-F.col("user_id")).alias("event_id"),
+            F.expr("timestamp_micros(max_us + 1860000000)").alias("ts"),
+            "user_id",
+            F.lit(FLUSH_TYPE).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    import glob as _glob
+
+    tmp = os.path.join(replay_dir, "_stage_flush")
+    flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(replay_dir, "chunk-zzzz-flush.parquet"))
+    shutil.rmtree(tmp)
+
+
+def streaming_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    try:
+        _write_flush_chunk(spark, replay, sf_dir)
+        stream = read_replay_stream(spark, replay).select(
+            "user_id", "event_id", F.unix_micros("ts").alias("us"), "event_type"
+        )
+        sessions = stream.groupBy("user_id").applyInPandasWithState(
+            _session_state_fn,
+            outputStructType=_SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return _run_to_memory(sessions, "append")
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
 QUERIES = {
     "streaming_daily_events": streaming_daily_events,
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_sessionization": streaming_sessionization,
     "streaming_dedup_counts": streaming_dedup_counts,
+    "streaming_session_state": streaming_session_state,
 }
 
 ORACLE = {
@@ -180,5 +296,23 @@ ORACLE = {
     """,
     "streaming_dedup_counts": """
         SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
+    """,
+    # stream ≡ batch for the custom stateful operator too: every session
+    # closes (flush sentinel), so the full batch sessionization is the oracle.
+    "streaming_session_state": """
+        WITH ev AS (
+            SELECT user_id, ts, epoch_us(ts) AS us FROM events
+        ), flagged AS (
+            SELECT *, CASE WHEN COALESCE(us - lag(us) OVER w, 9223372036854775807)
+                                >= 1800000000 THEN 1 ELSE 0 END AS is_new
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ), sess AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+               (max(us) - min(us)) / 1000000.0 AS span_seconds
+        FROM sess GROUP BY user_id, session_id
     """,
 }

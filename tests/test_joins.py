@@ -1,0 +1,106 @@
+"""Semantic tests for the temporal-join and scale operators on crafted
+fixtures: boundary cases (same-instant match, exactly-one-hour window,
+band edges) that the synthetic tables don't guarantee to contain."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from google_cloud_ecommerce_spark.queries import joins, scale
+
+T0 = datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _ts(seconds: float) -> datetime:
+    return T0 + timedelta(seconds=seconds)
+
+
+@pytest.fixture(scope="module")
+def crafted_events_sf(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("crafted_events")
+    rows = [
+        # user 1: view -> purchase (10 s), then view & purchase at the SAME instant
+        (1, _ts(0), 1, "view", 10.0, None),
+        (2, _ts(10), 1, "purchase", 20.0, None),
+        (3, _ts(100), 1, "view", 30.0, None),
+        (4, _ts(100), 1, "purchase", 49.99, None),
+        # user 2: purchase with no prior view
+        (5, _ts(0), 2, "purchase", 50.0, None),
+        # user 3: view exactly one hour before purchase (inclusive bound)
+        (6, _ts(0), 3, "view", 200.0, None),
+        (7, _ts(3600), 3, "purchase", 500.0, None),
+        # user 4: view just over one hour before purchase (outside window)
+        (8, _ts(0), 4, "view", 0.0, None),
+        (9, _ts(3601), 4, "purchase", 499.99, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_asof_matches_most_recent_prior_view(spark, crafted_events_sf):
+    rows = {r.purchase_event_id: r for r in joins.asof_purchase_view(spark, crafted_events_sf).collect()}
+    assert rows[2].view_event_id == 1 and rows[2].gap_seconds == 10.0
+    # same-instant view sorts before the purchase -> it matches, gap 0
+    assert rows[4].view_event_id == 3 and rows[4].gap_seconds == 0.0
+    # no prior view -> null match
+    assert rows[5].view_event_id is None and rows[5].gap_seconds is None
+    # 1-hour-old and older views still match (as-of has no window)
+    assert rows[7].view_event_id == 6 and rows[9].view_event_id == 8
+
+
+def test_attribution_window_boundaries(spark, crafted_events_sf):
+    rows = {
+        r.purchase_event_id: r.n_views_prior_hour
+        for r in joins.purchase_attribution(spark, crafted_events_sf).collect()
+    }
+    assert rows[2] == 1  # view 10 s before
+    assert rows[4] == 1  # same-instant view excluded (strict <), earlier view counts
+    assert rows[5] == 0  # no views at all (left join keeps the purchase)
+    assert rows[7] == 1  # exactly one hour before: inclusive
+    assert rows[9] == 0  # one hour + 1 s: outside
+
+
+def test_value_bands_partition_every_event(spark, crafted_events_sf):
+    rows = {r.band: r.n_events for r in joins.value_band_stats(spark, crafted_events_sf).collect()}
+    assert rows["low"] == 5      # 10, 20, 30, 49.99, 0
+    assert rows["mid"] == 1      # 50 (lo inclusive)
+    assert rows["high"] == 2     # 200, 499.99
+    assert rows["premium"] == 1  # 500 (unbounded top band)
+    assert sum(rows.values()) == 9  # every event in exactly one band
+
+
+def test_salted_agg_equals_direct_groupby(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.catalog import load_table
+
+    salted = {r.event_type: r for r in scale.event_type_stats_salted(spark, sf_smoke).collect()}
+    direct = {
+        r.event_type: r
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert set(salted) == set(direct)
+    for et, r in salted.items():
+        assert r.n_events == direct[et].n_events
+        assert r.sum_value == direct[et].sum_value  # decimal path: exact
+
+
+def test_exact_vs_approx_cardinality(spark, sf_smoke):
+    exact = {r.event_type: r.n_users for r in scale.user_cardinality(spark, sf_smoke).collect()}
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in scale.user_cardinality_approx(spark, sf_smoke).collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(3, 0.05 * n)  # rsd=0.5%, generous bound

@@ -1,0 +1,87 @@
+"""Physical-plan audits: the 100 TB posture, asserted mechanically.
+
+A query that is correct at sf0.01 but plans a cartesian product, drops
+a broadcast, or scans every column is wrong at scale — these tests pin
+the plan properties the docstrings promise, so a regression shows up as
+a test failure rather than a 100× slowdown on a cluster.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from google_cloud_ecommerce_spark.queries import joins, reference, relational
+from google_cloud_ecommerce_spark.operators import similarity
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dim_joins_are_broadcast(spark, sf_smoke):
+    """region/nation/customer dim lookups must never shuffle the fact side."""
+    for q in (relational.nation_revenue, relational.shipping_priority,
+              relational.top_customers_per_segment):
+        plan = plan_of(q(spark, sf_smoke))
+        assert "BroadcastHashJoin" in plan, f"{q.__name__} lost its broadcast:\n{plan}"
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark, sf_smoke):
+    plan = plan_of(relational.tpch_q1_pricing_summary(spark, sf_smoke))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_q1_scan_prunes_columns(spark, sf_smoke):
+    """8 aggregates need 7 lineitem columns — the scan must not read the rest."""
+    plan = plan_of(relational.tpch_q1_pricing_summary(spark, sf_smoke))
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_event_type_filter_pushed(spark, sf_smoke):
+    plan = plan_of(reference.top_categories(spark, sf_smoke))
+    pushed = plan.split("PushedFilters", 1)[1][:250] if "PushedFilters" in plan else ""
+    assert "event_type" in pushed, f"event_type filter not pushed:\n{plan}"
+
+
+def test_asof_join_is_one_shuffle_no_join(spark, sf_smoke):
+    """The union+window as-of must not plan any join operator at all —
+    one hash partitioning on user_id, then the ordered window."""
+    plan = plan_of(joins.asof_purchase_view(spark, sf_smoke))
+    assert "Join" not in plan
+    # formatted explain names each node twice (tree + detail section)
+    assert plan.count("Exchange (") == 1 and "hashpartitioning(user_id" in plan
+
+
+def test_band_join_is_broadcast_nested_loop(spark, sf_smoke):
+    plan = plan_of(joins.value_band_stats(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_similarity_broadcasts_query_side(spark, sf_smoke):
+    plan = plan_of(similarity.similarity_topk(spark, sf_smoke))
+    assert "Broadcast" in plan  # corpus streams map-side; queries are the build side
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "daily_events", "top_categories", "purchase_funnel", "conversion_rate",
+        "tpch_q1_pricing_summary", "shipping_priority", "nation_revenue",
+        "parts_never_ordered", "customers_without_orders", "first_shipment_per_order",
+        "asof_purchase_view", "purchase_attribution", "event_type_stats_salted",
+        "dedup_minhash_lsh", "similarity_lsh_topk", "similarity_ivf_topk",
+        "token_counts", "doc_fingerprint",
+    ],
+)
+def test_no_cartesian_product_anywhere(spark, sf_smoke, qname):
+    from google_cloud_ecommerce_spark.queries import all_queries
+
+    plan = plan_of(all_queries()[qname](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, f"{qname} plans a cartesian product"

@@ -104,3 +104,13 @@ def test_streaming_dedup_counts_match_distinct(spark, sf_smoke):
         for r in load_table(spark, sf_smoke, "events").groupBy("event_type").count().collect()
     }
     assert rows == batch
+
+
+def test_session_state_conserves_events(spark, sf_smoke):
+    """Custom applyInPandasWithState sessionizer: every real event lands
+    in exactly one emitted session (the flush sentinel closes them all)."""
+    sessions = jobs.streaming_session_state(spark, sf_smoke)
+    total = sessions.agg(F.sum("n_events")).collect()[0][0]
+    n_events = load_table(spark, sf_smoke, "events").count()
+    assert total == n_events
+    assert sessions.filter(F.col("span_seconds") < 0).count() == 0

@@ -186,6 +186,38 @@ def _token_counts_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Global token frequencies: explode (generator) + count + top-k. The
+# top-k is a TakeOrderedAndProject over (count desc, token asc) — a
+# per-partition heap, never a global sort; the total order makes the
+# LIMIT deterministic, so the oracle can hash-match the row set.
+# ---------------------------------------------------------------------------
+
+TOP_TOKENS_K = 20
+
+
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(TOP_TOKENS_K)
+    )
+
+
+def _token_frequencies_sql() -> str:
+    return f"""
+        SELECT token, count(*) AS n_occurrences
+        FROM (SELECT unnest({tokens_sql('lower(text)')}) AS token FROM documents)
+        GROUP BY 1
+        ORDER BY n_occurrences DESC, token
+        LIMIT {TOP_TOKENS_K}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprint: order-sensitive rolling hash over the token
 # stream (content-defined identity; same doc text => same fingerprint,
 # any reordering => different).
@@ -244,6 +276,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "token_counts": token_counts,
+    "token_frequencies": token_frequencies,
     "doc_fingerprint": doc_fingerprint,
     "corpus_stats": corpus_stats,
 }
@@ -252,6 +285,7 @@ ORACLE = {
     "text_lang_id": _text_lang_id_sql(),
     "text_quality": _text_quality_sql(),
     "token_counts": _token_counts_sql(),
+    "token_frequencies": _token_frequencies_sql(),
     "doc_fingerprint": _doc_fingerprint_sql(),
     "corpus_stats": _corpus_stats_sql(),
 }

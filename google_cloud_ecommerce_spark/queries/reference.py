@@ -311,6 +311,33 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# user_cohort_setops — INTERSECT / EXCEPT over user sets (the funnel
+# complement of README.md:35-37 as set algebra: carted-and-purchased vs
+# viewed-never-purchased). Spark plans both as left-semi/anti joins on
+# the deduped key sets — no full-row comparison shuffle.
+# ---------------------------------------------------------------------------
+
+
+def user_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def users(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    cart_and_purchase = (
+        users("cart").intersect(users("purchase"))
+        .agg(F.count("*").alias("n_users"))
+        .withColumn("cohort", F.lit("cart_and_purchase"))
+    )
+    view_never_purchase = (
+        users("view").subtract(users("purchase"))  # EXCEPT (set semantics)
+        .agg(F.count("*").alias("n_users"))
+        .withColumn("cohort", F.lit("view_never_purchase"))
+    )
+    return cart_and_purchase.unionByName(view_never_purchase).select("cohort", "n_users")
+
+
 QUERIES = {
     "daily_events": daily_events,
     "top_categories": top_categories,
@@ -323,6 +350,7 @@ QUERIES = {
     "record_id": record_id,
     "user_event_gaps": user_event_gaps,
     "value_percentiles": value_percentiles,
+    "user_cohort_setops": user_cohort_setops,
 }
 
 _K_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
@@ -430,5 +458,18 @@ ORACLE = {
                ROUND(quantile_cont(value, 0.99), 4) AS p99,
                count(*) AS n_events
         FROM events GROUP BY 1
+    """,
+    "user_cohort_setops": """
+        SELECT 'cart_and_purchase' AS cohort, count(*) AS n_users FROM (
+            SELECT user_id FROM events WHERE event_type = 'cart'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT 'view_never_purchase', count(*) FROM (
+            SELECT user_id FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
     """,
 }

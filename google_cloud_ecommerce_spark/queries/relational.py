@@ -342,6 +342,45 @@ def parties_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.unionByName(supp)
 
 
+# ---------------------------------------------------------------------------
+# revenue_grouping_sets — explicit GROUPING SETS ((priority), (status),
+# ()): the two one-dimensional rollups + grand total in one shuffle,
+# completing the rollup/cube/grouping-sets triple.
+# ---------------------------------------------------------------------------
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_measures_unpivot — wide->long melt of the three lineitem
+# measures (map-side stack, no shuffle until the final tiny agg).
+# ---------------------------------------------------------------------------
+
+
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "measure_value",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n_values"),
+        _dsum(F.col("measure_value")).alias("total"),
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "shipping_priority": shipping_priority,
@@ -358,6 +397,8 @@ QUERIES = {
     "monthly_revenue_running": monthly_revenue_running,
     "order_cube": order_cube,
     "parties_union": parties_union,
+    "revenue_grouping_sets": revenue_grouping_sets,
+    "lineitem_measures_unpivot": lineitem_measures_unpivot,
 }
 
 _DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
@@ -437,6 +478,25 @@ ORACLE = {
         FROM customer
         UNION ALL
         SELECT s_suppkey, s_name, 'supplier', s_acctbal FROM supplier
+    """,
+    "revenue_grouping_sets": f"""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+               {_dsum_sql('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    "lineitem_measures_unpivot": f"""
+        WITH long AS (
+            SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS measure_value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+        )
+        SELECT measure, count(*) AS n_values,
+               {_dsum_sql('measure_value')} AS total
+        FROM long GROUP BY 1
     """,
     "order_status_pivot": """
         SELECT o_orderpriority,

@@ -259,12 +259,57 @@ def streaming_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(replay, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Stream-stream join — views joined to purchases of the same user within
+# the prior hour, both sides unbounded streams. The event-time range
+# condition + watermarks is what bounds the join state: a buffered view
+# is evictable once the watermark passes v_ts + 1h (no purchase can
+# still match it). The replay is globally time-ordered, so the watermark
+# always trails the batch being processed and no match is lost — the
+# inner join drains to exactly the batch join result (the oracle).
+# ---------------------------------------------------------------------------
+
+
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    try:
+        stream = read_replay_stream(spark, replay)
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_event_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "10 minutes")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_event_id"),
+                "user_id",
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        joined = purchases.join(
+            views,
+            F.expr(
+                "user_id = v_user_id AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts < p_ts"
+            ),
+        ).select("purchase_event_id", "view_event_id", "user_id")
+        return _run_to_memory(joined, "append")
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
 QUERIES = {
     "streaming_daily_events": streaming_daily_events,
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_sessionization": streaming_sessionization,
     "streaming_dedup_counts": streaming_dedup_counts,
     "streaming_session_state": streaming_session_state,
+    "streaming_view_purchase_join": streaming_view_purchase_join,
 }
 
 ORACLE = {
@@ -314,5 +359,15 @@ ORACLE = {
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
                (max(us) - min(us)) / 1000000.0 AS span_seconds
         FROM sess GROUP BY user_id, session_id
+    """,
+    # stream-stream inner join drains to the batch join (see docstring).
+    "streaming_view_purchase_join": """
+        SELECT p.event_id AS purchase_event_id, v.event_id AS view_event_id,
+               p.user_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+         AND v.ts < p.ts
     """,
 }

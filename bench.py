@@ -67,6 +67,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # One untimed warm run per query: codegen compilation and
+        # broadcast-build warmup are one-time costs, not throughput —
+        # the timed runs measure the steady-state execution this engine
+        # would sustain on a cluster.
+        fn(spark, SF_DIR).count()
         best = None
         for _ in range(repeat):
             t0 = time.perf_counter()
@@ -85,6 +90,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "methodology": "per-query warm run, then min of N timed runs (steady-state)",
             }
         )
     )

@@ -38,6 +38,14 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# DataFrame (logical plan) cache: spark.read.parquet does driver-side
+# file listing + footer schema reads on every call, and queries touch
+# the same tables repeatedly. Plans are immutable, so reusing one per
+# (session, dir, table) is safe and cuts fixed per-query latency.
+# Keyed by applicationId: a new session (e.g. the driver's) gets fresh
+# plans bound to its own context.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy typed scan of one testdata table.
@@ -54,6 +62,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # day/hour/weekday derivations stable against any tz-naive oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     ts_nanos = [
         f.name
@@ -62,6 +74,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ]
     for c in ts_nanos:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    _PLAN_CACHE[key] = df
     return df
 
 

@@ -39,11 +39,12 @@ def split_category_code(col: str = "category_code") -> list[Column]:
 
     Reference: ``write_session_batch.py:15-22`` builds a *stringified dict*;
     ``write_session_stream.py:38-41`` emits 4 nullable columns (nulls where
-    the code has fewer parts — visible in images/bigquery_store.png). We
-    emit the 4-column form: null-safe ``getItem`` beyond the split length.
+    the code has fewer parts — visible in images/bigquery_store.png).
+    ``F.get`` (not ``getItem``) past the split length: under ANSI mode
+    (Spark 4 default) getItem throws INVALID_ARRAY_INDEX, get returns null.
     """
     parts = F.split(F.col(col), r"\.")
-    return [parts.getItem(i).alias(name) for i, name in enumerate(CATEGORY_LEVELS)]
+    return [F.get(parts, i).alias(name) for i, name in enumerate(CATEGORY_LEVELS)]
 
 
 def category_map(col: str = "category_code") -> Column:
@@ -51,7 +52,7 @@ def category_map(col: str = "category_code") -> Column:
     parts = F.split(F.col(col), r"\.")
     return F.map_from_arrays(
         F.array(*[F.lit(n) for n in CATEGORY_LEVELS]),
-        F.array(*[parts.getItem(i) for i in range(4)]),
+        F.array(*[F.get(parts, i) for i in range(4)]),
     ).alias("category_map")
 
 
@@ -62,7 +63,7 @@ def parse_event_time(col: str = "event_time") -> Column:
     zone (simulate_session_stream.py:13-17, write_session_stream.py:25-31).
     """
     return F.to_timestamp(
-        F.regexp_replace(F.col(col), r"\s+(UTC|\+00:?00)$", ""),
+        F.regexp_replace(F.col(col), r"\s*(UTC|\+00:?00)$", ""),
         "yyyy-MM-dd HH:mm:ss",
     ).alias("event_time")
 

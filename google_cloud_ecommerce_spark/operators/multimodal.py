@@ -139,14 +139,62 @@ MEDIA_CHUNKS_SQL = f"""
 """
 
 
+FRAME_BYTES = 64
+FRAME_STRIDE = 4  # keep every 4th frame
+THUMB_W, THUMB_H = 8, 8
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_index bigint, frame_bytes bigint, "
+    "thumb_width int, thumb_height int, frame_intensity double"
+)
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + resize, the video-pipeline shape: payload ->
+    fixed-size frames -> keep every FRAME_STRIDE-th -> per-frame decode +
+    thumbnail resize (STUB: deterministic byte stats in place of a real
+    codec; a real impl swaps the two marked lines for ffmpeg/PIL calls).
+
+    One output row per SAMPLED frame — mapInPandas may emit more rows
+    than its input, which is exactly what distinguishes it from a scalar
+    pandas_udf. No oracle (Python decode); rows-only check + unit tests.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "frame_index", "frame_bytes",
+                "thumb_width", "thumb_height", "frame_intensity",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(0, max(len(raw), 1), FRAME_BYTES * FRAME_STRIDE):
+                    frame = raw[i : i + FRAME_BYTES]  # STUB: real codec reads a frame here
+                    intensity = round(sum(frame) / max(len(frame), 1) / 255.0, 6)  # STUB resize
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(i // FRAME_BYTES)
+                    out["frame_bytes"].append(len(frame))
+                    out["thumb_width"].append(THUMB_W)
+                    out["thumb_height"].append(THUMB_H)
+                    out["frame_intensity"].append(intensity)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(sample_batches, FRAME_SAMPLE_SCHEMA)
+
+
 QUERIES = {
     "media_manifest": media_manifest,
     "media_features": media_features,
     "media_chunks": media_chunks,
+    "media_frame_sample": media_frame_sample,
 }
 
 ORACLE = {
     "media_manifest": MEDIA_MANIFEST_SQL,
     "media_chunks": MEDIA_CHUNKS_SQL,
-    # media_features: intentionally no oracle — Python decode stub.
+    # media_features / media_frame_sample: intentionally no oracle —
+    # Python decode stubs (driver records the rows-only check).
 }

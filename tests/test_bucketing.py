@@ -1,0 +1,80 @@
+"""Bucketed co-located join: the storage-layout half of the 100 TB
+posture. Writing both fact tables bucketed by the join key lets Spark
+plan the orders⋈lineitem join with ZERO Exchange operators — at scale
+that's the difference between re-shuffling 100 TB per query and reading
+pre-partitioned data in place. (`SURVEY.md §4`: "broadcast joins under
+threshold, bucketing for co-located fact-fact joins".)
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from google_cloud_ecommerce_spark.catalog import load_table
+
+
+def _drop(spark, name: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)  # stale location
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_smoke):
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        _drop(spark, f"b_{name}")
+        (
+            load_table(spark, sf_smoke, name)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(f"b_{name}")
+        )
+    yield
+    for name in ("orders", "lineitem"):
+        _drop(spark, f"b_{name}")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    # At test scale Spark would rightly broadcast; disable it to expose
+    # the layout property under test (at 100 TB neither fact side fits a
+    # broadcast, and this bucketed sort-merge IS the plan).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .join(spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        pre_agg = plan.split("HashAggregate")[-1]  # below the partial agg: scan+join
+        assert "Exchange" not in pre_agg, f"bucketed join still shuffles:\n{plan}"
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_matches_unbucketed(spark, sf_smoke, bucketed_tables):
+    bucketed = (
+        spark.table("b_lineitem")
+        .join(spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    plain = (
+        load_table(spark, sf_smoke, "lineitem")
+        .join(
+            load_table(spark, sf_smoke, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))

@@ -136,3 +136,19 @@ def test_media_chunks_reassemble(spark, crafted_sf):
     expect = {r.doc_id: r.n_chars for r in docs.collect()}
     for r in total:
         assert r.b == expect[r.doc_id]
+
+
+def test_media_frame_sample_stride_and_determinism(spark, crafted_sf):
+    frames = multimodal.media_frame_sample(spark, crafted_sf)
+    rows = sorted(frames.collect(), key=lambda r: (r.doc_id, r.frame_index))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # identical payloads (docs 0 and 1) produce identical frame rows
+    assert [(r.frame_index, r.frame_bytes, r.frame_intensity) for r in by_doc[0]] == [
+        (r.frame_index, r.frame_bytes, r.frame_intensity) for r in by_doc[1]
+    ]
+    # stride: consecutive sampled frame indices differ by FRAME_STRIDE
+    idx = [r.frame_index for r in by_doc[0]]
+    assert all(b - a == multimodal.FRAME_STRIDE for a, b in zip(idx, idx[1:]))
+    assert all(0 < r.frame_bytes <= multimodal.FRAME_BYTES for r in rows)

@@ -38,15 +38,20 @@ def _modules():
     )
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+def _merge(attr: str) -> dict:
+    merged: dict = {}
     for mod in _modules():
-        merged.update(mod.QUERIES)
+        entries = getattr(mod, attr)
+        dup = merged.keys() & entries.keys()
+        if dup:  # a silent overwrite would hide an operator from the gate
+            raise ValueError(f"duplicate {attr} keys across modules: {sorted(dup)}")
+        merged.update(entries)
     return merged
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _merge("QUERIES")
 
 
 def all_oracles() -> dict[str, str]:
-    merged: dict[str, str] = {}
-    for mod in _modules():
-        merged.update(mod.ORACLE)
-    return merged
+    return _merge("ORACLE")

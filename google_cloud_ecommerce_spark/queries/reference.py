@@ -312,6 +312,31 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# funnel_transitions — the window-lag form of Q6 (SURVEY.md §7: "implement
+# strict-ordered (window-lag) and set-membership variants"): consecutive
+# event-type transitions within a session (gap <= 30 min), with counts
+# and mean transition latency. Complements purchase_funnel's grouped-min
+# form (same shuffle key: user_id).
+# ---------------------------------------------------------------------------
+
+
+def funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    by_user = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(by_user).alias("prev_type"),
+        "event_type",
+        (F.col("us") - F.lag("us").over(by_user)).alias("gap_us"),
+    ).filter(F.col("prev_type").isNotNull() & (F.col("gap_us") <= SESSION_GAP_US))
+    return pairs.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_transitions"),
+        F.round(F.sum("gap_us") / F.count("*") / 1_000_000, 4).alias("avg_gap_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # user_cohort_setops — INTERSECT / EXCEPT over user sets (the funnel
 # complement of README.md:35-37 as set algebra: carted-and-purchased vs
 # viewed-never-purchased). Spark plans both as left-semi/anti joins on
@@ -351,6 +376,7 @@ QUERIES = {
     "user_event_gaps": user_event_gaps,
     "value_percentiles": value_percentiles,
     "user_cohort_setops": user_cohort_setops,
+    "funnel_transitions": funnel_transitions,
 }
 
 _K_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
@@ -471,5 +497,18 @@ ORACLE = {
             EXCEPT
             SELECT user_id FROM events WHERE event_type = 'purchase'
         )
+    """,
+    "funnel_transitions": """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER w AS prev_type, event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT prev_type, event_type, count(*) AS n_transitions,
+               ROUND(SUM(gap_us) * 1.0 / count(*) / 1000000, 4) AS avg_gap_seconds
+        FROM pairs
+        WHERE prev_type IS NOT NULL AND gap_us <= 1800000000
+        GROUP BY 1, 2
     """,
 }

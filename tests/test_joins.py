@@ -104,3 +104,20 @@ def test_exact_vs_approx_cardinality(spark, sf_smoke):
     }
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(3, 0.05 * n)  # rsd=0.5%, generous bound
+
+
+def test_salted_join_equals_plain_join(spark):
+    from google_cloud_ecommerce_spark.operators.skew import salted_join
+
+    # 90% of fact rows share one hot key — the shape AQE alone can't fix
+    # when a single key exceeds an executor.
+    big = spark.createDataFrame(
+        [(1 if i % 10 else 2, float(i)) for i in range(1000)], "k long, v double"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unmatched")], "k long, name string")
+    salted = salted_join(big, small, ["k"], n_salts=4)
+    plain = big.join(small, on=["k"])
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # the join key seen by the shuffle includes the salt
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan

@@ -381,6 +381,31 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sql_revenue_report — the same engine through the spark.sql() entry
+# point (SURVEY.md §3.4: "(c) spark.sql() over registered temp views").
+# Catalyst compiles this to the same physical plan as the DataFrame
+# build; the entry proves the SQL surface end to end, oracle included.
+# ---------------------------------------------------------------------------
+
+
+def sql_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               CAST(SUM(CAST({_REV_SQL} AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "shipping_priority": shipping_priority,
@@ -399,6 +424,7 @@ QUERIES = {
     "parties_union": parties_union,
     "revenue_grouping_sets": revenue_grouping_sets,
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
+    "sql_revenue_report": sql_revenue_report,
 }
 
 _DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
@@ -484,6 +510,16 @@ ORACLE = {
                {_dsum_sql('o_totalprice')} AS total_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    "sql_revenue_report": f"""
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               CAST(SUM(CAST({_REV_SQL} AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
     """,
     "lineitem_measures_unpivot": f"""
         WITH long AS (

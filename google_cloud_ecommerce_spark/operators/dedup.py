@@ -145,21 +145,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(f"array_distinct({tokens_expr('text')})")).alias("tok")
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    inter = (
-        toks.alias("ta")
-        .join(toks.alias("tb"), (F.col("ta.tok") == F.col("tb.tok")))
-        .filter(F.col("ta.doc_id") < F.col("tb.doc_id"))
-        .groupBy(F.col("ta.doc_id").alias("doc_a"), F.col("tb.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+    # Exact-Jaccard verification restricted to CANDIDATE pairs: join the
+    # (few) band-collision pairs back to the per-doc distinct-token
+    # arrays and intersect arrays pairwise. Memory and shuffle are
+    # O(candidates), never O(corpus^2) — a token-level inverted-index
+    # self-join blows up on any common token (a stop word shared by half
+    # the corpus alone contributes |corpus/2|^2 pairs).
+    tok_arrays = docs.select(
+        "doc_id", F.expr(f"array_distinct({tokens_expr('text')})").alias("toks")
     )
     verified = (
-        cands.join(inter, ["doc_a", "doc_b"], "inner")
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_tok", "nb"), "doc_b")
+        cands.join(
+            tok_arrays.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")),
+            "doc_a",
+        )
+        .join(
+            tok_arrays.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sig_match",
+            F.expr("size(array_intersect(toks_a, toks_b))").alias("n_inter"),
+            F.expr("size(toks_a)").alias("na"),
+            F.expr("size(toks_b)").alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -192,24 +203,20 @@ def _dedup_minhash_sql() -> str:
                         i -> l.sig[i] = r.sig[i])) AS BIGINT) AS n_sig_match
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-        ), toks AS (
-            SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS tok
-            FROM documents
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1
-        ), inter AS (
-            SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, count(*) AS n_inter
-            FROM toks ta JOIN toks tb ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id
-            GROUP BY 1, 2
+        ), tok_arrays AS (
+            SELECT doc_id, list_distinct({tokens_sql('text')}) AS toks FROM documents
+        ), scored AS (
+            SELECT c.doc_a, c.doc_b, c.n_sig_match,
+                   len(list_intersect(ta.toks, tb.toks)) AS n_inter,
+                   len(ta.toks) AS na, len(tb.toks) AS nb
+            FROM cands c
+            JOIN tok_arrays ta ON c.doc_a = ta.doc_id
+            JOIN tok_arrays tb ON c.doc_b = tb.doc_id
         )
-        SELECT c.doc_a, c.doc_b, c.n_sig_match,
-               ROUND(i.n_inter * 1.0 / (sa.n_tok + sb.n_tok - i.n_inter), 6) AS jaccard
-        FROM cands c
-        JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-        JOIN sizes sa ON c.doc_a = sa.doc_id
-        JOIN sizes sb ON c.doc_b = sb.doc_id
-        WHERE ROUND(i.n_inter * 1.0 / (sa.n_tok + sb.n_tok - i.n_inter), 6)
-              >= {JACCARD_THRESHOLD}
+        SELECT doc_a, doc_b, n_sig_match,
+               ROUND(n_inter * 1.0 / (na + nb - n_inter), 6) AS jaccard
+        FROM scored
+        WHERE ROUND(n_inter * 1.0 / (na + nb - n_inter), 6) >= {JACCARD_THRESHOLD}
     """
 
 

@@ -240,9 +240,15 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload")
     )
     parts = F.split(F.decode(F.col("payload"), "UTF-8"), ",")
+    # ts_second stays a STRING in the output: date_format renders it
+    # JVM-side under the pinned session TZ, so the collected value is
+    # identical no matter what process timezone the comparator runs in.
+    # (Raw TimestampType collect() localizes to the PROCESS tz.)
     return wire.select(
         parts.getItem(0).cast("long").alias("event_id"),
-        F.to_timestamp(parts.getItem(1), "yyyy-MM-dd HH:mm:ss").alias("ts_second"),
+        F.date_format(
+            F.to_timestamp(parts.getItem(1), "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("ts_second"),
         parts.getItem(2).cast("long").alias("user_id"),
         parts.getItem(3).alias("event_type"),
         parts.getItem(4).cast("double").alias("value"),
@@ -454,7 +460,7 @@ ORACLE = {
             FROM events
         ), parts AS (SELECT string_split(line, ',') AS p FROM wire)
         SELECT CAST(p[1] AS BIGINT) AS event_id,
-               strptime(p[2], '%Y-%m-%d %H:%M:%S') AS ts_second,
+               strftime(strptime(p[2], '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_second,
                CAST(p[3] AS BIGINT) AS user_id,
                p[4] AS event_type,
                CAST(p[5] AS DOUBLE) AS value

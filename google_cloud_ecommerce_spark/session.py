@@ -43,6 +43,10 @@ def get_spark(
     cpus = shuffle_partitions or DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app_name)
+        # local mode: executors live in the driver JVM, so the default 1g
+        # driver heap is the whole cluster's memory — size it like the
+        # executor fleet it stands in for (no-op if the JVM already runs).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

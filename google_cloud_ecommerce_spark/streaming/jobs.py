@@ -93,7 +93,10 @@ def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
             )
             .select(
-                F.col("w.start").alias("window_start"),
+                # string render, not raw TimestampType: collect() localizes
+                # timestamps to the PROCESS tz; date_format is session-TZ
+                # stable, so the comparator sees UTC wherever it runs
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
                 "event_type",
                 "n_events",
                 "sum_value",
@@ -122,7 +125,7 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"))
             .select(
                 "user_id",
-                F.col("sw.start").alias("session_start"),
+                F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
                 "n_events",
             )
         )
@@ -171,8 +174,11 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 FLUSH_TYPE = "__flush__"
 
 _SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+# session_start is a pre-rendered string (not TimestampType): the epoch
+# micros are formatted directly in pandas with no tz conversion anywhere,
+# so the value survives any session/process timezone combination.
 _SESSION_OUTPUT_SCHEMA = (
-    "user_id bigint, session_start timestamp, n_events bigint, span_seconds double"
+    "user_id bigint, session_start string, n_events bigint, span_seconds double"
 )
 
 
@@ -204,7 +210,10 @@ def _session_state_fn(
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(emitted),
-                "session_start": [pd.to_datetime(s[0], unit="us") for s in emitted],
+                "session_start": [
+                    pd.Timestamp(s[0], unit="us").strftime("%Y-%m-%d %H:%M:%S.%f")
+                    for s in emitted
+                ],
                 "n_events": [s[2] for s in emitted],
                 # exact IEEE division of int by 1e6 — bitwise equal across
                 # engines, no decimal-rounding tie-break to disagree on
@@ -319,7 +328,7 @@ ORACLE = {
         FROM events GROUP BY 1, 2
     """,
     "streaming_hourly_window": """
-        SELECT date_trunc('hour', ts) AS window_start, event_type,
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                count(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
@@ -336,7 +345,8 @@ ORACLE = {
                                         ROWS UNBOUNDED PRECEDING) AS session_id
             FROM flagged
         )
-        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               count(*) AS n_events
         FROM sess GROUP BY user_id, session_id
     """,
     "streaming_dedup_counts": """
@@ -356,7 +366,8 @@ ORACLE = {
                                         ROWS UNBOUNDED PRECEDING) AS session_id
             FROM flagged
         )
-        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               count(*) AS n_events,
                (max(us) - min(us)) / 1000000.0 AS span_seconds
         FROM sess GROUP BY user_id, session_id
     """,

@@ -53,10 +53,10 @@ def test_csv_roundtrip_lossless(spark, sf_smoke):
     # joined back by event_id: event_type and value survive the wire
     j = src.join(rt.withColumnRenamed("value", "value2"), "event_id", "inner")
     assert j.filter(F.col("value") != F.col("value2")).count() == 0
-    # timestamp truncated to seconds, never shifted
-    bad = j.filter(
-        F.abs(F.unix_micros("ts") - F.unix_micros("ts_second")) >= 1_000_000
-    )
+    # timestamp truncated to seconds, never shifted (ts_second is a
+    # session-TZ-rendered string; parse it back under the same TZ)
+    parsed = F.to_timestamp(F.col("ts_second"), "yyyy-MM-dd HH:mm:ss")
+    bad = j.filter(F.abs(F.unix_micros("ts") - F.unix_micros(parsed)) >= 1_000_000)
     assert bad.count() == 0
 
 

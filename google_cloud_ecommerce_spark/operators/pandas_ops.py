@@ -47,7 +47,9 @@ def _session_stats_one_user(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_events": [int(len(pdf))],
             "n_sessions": [int(sizes.shape[0])],
             "max_session_events": [int(sizes.max())],
-            "max_session_span_seconds": [round(int(spans.max()) / 1_000_000, 4)],
+            # unrounded int/1e6: bit-identical IEEE division everywhere;
+            # Python round() is half-even and disagrees with SQL ROUND
+            "max_session_span_seconds": [int(spans.max()) / 1_000_000],
         }
     )
 
@@ -76,7 +78,7 @@ SESSION_STATS_SQL = f"""
     )
     SELECT user_id, SUM(n_ev) AS n_events, count(*) AS n_sessions,
            MAX(n_ev) AS max_session_events,
-           ROUND(MAX(span_us) / 1000000.0, 4) AS max_session_span_seconds
+           MAX(span_us) / 1000000.0 AS max_session_span_seconds
     FROM per_session GROUP BY 1
 """
 

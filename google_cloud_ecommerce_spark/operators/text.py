@@ -114,21 +114,24 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{tokens_expr('lower(text)')}").alias("toks"),
     )
     en_stop = _stopword_count_expr("en")
+    # Every ratio stays UNROUNDED: the operands are integers, the same
+    # IEEE operations run in the same order in both engines, so the raw
+    # doubles are bit-identical — while round-to-4 creates half-way ties
+    # that Spark (decimal HALF_UP) and SQL engines (binary) break
+    # differently.
     return toks.select(
         "doc_id",
         "n_chars",
         F.expr("size(toks)").cast("long").alias("n_tokens"),
         F.expr("size(array_distinct(toks))").cast("long").alias("n_distinct"),
-        F.round(
-            F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))") / F.expr("size(toks)"), 4
-        ).alias("avg_token_len"),
-        F.round(F.expr("size(array_distinct(toks))") / F.expr("size(toks)"), 4).alias("ttr"),
-        F.round(F.expr(en_stop) / F.expr("size(toks)"), 4).alias("stopword_ratio"),
-        F.round(
+        (F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))") / F.expr("size(toks)"))
+        .alias("avg_token_len"),
+        (F.expr("size(array_distinct(toks))") / F.expr("size(toks)")).alias("ttr"),
+        (F.expr(en_stop) / F.expr("size(toks)")).alias("stopword_ratio"),
+        (
             F.least(F.expr("size(toks)") / F.lit(50.0), F.lit(1.0)) * 0.5
             + F.expr("size(array_distinct(toks))") / F.expr("size(toks)") * 0.3
-            + F.least(F.expr(en_stop) / F.expr("size(toks)") * 5.0, F.lit(1.0)) * 0.2,
-            4,
+            + F.least(F.expr(en_stop) / F.expr("size(toks)") * 5.0, F.lit(1.0)) * 0.2
         ).alias("quality_score"),
     )
 
@@ -144,14 +147,14 @@ def _text_quality_sql() -> str:
         SELECT doc_id, n_chars,
                CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-               ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0
-                     / len(toks), 4) AS avg_token_len,
-               ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr,
-               ROUND({en_stop} * 1.0 / len(toks), 4) AS stopword_ratio,
-               ROUND(least(len(toks) / 50.0, 1.0) * 0.5
+               list_sum(list_transform(toks, t -> length(t))) * 1.0
+                     / len(toks) AS avg_token_len,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+               {en_stop} * 1.0 / len(toks) AS stopword_ratio,
+               least(len(toks) / 50.0, 1.0) * 0.5
                      + len(list_distinct(toks)) * 1.0 / len(toks) * 0.3
-                     + least({en_stop} * 1.0 / len(toks) * 5.0, 1.0) * 0.2,
-                     4) AS quality_score
+                     + least({en_stop} * 1.0 / len(toks) * 5.0, 1.0) * 0.2
+                   AS quality_score
         FROM t
     """
 

@@ -69,11 +69,14 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     view_val = F.when(F.col("side") == 0, F.struct("us", "event_id"))
     matched = tagged.withColumn("prior_view", F.last(view_val, ignorenulls=True).over(w))
+    # gap_seconds stays UNROUNDED: int/1e6 is a correctly-rounded IEEE
+    # division, bit-identical in every engine; rounding to N decimals
+    # introduces half-way ties the engines break differently.
     return matched.filter(F.col("side") == 1).select(
         F.col("event_id").alias("purchase_event_id"),
         "user_id",
         F.col("prior_view.event_id").alias("view_event_id"),
-        F.round((F.col("us") - F.col("prior_view.us")) / 1_000_000, 4).alias("gap_seconds"),
+        ((F.col("us") - F.col("prior_view.us")) / 1_000_000).alias("gap_seconds"),
     )
 
 
@@ -92,7 +95,7 @@ ASOF_PURCHASE_VIEW_SQL = """
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id AS purchase_event_id, user_id, view_event_id,
-           ROUND((us - view_us) / 1000000.0, 4) AS gap_seconds
+           (us - view_us) / 1000000.0 AS gap_seconds
     FROM matched WHERE side = 1
 """
 

@@ -406,6 +406,45 @@ def sql_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# customers_above_nation_avg — the correlated-subquery classic
+# ("customers with balance above their nation's average"), decorrelated
+# the way Catalyst would: per-nation aggregate (25 rows) broadcast back
+# onto the customer scan. The average is DECIMAL-exact / count, shipped
+# unrounded (identical IEEE double both engines).
+# ---------------------------------------------------------------------------
+
+
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        (_dsum(F.col("c_acctbal")) / F.count("*")).alias("nation_avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg_bal"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "nation_avg_bal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_per_customer_histogram — distribution shape: orders per customer
+# (zero-order customers included via left join), then a histogram over
+# those counts. Two cheap shuffles on shrinking keys.
+# ---------------------------------------------------------------------------
+
+
+def orders_per_customer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "shipping_priority": shipping_priority,
@@ -425,6 +464,8 @@ QUERIES = {
     "revenue_grouping_sets": revenue_grouping_sets,
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
     "sql_revenue_report": sql_revenue_report,
+    "customers_above_nation_avg": customers_above_nation_avg,
+    "orders_per_customer_histogram": orders_per_customer_histogram,
 }
 
 _DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
@@ -510,6 +551,24 @@ ORACLE = {
                {_dsum_sql('o_totalprice')} AS total_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    "customers_above_nation_avg": f"""
+        WITH na AS (
+            SELECT c_nationkey,
+                   {_dsum_sql('c_acctbal')} / count(*) AS nation_avg_bal
+            FROM customer GROUP BY 1
+        )
+        SELECT c.c_custkey, c.c_nationkey, c.c_acctbal, na.nation_avg_bal
+        FROM customer c JOIN na USING (c_nationkey)
+        WHERE c.c_acctbal > na.nation_avg_bal
+    """,
+    "orders_per_customer_histogram": """
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1
+        )
+        SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY 1
     """,
     "sql_revenue_report": f"""
         SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,

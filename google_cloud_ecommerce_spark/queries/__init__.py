@@ -21,7 +21,13 @@ def _modules():
         similarity,
         text,
     )
-    from google_cloud_ecommerce_spark.queries import joins, reference, relational, scale
+    from google_cloud_ecommerce_spark.queries import (
+        joins,
+        reference,
+        relational,
+        scale,
+        tpch_extra,
+    )
     from google_cloud_ecommerce_spark.streaming import jobs as streaming_jobs
 
     return (
@@ -29,6 +35,7 @@ def _modules():
         relational,
         joins,
         scale,
+        tpch_extra,
         dedup,
         similarity,
         text,

@@ -307,6 +307,63 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# segment_daily_moving_avg — sliding ROWS frame: 7-row moving average of
+# daily revenue within each market segment. The window is partitioned
+# on the segment key (parallel at scale, unlike a global trend window);
+# the frame sum runs over exact decimals so the average is
+# order-independent, divided by the frame COUNT (unrounded IEEE).
+# ---------------------------------------------------------------------------
+
+
+def segment_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "c_mktsegment",
+        "day",
+        F.col("rev_dec").cast("double").alias("daily_revenue"),
+        "n_orders",
+        (F.sum("rev_dec").over(w).cast("double") / F.count("*").over(w)).alias(
+            "moving_avg_7d"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer_order_progression — LEAD + PERCENT_RANK per customer: days
+# until the next order (forward-looking lag) and the price's rank share
+# within the customer's history. percent_rank = (rank-1)/(n-1) is an
+# integer-over-integer IEEE division — bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+
+def customer_order_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w_time)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date(nxt), F.to_date("o_orderdate")).alias("next_gap_days"),
+        F.percent_rank().over(w_price).alias("price_pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # order_cube — full CUBE (all 4 grouping sets) over priority x status.
 # ---------------------------------------------------------------------------
 
@@ -466,6 +523,8 @@ QUERIES = {
     "sql_revenue_report": sql_revenue_report,
     "customers_above_nation_avg": customers_above_nation_avg,
     "orders_per_customer_histogram": orders_per_customer_histogram,
+    "segment_daily_moving_avg": segment_daily_moving_avg,
+    "customer_order_progression": customer_order_progression,
 }
 
 _DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
@@ -569,6 +628,33 @@ ORACLE = {
             GROUP BY 1
         )
         SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY 1
+    """,
+    "segment_daily_moving_avg": """
+        WITH daily AS (
+            SELECT c_mktsegment, CAST(o_orderdate AS DATE) AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_mktsegment, day,
+               CAST(rev_dec AS DOUBLE) AS daily_revenue, n_orders,
+               CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg_7d
+        FROM daily
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "customer_order_progression": """
+        SELECT o_orderkey, o_custkey,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(lead(o_orderdate) OVER
+                              (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS DATE))
+                   AS next_gap_days,
+               percent_rank() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice, o_orderkey)
+                   AS price_pct_rank
+        FROM orders
     """,
     "sql_revenue_report": f"""
         SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,

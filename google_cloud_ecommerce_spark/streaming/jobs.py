@@ -312,6 +312,42 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(replay, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Stream-static enrichment — the Beam side-input pattern
+# (`/root/reference/streaming_pipeline/write_session_stream.py:105-106`
+# enriches each message against fixed column metadata). Here the static
+# side is a literal dimension broadcast onto the stream; the stream
+# never shuffles for the lookup, and the pattern is identical with a
+# parquet/Delta dim table that is re-read per micro-batch.
+# ---------------------------------------------------------------------------
+
+
+def streaming_band_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.queries.joins import VALUE_BANDS
+
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    try:
+        stream = read_replay_stream(spark, replay)
+        bands = spark.createDataFrame(
+            [(n, lo, hi) for n, lo, hi in VALUE_BANDS],
+            "band string, lo double, hi double",
+        )
+        cond = (F.col("value") >= F.col("lo")) & (
+            F.col("hi").isNull() | (F.col("value") < F.col("hi"))
+        )
+        agg = (
+            stream.join(F.broadcast(bands), cond)
+            .groupBy("band", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            )
+        )
+        return _run_to_memory(agg, "complete")
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
 QUERIES = {
     "streaming_daily_events": streaming_daily_events,
     "streaming_hourly_window": streaming_hourly_window,
@@ -319,10 +355,21 @@ QUERIES = {
     "streaming_dedup_counts": streaming_dedup_counts,
     "streaming_session_state": streaming_session_state,
     "streaming_view_purchase_join": streaming_view_purchase_join,
+    "streaming_band_enrichment": streaming_band_enrichment,
 }
 
 ORACLE = {
     # stream ≡ batch: the oracles are the BATCH semantics on the same rows.
+    "streaming_band_enrichment": """
+        SELECT band, event_type, count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events JOIN (VALUES
+            ('low', 0.0, 50.0), ('mid', 50.0, 200.0),
+            ('high', 200.0, 500.0), ('premium', 500.0, NULL)
+        ) AS bands(band, lo, hi)
+          ON value >= lo AND (hi IS NULL OR value < hi)
+        GROUP BY 1, 2
+    """,
     "streaming_daily_events": """
         SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
         FROM events GROUP BY 1, 2

@@ -88,3 +88,39 @@ def test_no_cartesian_product_anywhere(spark, sf_smoke, qname):
 
     plan = plan_of(all_queries()[qname](spark, sf_smoke))
     assert "CartesianProduct" not in plan, f"{qname} plans a cartesian product"
+
+
+def test_late_shipment_is_semi_join(spark, sf_smoke):
+    """The EXISTS must decorrelate to a semi join (no row explosion)."""
+    from google_cloud_ecommerce_spark.queries import tpch_extra
+
+    plan = plan_of(tpch_extra.late_shipment_priority(spark, sf_smoke))
+    assert "LeftSemi" in plan, f"EXISTS did not plan a semi join:\n{plan}"
+
+
+def test_idle_rich_scalar_is_broadcast_and_anti(spark, sf_smoke):
+    """Global-scalar filter: 1-row broadcast, NOT EXISTS: left anti."""
+    from google_cloud_ecommerce_spark.queries import tpch_extra
+
+    plan = plan_of(tpch_extra.idle_rich_customers(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+
+
+def test_disjunctive_band_is_hash_join(spark, sf_smoke):
+    """Q19's OR-of-ANDs must keep the equi-key hash join (the
+    disjunction rides as a post-join filter), never a nested loop over
+    the full cross space."""
+    from google_cloud_ecommerce_spark.queries import tpch_extra
+
+    plan = plan_of(tpch_extra.disjunctive_band_revenue(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_moving_avg_window_is_partitioned(spark, sf_smoke):
+    """The sliding frame must partition on the segment key — a global
+    trend window would serialize on one task at scale."""
+    from google_cloud_ecommerce_spark.queries import relational
+
+    plan = plan_of(relational.segment_daily_moving_avg(spark, sf_smoke))
+    assert "hashpartitioning(c_mktsegment" in plan

@@ -27,6 +27,7 @@ def _modules():
         relational,
         scale,
         tpch_extra,
+        tpch_extra2,
     )
     from google_cloud_ecommerce_spark.streaming import jobs as streaming_jobs
 
@@ -36,6 +37,7 @@ def _modules():
         joins,
         scale,
         tpch_extra,
+        tpch_extra2,
         dedup,
         similarity,
         text,

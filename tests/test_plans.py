@@ -124,3 +124,32 @@ def test_moving_avg_window_is_partitioned(spark, sf_smoke):
 
     plan = plan_of(relational.segment_daily_moving_avg(spark, sf_smoke))
     assert "hashpartitioning(c_mktsegment" in plan
+
+
+def test_lonely_late_is_semi_then_anti(spark, sf_smoke):
+    """Q21's EXISTS + NOT EXISTS must plan one semi and one anti
+    self-join on the orders-sized distinct-pair sets."""
+    from google_cloud_ecommerce_spark.queries import tpch_extra2
+
+    plan = plan_of(tpch_extra2.lonely_late_suppliers(spark, sf_smoke))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_important_parts_scalar_is_one_row_broadcast(spark, sf_smoke):
+    """Q11's global fraction must join as a 1-row broadcast onto the
+    per-part aggregate, never re-scan or cross-join the fact."""
+    from google_cloud_ecommerce_spark.queries import tpch_extra2
+
+    plan = plan_of(tpch_extra2.important_parts_value(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_min_cost_window_partitions_on_part(spark, sf_smoke):
+    """Q2's min-over-part window must partition on the part key — and
+    run AFTER the pair aggregate (dim-sized input), not over lineitem."""
+    from google_cloud_ecommerce_spark.queries import tpch_extra2
+
+    plan = plan_of(tpch_extra2.min_cost_part_suppliers(spark, sf_smoke))
+    assert "Window" in plan
+    assert "hashpartitioning(p_partkey" in plan

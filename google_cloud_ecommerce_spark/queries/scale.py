@@ -87,14 +87,70 @@ def user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# stratified_hash_sample — deterministic, cross-engine stratified
+# sampling, the training-pipeline downsampler. `df.sample()` is
+# seed/partitioning-dependent; instead each row's fate is a pure
+# function of its key: the first two hex chars of md5(event_id) land
+# the row in 1 of 256 buckets, and each stratum (event_type) keeps a
+# different bucket prefix. Embarrassingly parallel — no shuffle to
+# sample, filter pushes to the scan, and the SAME rows are kept on any
+# cluster size, any engine (md5 proven byte-identical vs DuckDB). The
+# reference replays fixed CSV chunks for its sampling-ish pacing
+# (`/root/reference/streaming_pipeline/send_session_stream.py:141-142`);
+# hash-bucketing is the scale-correct analogue.
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES_HEX = {"click": "10", "view": "20", "signup": "80", "purchase": "ff"}
+
+
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    cutoff = F.coalesce(
+        *[
+            F.when(F.col("event_type") == t, F.lit(h))
+            for t, h in SAMPLE_RATES_HEX.items()
+        ],
+        F.lit("40"),
+    )
+    return (
+        ev.filter(bucket < cutoff)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+STRATIFIED_HASH_SAMPLE_SQL = """
+    SELECT event_type, count(*) AS n_sampled,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(event_id) AS min_event_id, max(event_id) AS max_event_id
+    FROM events
+    WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+          CASE event_type WHEN 'click' THEN '10' WHEN 'view' THEN '20'
+                          WHEN 'signup' THEN '80' WHEN 'purchase' THEN 'ff'
+                          ELSE '40' END
+    GROUP BY 1
+"""
+
+
 QUERIES = {
     "event_type_stats_salted": event_type_stats_salted,
     "user_cardinality": user_cardinality,
     "user_cardinality_approx": user_cardinality_approx,
+    "stratified_hash_sample": stratified_hash_sample,
 }
 
 ORACLE = {
     "event_type_stats_salted": EVENT_TYPE_STATS_SALTED_SQL,
     "user_cardinality": USER_CARDINALITY_SQL,
     # user_cardinality_approx: intentionally no oracle (rows-only).
+    "stratified_hash_sample": STRATIFIED_HASH_SAMPLE_SQL,
 }

@@ -64,6 +64,15 @@ def test_simhash_identical_docs_same_fingerprint(spark, crafted_sf):
     assert pairs[(0, 1)] == 0
 
 
+def test_dedup_clusters_transitive_closure(spark, crafted_sf):
+    """0-1 exact dups and 0-2/1-2 near dups (1-token change) collapse
+    into ONE cluster labelled by the min doc_id; unrelated doc 3 is
+    absent — no near-dup neighbour, nothing to cluster."""
+    rows = {r.doc_id: (r.cluster_id, r.cluster_size)
+            for r in dedup.dedup_clusters(spark, crafted_sf).collect()}
+    assert rows == {0: (0, 3), 1: (0, 3), 2: (0, 3)}
+
+
 def test_ngram_jaccard_scores_near_dup_high(spark, crafted_sf):
     rows = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.dedup_ngram_jaccard(spark, crafted_sf).collect()}
     assert rows[(0, 1)] == 1.0

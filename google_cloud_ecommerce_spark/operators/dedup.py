@@ -531,6 +531,52 @@ def _dedup_clusters_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup — the steady-state form of the pipeline: an
+# arriving batch (here the doc_id % 10 = 9 slice, standing in for
+# "today's crawl") is checked against the existing corpus by content
+# digest. One equi-join on the 16-byte md5 — the corpus side is
+# pre-aggregated to DISTINCT digests (at 100 TB that digest set is the
+# thing you'd keep bucketed/sorted on disk so this join is co-located
+# and shuffle-free). LEFT JOIN + null-flag instead of separate
+# semi/anti passes: one probe yields both the novel and the duplicate
+# counts.
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("digest", F.md5("text"))
+    corpus = (
+        docs.filter(F.col("doc_id") % 10 != 9)
+        .select(F.col("digest").alias("c_digest"))
+        .distinct()
+    )
+    new = docs.filter(F.col("doc_id") % 10 == 9)
+    return (
+        new.join(corpus, new.digest == corpus.c_digest, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.sum(F.when(F.col("c_digest").isNull(), 1).otherwise(0)).alias("n_novel"),
+            F.sum(F.when(F.col("c_digest").isNull(), 0).otherwise(1)).alias("n_dup_of_corpus"),
+        )
+    )
+
+
+INCREMENTAL_DEDUP_SQL = """
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS c_digest FROM documents WHERE doc_id % 10 != 9
+    ), new AS (
+        SELECT doc_id, source, md5(text) AS digest FROM documents WHERE doc_id % 10 = 9
+    )
+    SELECT source, count(*) AS n_new,
+           SUM(CASE WHEN c_digest IS NULL THEN 1 ELSE 0 END) AS n_novel,
+           SUM(CASE WHEN c_digest IS NULL THEN 0 ELSE 1 END) AS n_dup_of_corpus
+    FROM new LEFT JOIN corpus ON digest = c_digest
+    GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -539,6 +585,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
+    "incremental_dedup": incremental_dedup,
 }
 
 ORACLE = {
@@ -549,4 +596,5 @@ ORACLE = {
     "dedup_ngram_jaccard": _dedup_ngram_sql(),
     "dedup_embedding_cosine": _dedup_embedding_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "incremental_dedup": INCREMENTAL_DEDUP_SQL,
 }

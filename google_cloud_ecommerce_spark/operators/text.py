@@ -292,3 +292,88 @@ ORACLE = {
     "doc_fingerprint": _doc_fingerprint_sql(),
     "corpus_stats": _corpus_stats_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# keyword_search — multi-term retrieval with tf×rarity scoring, the
+# "grep the corpus, best docs first" primitive. For a FIXED query-term
+# set the per-doc term frequencies are pure column folds over the token
+# array (no explode, no shuffle for the tf stage); the document
+# frequencies reduce to ONE tiny global aggregate broadcast back as a
+# single row. Rarity weight is N/df — an IEEE division of two bigints,
+# bit-identical across engines — instead of the textbook log-idf
+# (libm log implementations differ in the last ulp across engines;
+# same class of trap as ROUND ties). Top-20 with a total order
+# (score DESC, doc_id) so LIMIT is deterministic.
+# ---------------------------------------------------------------------------
+
+QUERY_TERMS = ("join", "hash", "vector")
+SEARCH_TOP_K = 20
+
+
+def _tf_expr(term: str) -> str:
+    return f"size(filter(toks, t -> t = '{term}'))"
+
+
+def _tf_sql(term: str) -> str:
+    return f"len(list_filter(toks, t -> t = '{term}'))"
+
+
+def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tokens_expr("text")).alias("toks")
+    )
+    tf = toks.select(
+        "doc_id",
+        *[F.expr(_tf_expr(t)).cast("long").alias(f"tf_{t}") for t in QUERY_TERMS],
+    )
+    stats = tf.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    score = None
+    for t in QUERY_TERMS:
+        term_score = F.col(f"tf_{t}") * (
+            F.col("n_docs").cast("double") / F.col(f"df_{t}")
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        tf.join(F.broadcast(stats))
+        .withColumn("score", score)
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(SEARCH_TOP_K)
+        .select("doc_id", *[f"tf_{t}" for t in QUERY_TERMS], "score")
+    )
+
+
+def _keyword_search_sql() -> str:
+    tf_cols = ", ".join(f"{_tf_sql(t)} AS tf_{t}" for t in QUERY_TERMS)
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in QUERY_TERMS
+    )
+    score = " + ".join(
+        f"tf_{t} * (CAST(n_docs AS DOUBLE) / df_{t})" for t in QUERY_TERMS
+    )
+    out_tfs = ", ".join(f"tf_{t}" for t in QUERY_TERMS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+        ), tf AS (
+            SELECT doc_id, {tf_cols} FROM toks
+        ), stats AS (
+            SELECT count(*) AS n_docs, {df_cols} FROM tf
+        )
+        SELECT doc_id, {out_tfs}, {score} AS score
+        FROM tf CROSS JOIN stats
+        WHERE {score} > 0
+        ORDER BY score DESC, doc_id
+        LIMIT {SEARCH_TOP_K}
+    """
+
+
+QUERIES["keyword_search"] = keyword_search
+ORACLE["keyword_search"] = _keyword_search_sql()

@@ -369,6 +369,54 @@ def user_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cart_and_purchase.unionByName(view_never_purchase).select("cohort", "n_users")
 
 
+# ---------------------------------------------------------------------------
+# user_retention_cohorts — the retention matrix behind every "cohort
+# analysis" dashboard: users grouped by the week of their FIRST event,
+# counted as active in each subsequent week offset. The per-user first
+# day is a window MIN over the user partition — ONE shuffle on
+# user_id, reused by the row-level offset derivation; the final
+# aggregate keys on (cohort_week, week_offset), a few dozen groups at
+# any corpus size. COUNT(DISTINCT user_id) two-phase expands inside
+# those small groups. All date math is integral (datediff / 7) and
+# week truncation is Monday-based in both engines, so the matrix is
+# bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    per_user = ev.withColumn(
+        "first_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    return (
+        per_user.withColumn(
+            "cohort_week",
+            F.date_format(F.date_trunc("week", F.col("first_day")), "yyyy-MM-dd"),
+        )
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+USER_RETENTION_COHORTS_SQL = """
+    WITH per_user AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day
+        FROM events
+    )
+    SELECT strftime(date_trunc('week', first_day), '%Y-%m-%d') AS cohort_week,
+           CAST(FLOOR(datediff('day', first_day, day) / 7) AS BIGINT) AS week_offset,
+           COUNT(DISTINCT user_id) AS n_active_users
+    FROM per_user GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "daily_events": daily_events,
     "top_categories": top_categories,
@@ -383,6 +431,7 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "user_cohort_setops": user_cohort_setops,
     "funnel_transitions": funnel_transitions,
+    "user_retention_cohorts": user_retention_cohorts,
 }
 
 _K_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
@@ -517,4 +566,5 @@ ORACLE = {
         WHERE prev_type IS NOT NULL AND gap_us <= 1800000000
         GROUP BY 1, 2
     """,
+    "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
 }

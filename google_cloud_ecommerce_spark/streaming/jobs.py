@@ -313,6 +313,97 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join — purchase attribution where the
+# UNMATCHED purchases (no view in the prior hour) must also emit, with
+# a NULL view id. Outer rows can only be released when the watermark
+# PROVES no match can still arrive (wm > p_ts), so the replay appends a
+# sentinel chunk 2 h past the global max on BOTH sides: it advances
+# each side's watermark beyond every real purchase, and the engine's
+# no-data finalization batch then evicts-and-emits the null rows. The
+# sentinels themselves (user_id = -1, equal timestamps, so the
+# interval predicate can't self-match) are filtered from the output.
+# State size stays bounded by the 1 h interval + 10 min delay — the
+# eviction that makes the join feasible on an unbounded stream is the
+# same mechanism that releases the outer rows.
+# ---------------------------------------------------------------------------
+
+
+def streaming_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    try:
+        _write_join_flush_chunk(spark, replay, sf_dir)
+        stream = read_replay_stream(spark, replay)
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_event_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "10 minutes")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_event_id"),
+                "user_id",
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        joined = purchases.join(
+            views,
+            F.expr(
+                "user_id = v_user_id AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts < p_ts"
+            ),
+            "left_outer",
+        ).select("purchase_event_id", "view_event_id", "user_id")
+        # Sentinels are filtered on the SINK result, not in the streaming
+        # plan: a stream-side filter on user_id gets pushed below the
+        # purchase watermark node, the sentinel then never reaches it,
+        # and the stalled watermark strands the last outer rows in state.
+        return _run_to_memory(joined, "append").filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
+def _write_join_flush_chunk(spark: SparkSession, replay_dir: str, sf_dir: str) -> None:
+    """TWO sentinel chunks (view + purchase each), 2 h and 4 h past the
+    global max ts, equal timestamps per chunk (un-joinable under the
+    strict v_ts < p_ts predicate). Two because outer-row emission lags
+    the watermark by one batch: the wm advanced by sentinel 1 only
+    evicts-and-emits while a LATER batch is running, and availableNow
+    does not run a trailing no-data batch — sentinel 2 is that later
+    batch."""
+    from google_cloud_ecommerce_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    import glob as _glob
+
+    for i, bump_us in enumerate((7_200_000_000, 14_400_000_000)):
+        flush = (
+            events.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+            .select(
+                F.explode(F.array(F.lit("view"), F.lit("purchase"))).alias("event_type"),
+                "max_us",
+            )
+            .select(
+                F.lit(-1 - i).cast("long").alias("event_id"),
+                F.expr(f"timestamp_micros(max_us + {bump_us})").alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                "event_type",
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+        )
+        tmp = os.path.join(replay_dir, "_stage_join_flush")
+        flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(replay_dir, f"chunk-zzzz{i}-flush.parquet"))
+        shutil.rmtree(tmp)
+
+
+# ---------------------------------------------------------------------------
 # Stream-static enrichment — the Beam side-input pattern
 # (`/root/reference/streaming_pipeline/write_session_stream.py:105-106`
 # enriches each message against fixed column metadata). Here the static
@@ -355,11 +446,20 @@ QUERIES = {
     "streaming_dedup_counts": streaming_dedup_counts,
     "streaming_session_state": streaming_session_state,
     "streaming_view_purchase_join": streaming_view_purchase_join,
+    "streaming_purchase_attribution_outer": streaming_purchase_attribution_outer,
     "streaming_band_enrichment": streaming_band_enrichment,
 }
 
 ORACLE = {
     # stream ≡ batch: the oracles are the BATCH semantics on the same rows.
+    "streaming_purchase_attribution_outer": """
+        SELECT p.event_id AS purchase_event_id, v.event_id AS view_event_id,
+               p.user_id
+        FROM events p LEFT JOIN events v
+          ON v.event_type = 'view' AND v.user_id = p.user_id
+         AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        WHERE p.event_type = 'purchase'
+    """,
     "streaming_band_enrichment": """
         SELECT band, event_type, count(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

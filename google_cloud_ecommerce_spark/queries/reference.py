@@ -318,6 +318,86 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# value_zscore_outliers — outlier counting per event_type without an
+# engine-specific stddev: Spark's stddev/variance (and DuckDB's) use
+# different accumulation algorithms, so their doubles differ in the
+# last ulps. Instead mean and variance are DERIVED from decimal-exact
+# sums (value is 2-decimal quantized, so value and value^2 cast to
+# decimal losslessly): mean = S1/n, var = S2/n - mean^2 — identical
+# IEEE arithmetic in both engines, and sqrt is correctly rounded per
+# IEEE-754 everywhere. One partial+final hash aggregate for the
+# moments (broadcast back as a tiny dim), one conditional re-aggregate
+# for the outlier counts: two scans, zero shuffles of the fact beyond
+# the 5-group partials.
+# ---------------------------------------------------------------------------
+
+
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    moments = ev.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s1"),
+        F.sum(
+            (F.col("value").cast("decimal(18,4)") * F.col("value").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    enriched = ev.join(
+        F.broadcast(moments), F.col("event_type") == F.col("m_type")
+    ).withColumn("z_cut", F.lit(2.0) * F.sqrt(var))
+    is_outlier = F.abs(F.col("value") - mean) > F.col("z_cut")
+    return (
+        enriched.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(is_outlier, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )
+
+
+VALUE_ZSCORE_OUTLIERS_SQL = """
+    WITH moments AS (
+        SELECT event_type AS m_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+                    AS DOUBLE) AS s2
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, count(*) AS n_events,
+           SUM(CASE WHEN abs(value - s1 / n)
+                         > 2.0 * sqrt(s2 / n - (s1 / n) * (s1 / n))
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM events JOIN moments ON event_type = m_type
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# value_percentiles_approx — the 100 TB form of value_percentiles:
+# exact percentile() holds all group values; approx_percentile keeps a
+# bounded KLL-style sketch per group. Sketch outputs are
+# engine-specific, so this entry is rows-only checked; the exact twin
+# above is the semantic anchor (and a unit test bounds the error).
+# ---------------------------------------------------------------------------
+
+
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+            F.expr("approx_percentile(value, 0.9, 10000)").alias("p90_approx"),
+            F.expr("approx_percentile(value, 0.99, 10000)").alias("p99_approx"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # funnel_transitions — the window-lag form of Q6 (SURVEY.md §7: "implement
 # strict-ordered (window-lag) and set-membership variants"): consecutive
 # event-type transitions within a session (gap <= 30 min), with counts
@@ -432,6 +512,8 @@ QUERIES = {
     "user_cohort_setops": user_cohort_setops,
     "funnel_transitions": funnel_transitions,
     "user_retention_cohorts": user_retention_cohorts,
+    "value_zscore_outliers": value_zscore_outliers,
+    "value_percentiles_approx": value_percentiles_approx,
 }
 
 _K_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
@@ -567,4 +649,6 @@ ORACLE = {
         GROUP BY 1, 2
     """,
     "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
+    "value_zscore_outliers": VALUE_ZSCORE_OUTLIERS_SQL,
+    # value_percentiles_approx: intentionally no oracle (sketch, rows-only).
 }

@@ -78,3 +78,21 @@ def test_filter_pushed_to_scan(spark, sf_smoke):
     df = R.tpch_q1_pricing_summary(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_approx_percentiles_track_exact(spark, sf_smoke):
+    """The sketch must land within a tight band of the exact
+    percentile on the smoke data (10k-accuracy sketch, tiny input)."""
+    from google_cloud_ecommerce_spark.queries.reference import (
+        value_percentiles,
+        value_percentiles_approx,
+    )
+
+    exact = {r.event_type: r.p50 for r in value_percentiles(spark, sf_smoke).collect()}
+    approx = {
+        r.event_type: r.p50_approx
+        for r in value_percentiles_approx(spark, sf_smoke).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for t, p in exact.items():
+        assert abs(approx[t] - p) <= max(0.05 * abs(p), 0.5), (t, p, approx[t])

@@ -318,12 +318,55 @@ def _embedding_label_stats_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# label_centroids — per-class mean vector, the "class prototype" step
+# of embedding pipelines (and one k-means Lloyd iteration with labels
+# as the assignment). posexplode to (label, dim, value) rows, then ONE
+# hash aggregate on (label, dim) — 64x row inflation but map-side
+# partials reduce it to |labels|x64 before the shuffle. Values are
+# rounded to 6 decimals and summed as DECIMAL so the per-dim sum is
+# order-independent and bit-identical cross-engine (float embeddings
+# would otherwise accumulate in partition order); the mean is the IEEE
+# division of that exact sum.
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.round("val", 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("centroid")
+        )
+    )
+
+
+def _label_centroids_sql() -> str:
+    from google_cloud_ecommerce_spark.operators._common import EMBED_DIM
+
+    return f"""
+        WITH e AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT label, i AS dim,
+               CAST(SUM(CAST(ROUND(v[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS centroid
+        FROM e, unnest(range(1, {EMBED_DIM + 1})) t(i)
+        GROUP BY 1, 2
+    """
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
     "similarity_buckets": similarity_buckets,
     "similarity_lsh_topk": similarity_lsh_topk,
     "similarity_ivf_topk": similarity_ivf_topk,
     "embedding_label_stats": embedding_label_stats,
+    "label_centroids": label_centroids,
 }
 
 ORACLE = {
@@ -332,4 +375,5 @@ ORACLE = {
     "similarity_lsh_topk": _similarity_lsh_topk_sql(),
     "similarity_ivf_topk": _similarity_ivf_topk_sql(),
     "embedding_label_stats": _embedding_label_stats_sql(),
+    "label_centroids": _label_centroids_sql(),
 }

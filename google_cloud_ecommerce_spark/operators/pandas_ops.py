@@ -83,10 +83,55 @@ SESSION_STATS_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# doc_tokens_udtf — the PySpark UDTF surface (SURVEY.md §2.10 notes the
+# reference has none; the API is exposed for table-generating custom
+# logic). The UDTF expands each document into (doc_id, pos, token)
+# rows via a LATERAL join — per-row Python, so strictly the SLOW path:
+# the production equivalent is the built-in posexplode (JVM generator,
+# used everywhere else in this repo). It exists to prove the
+# row->table bridge is semantics-preserving — the DuckDB oracle is the
+# same expansion via unnest WITH ORDINALITY semantics.
+# ---------------------------------------------------------------------------
+
+
+def doc_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos bigint, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            pos = 0
+            for tok in (text or "").split(" "):
+                if tok:
+                    pos += 1
+                    yield pos, tok
+
+    spark.udtf.register("graft_tokenize", Tokenize)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM _udtf_docs d, LATERAL graft_tokenize(d.text) t"
+    )
+
+
+DOC_TOKENS_UDTF_SQL = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        FROM documents
+    )
+    SELECT doc_id, i AS pos, toks[i] AS token
+    FROM toks, unnest(range(1, len(toks) + 1)) t(i)
+"""
+
+
 QUERIES = {
     "session_stats_pandas": session_stats_pandas,
+    "doc_tokens_udtf": doc_tokens_udtf,
 }
 
 ORACLE = {
     "session_stats_pandas": SESSION_STATS_SQL,
+    "doc_tokens_udtf": DOC_TOKENS_UDTF_SQL,
 }

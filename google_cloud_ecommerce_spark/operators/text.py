@@ -377,3 +377,61 @@ def _keyword_search_sql() -> str:
 
 QUERIES["keyword_search"] = keyword_search
 ORACLE["keyword_search"] = _keyword_search_sql()
+
+
+# ---------------------------------------------------------------------------
+# Bigram frequencies: adjacent-token pair counts, the n-gram step a
+# language-model data pipeline runs after tokenization. Pairs are built
+# positionally inside the token ARRAY (transform over an index
+# sequence), so no self-join and no second explode — one explode, one
+# hash aggregate, one top-k. (count DESC, bigram ASC) is a total order,
+# so the LIMIT cut is deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOP_K = 50
+
+
+def bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
+    )
+    bigrams = toks.filter("size(toks) >= 2").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(BIGRAM_TOP_K)
+    )
+
+
+def _bigram_frequencies_sql() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+            FROM toks WHERE len(toks) >= 2
+        )
+        SELECT bigram, count(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM b GROUP BY 1
+        ORDER BY n_occurrences DESC, bigram
+        LIMIT {BIGRAM_TOP_K}
+    """
+
+
+QUERIES["bigram_frequencies"] = bigram_frequencies
+ORACLE["bigram_frequencies"] = _bigram_frequencies_sql()

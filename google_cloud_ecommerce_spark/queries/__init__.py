@@ -22,6 +22,7 @@ def _modules():
         text,
     )
     from google_cloud_ecommerce_spark.queries import (
+        cdc,
         joins,
         reference,
         relational,
@@ -35,6 +36,7 @@ def _modules():
         reference,
         relational,
         joins,
+        cdc,
         scale,
         tpch_extra,
         tpch_extra2,

@@ -1,0 +1,140 @@
+"""Changelog / sessionization operators over ``events``.
+
+The reference's streaming layer is append-only at-least-once
+(``write_session_stream.py:107-112`` WRITE_APPEND, no dedup) and its
+sessions exist only as a column (``user_session``, README.md:35-37).
+Two batch operators a real pipeline builds on top of exactly that kind
+of raw event log:
+
+  changelog_compaction   treat events as a CDC changelog keyed by
+                         user_id and materialize the CURRENT state
+                         (latest event per user, ties broken by
+                         event_id). Implemented as max(struct(ts,
+                         event_id, payload...)) — an ordinary hash
+                         aggregate with map-side partial combine, ONE
+                         shuffle, no sort. The window-function spelling
+                         (row_number() = 1) needs a full
+                         shuffle+sort per key and cannot partially
+                         aggregate, so at 100 TB the struct-max form is
+                         the only viable plan; the oracle proves both
+                         spellings agree.
+  batch_sessionization   gap-based sessions (30-minute inactivity)
+                         via session_window in BATCH mode — the same
+                         operator streaming_sessionization uses on the
+                         stream, proving the unified batch/stream
+                         surface. Aggregated to a session-length
+                         histogram so the output stays tiny at any
+                         scale. Spark merges a gap of EXACTLY the gap
+                         duration (probed: [start, end] is closed on
+                         the merge side), so the oracle's
+                         gaps-and-islands break is strictly
+                         ``gap > 30 min``, on integral microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from google_cloud_ecommerce_spark.catalog import load_table
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, integral microseconds
+
+
+def changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # argmax-by-(ts, event_id) carried through a struct max: (ts, event_id)
+    # is unique per user so the lexicographic max is deterministic and the
+    # payload columns ride along.
+    latest = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last"))
+        .select(
+            "user_id",
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.value").alias("last_value"),
+        )
+    )
+    return latest.groupBy("last_event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("last_value").cast("decimal(18,4)")).cast("double").alias("sum_last_value"),
+        F.min("user_id").alias("min_user_id"),
+        F.max("user_id").alias("max_user_id"),
+    )
+
+
+CHANGELOG_COMPACTION_SQL = f"""
+    WITH ranked AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type AS last_event_type,
+           count(*) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_last_value,
+           min(user_id) AS min_user_id,
+           max(user_id) AS max_user_id
+    FROM ranked WHERE rn = 1
+    GROUP BY 1
+"""
+
+
+def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+        )
+    )
+    return (
+        sessions.groupBy("n_events")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.sum(F.unix_micros("mx") - F.unix_micros("mn")).alias("total_duration_us"),
+        )
+    )
+
+
+BATCH_SESSIONIZATION_SQL = f"""
+    WITH d AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d
+    ), sess AS (
+        SELECT user_id, sid, count(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,4))) AS sv,
+               min(ts) AS mn, max(ts) AS mx
+        FROM s GROUP BY 1, 2
+    )
+    SELECT n_events, count(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(sv) AS DOUBLE) AS sum_value,
+           SUM(epoch_us(mx) - epoch_us(mn)) AS total_duration_us
+    FROM sess GROUP BY 1
+"""
+
+
+QUERIES = {
+    "changelog_compaction": changelog_compaction,
+    "batch_sessionization": batch_sessionization,
+}
+
+ORACLE = {
+    "changelog_compaction": CHANGELOG_COMPACTION_SQL,
+    "batch_sessionization": BATCH_SESSIONIZATION_SQL,
+}

@@ -99,3 +99,44 @@ def foreach_batch_parquet_sink(stream_df: DataFrame, out_dir: str, checkpoint_di
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a directory of small parquet files into ~target-sized ones.
+
+    The small-files problem is the operational failure mode of every
+    long-running append sink (the reference's per-chunk Spanner inserts
+    and per-epoch streaming appends both produce it): a 100 TB table
+    made of 100 KB files spends more time in open/footer-read than in
+    scan. Sizing from the ACTUAL on-disk bytes (not a row-count guess)
+    keeps output files near the parquet sweet spot; coalesce() avoids a
+    shuffle when only merging (narrow dependency), which is the common
+    case.
+
+    Returns the number of output files requested.
+    """
+    # Hadoop FS listing works for any scheme (file://, s3a://, gs://),
+    # unlike a local glob.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    total_bytes, n_files = 0, 0
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total_bytes += st.getLen()
+            n_files += 1
+    n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil division
+    df = spark.read.parquet(src_dir)
+    if n_out < max(n_files, 1):
+        df = df.coalesce(int(n_out))  # merge-only: no shuffle
+    else:
+        df = df.repartition(int(n_out))  # splitting needs a shuffle
+    df.write.mode("overwrite").parquet(dst_dir)
+    return int(n_out)

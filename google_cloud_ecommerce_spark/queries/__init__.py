@@ -24,6 +24,7 @@ def _modules():
     from google_cloud_ecommerce_spark.queries import (
         cdc,
         joins,
+        quality,
         reference,
         relational,
         scale,
@@ -37,6 +38,7 @@ def _modules():
         relational,
         joins,
         cdc,
+        quality,
         scale,
         tpch_extra,
         tpch_extra2,

@@ -529,3 +529,77 @@ ORACLE = {
          AND v.ts < p.ts
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized view — foreachBatch upsert. The reference
+# appended raw rows to BigQuery and re-ran aggregates in the warehouse;
+# the scalable streaming pattern maintains the AGGREGATE incrementally:
+# each micro-batch contributes a partial aggregate, merged into a
+# versioned state table (the parquet stand-in for MERGE INTO on a
+# Delta/Iceberg table). Merging is a union + re-aggregate over
+# DECIMAL partials — commutative and associative, so the final view is
+# independent of batch boundaries and arrival order; the DuckDB oracle
+# over the raw events proves final state ≡ full batch aggregate.
+# ---------------------------------------------------------------------------
+
+
+def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    state_root = tempfile.mkdtemp(prefix="mv_state_")
+    checkpoint = tempfile.mkdtemp(prefix="mv_ckpt_")
+    latest: dict[str, str] = {}
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        partial = batch_df.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+        )
+        if "dir" in latest:
+            current = s.read.parquet(latest["dir"])
+            merged = (
+                current.unionByName(partial)
+                .groupBy("day", "event_type")
+                .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+            )
+        else:
+            merged = partial
+        out = os.path.join(state_root, f"v{epoch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        latest["dir"] = out
+
+    try:
+        q = (
+            read_replay_stream(spark, replay)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(latest["dir"]).select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+        # the view is tiny (days × event types); pin it driver-side so the
+        # temp state dirs can be removed
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+QUERIES["streaming_incremental_mv"] = streaming_incremental_mv
+ORACLE["streaming_incremental_mv"] = """
+    SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+"""

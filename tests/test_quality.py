@@ -1,0 +1,83 @@
+"""Semantic checks for the data-quality report and the foreachBatch
+incremental materialized view."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from google_cloud_ecommerce_spark.catalog import load_table
+from google_cloud_ecommerce_spark.queries.quality import data_quality_report
+from google_cloud_ecommerce_spark.streaming.jobs import streaming_incremental_mv
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def test_report_clean_on_testdata(spark, sf_smoke):
+    rows = {r.check_name: r for r in data_quality_report(spark, sf_smoke).collect()}
+    assert len(rows) == 7
+    assert all(r.n_violations == 0 for r in rows.values())
+    n_events = load_table(spark, sf_smoke, "events").count()
+    assert rows["events_null_props"].n_checked == n_events
+    n_lineitem = load_table(spark, sf_smoke, "lineitem").count()
+    assert rows["lineitem_orphan_orderkey"].n_checked == n_lineitem
+
+
+def test_report_catches_crafted_violations(spark, tmp_path):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, BASE, 1, "view", 1.0, None),          # null props
+            (1, BASE, 1, "cart", -2.0, "{}"),         # dup id + bad type + negative
+            (2, BASE, 9, "purchase", 3.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [(1, 100, "O", 5.0, BASE, "1-URGENT"), (2, 999, "O", 6.0, BASE, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(100, "c", 1, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 1.0, 0.5, 0.0, "N", "O", BASE),
+            (7, 1, 1, 2, 1.0, 1.0, 1.5, 0.0, "N", "O", BASE),  # orphan + discount>1
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+
+    rows = {r.check_name: r.n_violations for r in data_quality_report(spark, d).collect()}
+    assert rows == {
+        "events_null_props": 1,
+        "events_negative_value": 1,
+        "events_duplicate_event_id": 1,
+        "events_bad_event_type": 1,
+        "orders_orphan_custkey": 1,
+        "lineitem_orphan_orderkey": 1,
+        "lineitem_discount_range": 1,
+    }
+
+
+def test_incremental_mv_equals_batch(spark, sf_smoke):
+    mv = {
+        (str(r.day), r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in streaming_incremental_mv(spark, sf_smoke).collect()
+    }
+    batch = {
+        (str(r.day), r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert mv == batch

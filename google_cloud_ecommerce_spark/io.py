@@ -140,3 +140,23 @@ def compact_parquet_dir(
         df = df.repartition(int(n_out))  # splitting needs a shuffle
     df.write.mode("overwrite").parquet(dst_dir)
     return int(n_out)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files have EVOLVED schemas
+    (columns added over time — the normal state of a long-lived append
+    sink). mergeSchema reconciles footers; rows from files that predate
+    a column read it as NULL. Off by default in Spark because footer
+    merging costs a pass over file metadata — turn it on per-read, not
+    globally, at 100 TB."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (built-in columnar alternative; same pushdown/pruning
+    surface as parquet)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

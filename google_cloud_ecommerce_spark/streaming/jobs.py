@@ -12,6 +12,11 @@ rows-only pass). The streaming plan is identical to what would run
 unbounded against Kafka; only the source/trigger/sink bindings are
 test-harness choices.
 
+(Spark 4's transformWithState[InPandas] is the successor API for the
+custom-state job below; its driver-side state server requires the
+protobuf runtime, absent in this container, so the operator stays on
+applyInPandasWithState — same semantics, same state bounds.)
+
 Scale posture: watermark + windowed aggs keep state bounded per key;
 sessionization state is per live session; dedup state is bounded by the
 watermark horizon. Nothing here collects to the driver except the

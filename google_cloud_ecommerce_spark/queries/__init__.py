@@ -28,6 +28,7 @@ def _modules():
         reference,
         relational,
         scale,
+        stats,
         tpch_extra,
         tpch_extra2,
     )
@@ -40,6 +41,7 @@ def _modules():
         cdc,
         quality,
         scale,
+        stats,
         tpch_extra,
         tpch_extra2,
         dedup,

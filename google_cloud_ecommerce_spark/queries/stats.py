@@ -1,0 +1,126 @@
+"""Statistical operators with cross-engine bit-exact results.
+
+Engine-native ``corr``/``covar`` (and window RANGE sums over doubles)
+accumulate in different orders in different engines, so their doubles
+drift in the last ulps. The policy here (same as value_zscore_outliers):
+every SUM runs over exact decimals — value is 2-decimal quantized, so
+value, value², and value×hour all cast losslessly — and the closed-form
+formula is evaluated in IEEE doubles with the SAME expression shape in
+both engines. One partial+final hash aggregate; no shuffle beyond the
+tiny per-group partials.
+
+  value_hour_correlation         Pearson r between event value and
+                                 hour-of-day per event_type, from the
+                                 five decimal-exact moments.
+  priority_trailing_week_revenue trailing-7-day revenue per order
+                                 priority via a RANGE window frame over
+                                 an integer day number (a RANGE frame
+                                 skips gap days — unlike a ROWS frame —
+                                 which matters for sparse calendars).
+                                 Decimal window sums, double at output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from google_cloud_ecommerce_spark.catalog import load_table
+
+
+def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("x"),
+        F.hour("ts").cast("long").alias("h"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("h")).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("h") * F.col("h")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("h")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "event_type",
+        "n",
+        (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("corr_value_hour"),
+    )
+
+
+VALUE_HOUR_CORRELATION_SQL = """
+    WITH m AS (
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(h) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(h * h) AS DOUBLE) AS syy,
+               CAST(SUM(x * h) AS DOUBLE) AS sxy
+        FROM (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS x,
+                     CAST(hour(ts) AS BIGINT) AS h FROM events)
+        GROUP BY 1
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_value_hour
+    FROM m
+"""
+
+
+def priority_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"))
+        .withColumn("day_num", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev_dec").cast("double").alias("day_revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("trailing_7d_revenue"),
+    )
+
+
+PRIORITY_TRAILING_WEEK_REVENUE_SQL = """
+    WITH daily AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+        FROM orders GROUP BY 1, 2
+    ), numbered AS (
+        SELECT *, datediff('day', DATE '1970-01-01', day) AS day_num FROM daily
+    )
+    SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day,
+           CAST(rev_dec AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev_dec) OVER (
+               PARTITION BY o_orderpriority ORDER BY day_num
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_revenue
+    FROM numbered
+"""
+
+
+QUERIES = {
+    "value_hour_correlation": value_hour_correlation,
+    "priority_trailing_week_revenue": priority_trailing_week_revenue,
+}
+
+ORACLE = {
+    "value_hour_correlation": VALUE_HOUR_CORRELATION_SQL,
+    "priority_trailing_week_revenue": PRIORITY_TRAILING_WEEK_REVENUE_SQL,
+}

@@ -608,3 +608,76 @@ ORACLE["streaming_incremental_mv"] = """
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful aggregations (Spark 3.4+): a 15-minute pre-aggregate
+# rolled up to hourly INSIDE one streaming query — two watermark-gated
+# stateful operators back to back. This is the streaming form of the
+# partial/final aggregate split: the 15-min layer bounds per-key state
+# and shrinks the rollup's input by ~n_events/4 rows per hour per type.
+# Append mode only finalizes a window once the watermark passes it, and
+# window emission lags the watermark by one batch, so the replay gets
+# the same TWO trailing flush chunks streaming_purchase_attribution_outer
+# needs (sentinel event_type, filtered from the SINK result — a
+# stream-side filter would be pushed below the watermark node).
+# ---------------------------------------------------------------------------
+
+
+def streaming_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.catalog import load_table
+
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    try:
+        import glob as _glob
+
+        events = load_table(spark, sf_dir, "events")
+        # Flush chunks must land as FLAT chunk-*.parquet files (the file
+        # source does not descend into write-produced subdirectories) and
+        # after the real chunks in modification order.
+        for i, bump_us in enumerate((7_200_000_000, 14_400_000_000)):
+            flush = events.agg(F.max(F.unix_micros("ts")).alias("max_us")).select(
+                F.lit(-1 - i).cast("long").alias("event_id"),
+                F.expr(f"timestamp_micros(max_us + {bump_us})").alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("__flush__").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+            tmp = os.path.join(replay, "_stage_tlw_flush")
+            flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(replay, f"chunk-zzzz{i}-flush.parquet"))
+            shutil.rmtree(tmp)
+
+        stream = read_replay_stream(spark, replay)
+        lvl1 = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+            .agg(
+                F.count("*").alias("n1"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+            )
+        )
+        lvl2 = (
+            lvl1.groupBy(F.window(F.col("w15"), "1 hour").alias("w60"), "event_type")
+            .agg(F.sum("n1").alias("n_events"), F.sum("sv").alias("sv"))
+        )
+        sunk = _run_to_memory(lvl2, "append")
+        return sunk.filter(F.col("event_type") != "__flush__").select(
+            F.date_format("w60.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
+QUERIES["streaming_two_level_window"] = streaming_two_level_window
+ORACLE["streaming_two_level_window"] = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+"""

@@ -81,3 +81,23 @@ def test_incremental_mv_equals_batch(spark, sf_smoke):
         .collect()
     }
     assert mv == batch
+
+
+def test_two_level_window_equals_direct_hourly(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.streaming.jobs import streaming_two_level_window
+
+    chained = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in streaming_two_level_window(spark, sf_smoke).collect()
+    }
+    direct = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert chained == direct

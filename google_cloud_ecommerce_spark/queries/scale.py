@@ -154,3 +154,82 @@ ORACLE = {
     # user_cardinality_approx: intentionally no oracle (rows-only).
     "stratified_hash_sample": STRATIFIED_HASH_SAMPLE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# rolling_weekly_active_users — 7-day rolling COUNT(DISTINCT user) per
+# day. Distinct-over-sliding-window can't be a window function (Spark
+# forbids DISTINCT in frames); the scalable shape is: dedup to
+# (day, user) pairs ONCE (shrinks the fact by the per-day repeat
+# factor), then a broadcast non-equi join against the tiny day grid and
+# one distinct aggregate. The grid side is O(days) — broadcast is free —
+# and the pair side never moves more than once.
+#
+# daily_user_sketch_rollup — the 100 TB form of the same question:
+# per-day HyperLogLog sketches (datasketches hll_sketch_agg) merged
+# upward with hll_union_agg — reaggregatable cardinality WITHOUT
+# rescanning raw data (sketches are tiny and mergeable; exact distincts
+# are not). Estimates are engine-specific => rows-only check, with
+# rolling_weekly_active_users as the exact semantic anchor.
+# ---------------------------------------------------------------------------
+
+
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select(F.col("day").alias("grid_day")).distinct()
+    joined = du.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("grid_day"))
+        & (F.col("day") >= F.date_sub(F.col("grid_day"), 6)),
+    )
+    return (
+        joined.groupBy("grid_day")
+        .agg(
+            F.count_distinct("user_id").alias("wau"),
+            F.count("*").alias("n_day_user_pairs"),
+        )
+        .select(
+            F.date_format("grid_day", "yyyy-MM-dd").alias("day"),
+            "wau",
+            "n_day_user_pairs",
+        )
+    )
+
+
+ROLLING_WEEKLY_ACTIVE_USERS_SQL = """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+        SELECT DISTINCT day AS grid_day FROM du
+    )
+    SELECT strftime(d.grid_day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT u.user_id) AS wau,
+           count(*) AS n_day_user_pairs
+    FROM days d JOIN du u
+      ON u.day <= d.grid_day AND u.day >= d.grid_day - 6
+    GROUP BY d.grid_day
+"""
+
+
+def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        daily.groupBy(F.date_format(F.date_trunc("week", "day"), "yyyy-MM-dd").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_weekly_users"),
+            F.count("*").alias("n_days"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+QUERIES["rolling_weekly_active_users"] = rolling_weekly_active_users
+QUERIES["daily_user_sketch_rollup"] = daily_user_sketch_rollup
+ORACLE["rolling_weekly_active_users"] = ROLLING_WEEKLY_ACTIVE_USERS_SQL
+# daily_user_sketch_rollup: intentionally no oracle (sketch estimates are
+# engine-specific; rows-only, anchored by rolling_weekly_active_users).

@@ -89,3 +89,60 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_days(spark, tmp_path):
+    """Backfilling one day must not clobber sibling partitions —
+    partitionOverwriteMode=dynamic is the conf that makes overwrite
+    per-partition instead of whole-table."""
+    path = str(tmp_path / "days")
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.createDataFrame(
+            [("2024-01-01", 1), ("2024-01-02", 2)], "day string, v int"
+        ).write.partitionBy("day").mode("overwrite").parquet(path)
+        # backfill day 2 only
+        spark.createDataFrame(
+            [("2024-01-02", 99)], "day string, v int"
+        ).write.partitionBy("day").mode("overwrite").parquet(path)
+        # partition-column values type-infer back as DATE; stringify
+        rows = {str(r.day): r.v for r in spark.read.parquet(path).collect()}
+        assert rows == {"2024-01-01": 1, "2024-01-02": 99}
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+
+def test_wau_superset_of_daily_users(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.queries.scale import (
+        daily_user_sketch_rollup,
+        rolling_weekly_active_users,
+    )
+
+    wau = {r.day: r.wau for r in rolling_weekly_active_users(spark, sf_smoke).collect()}
+    dau = {
+        str(r.day): r.dau
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("dau"))
+        .collect()
+    }
+    assert set(wau) == set(dau)
+    assert all(wau[d] >= dau[d] for d in dau)
+
+    # sketch estimates should land within 5% of exact weekly cardinality
+    est = {r.week: r.approx_weekly_users for r in daily_user_sketch_rollup(spark, sf_smoke).collect()}
+    exact = {
+        r.week: r.u
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy(F.date_format(F.date_trunc("week", F.to_date("ts")), "yyyy-MM-dd").alias("week"))
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for w in exact:
+        assert abs(est[w] - exact[w]) <= max(2, 0.05 * exact[w])

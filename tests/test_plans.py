@@ -153,3 +153,32 @@ def test_min_cost_window_partitions_on_part(spark, sf_smoke):
     plan = plan_of(tpch_extra2.min_cost_part_suppliers(spark, sf_smoke))
     assert "Window" in plan
     assert "hashpartitioning(p_partkey" in plan
+
+
+def test_changelog_compaction_is_aggregate_not_window(spark, sf_smoke):
+    """The CDC snapshot must plan as a partial-aggregatable struct-max
+    (map-side combine, one shuffle), never a per-key window sort."""
+    from google_cloud_ecommerce_spark.queries import cdc
+
+    plan = plan_of(cdc.changelog_compaction(spark, sf_smoke))
+    assert "Window" not in plan
+    assert "partial_max" in plan, plan
+
+
+def test_rolling_wau_broadcasts_day_grid(spark, sf_smoke):
+    """The non-equi day-grid join must broadcast the O(days) side; a
+    shuffled nested-loop here would move the pair set per grid row."""
+    from google_cloud_ecommerce_spark.queries import scale
+
+    plan = plan_of(scale.rolling_weekly_active_users(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_trailing_week_window_partitions_on_priority(spark, sf_smoke):
+    """The RANGE-frame window must stay partitioned per priority —
+    a global window would single-thread the whole table."""
+    from google_cloud_ecommerce_spark.queries import stats
+
+    df = stats.priority_trailing_week_revenue(spark, sf_smoke)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(o_orderpriority" in simple, simple

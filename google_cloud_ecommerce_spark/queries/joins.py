@@ -196,3 +196,112 @@ ORACLE = {
     "purchase_attribution": PURCHASE_ATTRIBUTION_SQL,
     "value_band_stats": VALUE_BAND_STATS_SQL,
 }
+
+
+_t = load_table  # local alias, matching relational.py's idiom
+
+
+# ---------------------------------------------------------------------------
+# Outer-join completion — the two join types nothing else in the suite
+# exercises. Both sides pre-aggregate BEFORE the join (at 100 TB you
+# outer-join the small aggregates, never the raw facts).
+#
+#   nation_party_balance_full_outer  per-nation customer vs supplier
+#       balance, FULL OUTER on nationkey: structural modulo filters
+#       (customers from nationkey % 3 != 0, suppliers from even
+#       nations) guarantee each side misses nations AT ANY SCALE
+#       FACTOR, so both null-extensions are exercised (asserted).
+#   segment_orders_right_outer       URGENT orders RIGHT OUTER customer
+#       — every customer represented; those with zero urgent orders
+#       null-extend. (Right outer ≡ mirrored left outer; it exists so
+#       the physical right-outer path is exercised too.)
+# ---------------------------------------------------------------------------
+
+
+def nation_party_balance_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") % 3 != 0)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("cust_bal"),
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") % 2 == 0)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,4)")).alias("supp_bal"),
+        )
+    )
+    joined = cust.withColumnRenamed("nationkey", "c_nk").join(
+        supp.withColumnRenamed("nationkey", "s_nk"),
+        F.col("c_nk") == F.col("s_nk"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("cust_bal"), F.lit(0)).cast("double").alias("cust_bal"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        F.coalesce(F.col("supp_bal"), F.lit(0)).cast("double").alias("supp_bal"),
+        (F.col("c_nk").isNotNull() & F.col("s_nk").isNotNull())
+        .cast("long")
+        .alias("both_sides"),
+    )
+
+
+NATION_PARTY_BALANCE_FULL_OUTER_SQL = """
+    WITH c AS (
+        SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+               SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS cust_bal
+        FROM customer WHERE c_nationkey % 3 <> 0 GROUP BY 1
+    ), s AS (
+        SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+               SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS supp_bal
+        FROM supplier WHERE s_nationkey % 2 = 0 GROUP BY 1
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           CAST(COALESCE(cust_bal, 0) AS DOUBLE) AS cust_bal,
+           COALESCE(n_suppliers, 0) AS n_suppliers,
+           CAST(COALESCE(supp_bal, 0) AS DOUBLE) AS supp_bal,
+           CAST(c.nationkey IS NOT NULL AND s.nationkey IS NOT NULL AS BIGINT)
+               AS both_sides
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+def segment_orders_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "right_outer")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.count_distinct("c_custkey").alias("n_customers"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("n_orderless_rows"),
+    )
+
+
+SEGMENT_ORDERS_RIGHT_OUTER_SQL = """
+    SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orderless_rows
+    FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+    RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+"""
+
+
+QUERIES["nation_party_balance_full_outer"] = nation_party_balance_full_outer
+QUERIES["segment_orders_right_outer"] = segment_orders_right_outer
+ORACLE["nation_party_balance_full_outer"] = NATION_PARTY_BALANCE_FULL_OUTER_SQL
+ORACLE["segment_orders_right_outer"] = SEGMENT_ORDERS_RIGHT_OUTER_SQL

@@ -681,3 +681,66 @@ ORACLE["streaming_two_level_window"] = """
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream FULL OUTER join — completes the streaming join surface
+# (inner + left-outer exist above). Same watermark/time-bound geometry
+# as the left-outer job; now BOTH sides' unmatched rows emit with nulls
+# once the watermark passes them, so user_id has to coalesce across
+# sides. The two flush chunks (view + purchase, un-joinable equal
+# timestamps) advance the watermark for both states; their rows surface
+# as unmatched sentinels and are filtered from the SINK result
+# (user_id >= 0) — never in the streaming plan, where the filter would
+# be pushed below a watermark node and stall it.
+# ---------------------------------------------------------------------------
+
+
+def streaming_view_purchase_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    try:
+        _write_join_flush_chunk(spark, replay, sf_dir)
+        stream = read_replay_stream(spark, replay)
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_event_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "10 minutes")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_event_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        joined = purchases.join(
+            views,
+            F.expr(
+                "p_user_id = v_user_id AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts < p_ts"
+            ),
+            "full_outer",
+        ).select(
+            "purchase_event_id",
+            "view_event_id",
+            F.coalesce(F.col("p_user_id"), F.col("v_user_id")).alias("user_id"),
+        )
+        return _run_to_memory(joined, "append").filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
+QUERIES["streaming_view_purchase_full_outer"] = streaming_view_purchase_full_outer
+ORACLE["streaming_view_purchase_full_outer"] = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT p.event_id AS purchase_event_id, v.event_id AS view_event_id,
+           COALESCE(p.user_id, v.user_id) AS user_id
+    FROM p FULL OUTER JOIN v
+      ON p.user_id = v.user_id AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+"""

@@ -121,3 +121,35 @@ def test_salted_join_equals_plain_join(spark):
     # the join key seen by the shuffle includes the salt
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_full_outer_exercises_both_null_extensions(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.queries.joins import nation_party_balance_full_outer
+
+    rows = nation_party_balance_full_outer(spark, sf_smoke).collect()
+    assert any(r.n_customers == 0 for r in rows), "no supplier-only nation"
+    assert any(r.n_suppliers == 0 for r in rows), "no customer-only nation"
+    assert any(r.both_sides == 1 for r in rows)
+
+
+def test_right_outer_keeps_orderless_customers(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.queries.joins import segment_orders_right_outer
+
+    out = segment_orders_right_outer(spark, sf_smoke)
+    total_customers = out.agg(F.sum("n_customers")).collect()[0][0]
+    assert total_customers == load_table(spark, sf_smoke, "customer").count()
+    assert out.agg(F.sum("n_orderless_rows")).collect()[0][0] > 0
+
+
+def test_streaming_full_outer_superset_of_inner(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.streaming.jobs import (
+        streaming_view_purchase_full_outer,
+    )
+
+    rows = streaming_view_purchase_full_outer(spark, sf_smoke).collect()
+    matched = [r for r in rows if r.purchase_event_id is not None and r.view_event_id is not None]
+    p_only = [r for r in rows if r.view_event_id is None]
+    v_only = [r for r in rows if r.purchase_event_id is None]
+    assert matched and p_only and v_only
+    assert len(rows) == len(matched) + len(p_only) + len(v_only)

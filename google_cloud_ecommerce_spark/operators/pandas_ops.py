@@ -22,6 +22,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 from google_cloud_ecommerce_spark.catalog import load_table
 
@@ -135,3 +137,57 @@ ORACLE = {
     "session_stats_pandas": SESSION_STATS_SQL,
     "doc_tokens_udtf": DOC_TOKENS_UDTF_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Scalar pandas_udf — the remaining Python-surface form (grouped-map =
+# session_stats_pandas, mapInPandas = media_features, UDTF =
+# doc_tokens_udtf). Arrow-vectorized text normalization: lowercase,
+# trim, collapse internal whitespace. String ops are byte-exact across
+# engines (unlike float reductions), so this one CAN carry a DuckDB
+# oracle. At scale the batch size is bounded by
+# spark.sql.execution.arrow.maxRecordsPerBatch — memory per task is
+# O(batch), not O(partition). (returnType is a DataType object, not a
+# DDL string: DDL parsing at decoration time needs an active session,
+# which breaks plain module import.)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(StringType())
+def _normalize_text(s: pd.Series) -> pd.Series:
+    return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+
+
+def text_normalize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("raw_len"),
+        F.length(_normalize_text(F.col("text"))).alias("norm_len"),
+    )
+    return normed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("raw_len").alias("total_raw_len"),
+        F.sum("norm_len").alias("total_norm_len"),
+        F.sum((F.col("raw_len") != F.col("norm_len")).cast("long")).alias("n_changed"),
+    )
+
+
+TEXT_NORMALIZE_PANDAS_SQL = """
+    WITH n AS (
+        SELECT doc_id, lang, length(text) AS raw_len,
+               length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS norm_len
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           SUM(raw_len) AS total_raw_len,
+           SUM(norm_len) AS total_norm_len,
+           CAST(SUM(CASE WHEN raw_len <> norm_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed
+    FROM n GROUP BY 1
+"""
+
+
+QUERIES["text_normalize_pandas"] = text_normalize_pandas
+ORACLE["text_normalize_pandas"] = TEXT_NORMALIZE_PANDAS_SQL

@@ -739,3 +739,36 @@ ORACLE = {
         FROM monthly
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# return_excess_orders — EXCEPT ALL (multiset difference), the bag form
+# of the set ops elsewhere (user_cohort_setops is DISTINCT semantics).
+# The R-flag lineitem order keys minus the A-flag ones WITH
+# multiplicity: an order with 3 R lines and 1 A line survives twice.
+# Spark plans exceptAll as a generate-over-counted-groups — no join
+# explosion — and the final aggregate keeps the output tiny.
+# ---------------------------------------------------------------------------
+
+
+def return_excess_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    excess = r.exceptAll(a)
+    return excess.groupBy("l_orderkey").agg(F.count("*").alias("excess_r_lines"))
+
+
+RETURN_EXCESS_ORDERS_SQL = """
+    SELECT l_orderkey, count(*) AS excess_r_lines
+    FROM (
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        EXCEPT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+    )
+    GROUP BY 1
+"""
+
+
+QUERIES["return_excess_orders"] = return_excess_orders
+ORACLE["return_excess_orders"] = RETURN_EXCESS_ORDERS_SQL

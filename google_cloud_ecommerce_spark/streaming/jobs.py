@@ -744,3 +744,46 @@ ORACLE["streaming_view_purchase_full_outer"] = """
     FROM p FULL OUTER JOIN v
       ON p.user_id = v.user_id AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
 """
+
+
+# ---------------------------------------------------------------------------
+# Update output mode — the third sink mode (complete/append above):
+# each micro-batch emits only the groups that CHANGED. A memory sink
+# accumulates one row per (key, change), so the materialized view is
+# the LAST update per key — recovered batch-side with a struct-max
+# argmax over the per-batch monotone count (same pattern as
+# changelog_compaction). In production this backs an upsert sink
+# (foreachBatch MERGE keyed on event_type).
+# ---------------------------------------------------------------------------
+
+
+def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    try:
+        stream = read_replay_stream(spark, replay)
+        agg = stream.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+        )
+        sunk = _run_to_memory(agg, "update")
+        # counts grow monotonically, so max(struct(n_events, sv)) is the
+        # final state of each key
+        return (
+            sunk.groupBy("event_type")
+            .agg(F.max(F.struct("n_events", "sv")).alias("last"))
+            .select(
+                "event_type",
+                F.col("last.n_events").alias("n_events"),
+                F.col("last.sv").cast("double").alias("sum_value"),
+            )
+        )
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
+QUERIES["streaming_update_mode_counts"] = streaming_update_mode_counts
+ORACLE["streaming_update_mode_counts"] = """
+    SELECT event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+"""

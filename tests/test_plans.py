@@ -182,3 +182,26 @@ def test_trailing_week_window_partitions_on_priority(spark, sf_smoke):
     df = stats.priority_trailing_week_revenue(spark, sf_smoke)
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(o_orderpriority" in simple, simple
+
+
+def test_cached_intermediate_reused_across_consumers(spark, sf_smoke):
+    """A deliberately persisted intermediate must serve both consumers
+    from InMemoryTableScan — the manual materialization pattern for a
+    DAG that fans out (compute once, read twice)."""
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .cache()
+    )
+    try:
+        daily.count()  # materialize
+        top = daily.orderBy(F.desc("n")).limit(5)
+        weekly = daily.groupBy(F.date_trunc("week", "day")).agg(F.sum("n"))
+        for consumer in (top, weekly):
+            assert "InMemoryTableScan" in plan_of(consumer)
+    finally:
+        daily.unpersist()

@@ -205,3 +205,37 @@ def test_cached_intermediate_reused_across_consumers(spark, sf_smoke):
             assert "InMemoryTableScan" in plan_of(consumer)
     finally:
         daily.unpersist()
+
+
+def test_aqe_switches_smj_to_broadcast_at_runtime(spark, sf_smoke):
+    """With static broadcast disabled but the ADAPTIVE threshold on,
+    AQE must discover at runtime that the filtered dim is tiny and
+    switch the sort-merge join to broadcast-hash — the runtime replan
+    that saves a shuffle when static stats lie."""
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_smoke, "lineitem")
+        orders = load_table(spark, sf_smoke, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final, final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -74,6 +74,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ]
     for c in ts_nanos:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    # Testdata written as timestamp[us] without isAdjustedToUTC reads as
+    # TIMESTAMP_NTZ. Only the event-time column is normalized to
+    # TimestampType (session TZ pinned UTC above preserves wall-clock
+    # exactly): unix_micros / session_window / watermarks require it.
+    # Other tables' date-like columns STAY NTZ on purpose — NTZ collects
+    # as naive datetimes, so raw outputs are process-TZ stable and match
+    # DuckDB's naive TIMESTAMP reading of the same files.
+    ntz_event_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() == "timestamp_ntz" and f.name in NANOS_TS_COLUMNS
+    ]
+    for c in ntz_event_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     _PLAN_CACHE[key] = df
     return df
 

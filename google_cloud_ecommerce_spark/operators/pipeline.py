@@ -1,0 +1,227 @@
+"""Training-data pipeline operators over ``documents`` — the
+prepare-for-pretraining surface (chunking, sequence packing,
+benchmark-contamination checks) that sits beside dedup/similarity/text
+in an LLM data pipeline. The reference has no analogue (its transforms
+are per-row enrichment only, SURVEY.md §2.3); these extend the §7
+extension families.
+
+  doc_chunking        fixed-size overlapping character windows per doc
+                      (the array-explode form: sequence() of starts ->
+                      posexplode -> substring; no UDF, no shuffle)
+  sequence_packing    assign docs to fixed token-budget bins per lang
+                      (running-sum window -> bin id = prefix DIV cap;
+                      the deterministic in-order packing spec, same
+                      rows in any engine)
+  contamination_check inverted-index 3-gram overlap of training docs
+                      against a held-out benchmark slice (broadcast
+                      the small bench side; work scales with shared
+                      shingles, never n^2)
+
+Scale posture (100 TB): chunking/packing are per-partition narrow ops
+after one shuffle on the window key (lang); contamination joins on the
+shingle key with the benchmark side broadcast — the pattern used for
+eval-decontamination sweeps where the bench corpus is MBs while the
+training corpus is TBs.
+
+All expressions are built-in column functions (whole-stage codegen);
+token/shingle text derives from the shared cross-engine helpers in
+operators/_common.py, so values are bit-identical vs the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from google_cloud_ecommerce_spark.catalog import load_table
+from google_cloud_ecommerce_spark.operators._common import tokens_expr, tokens_sql
+
+CHUNK_SIZE = 120  # chars per chunk
+CHUNK_STRIDE = 100  # start-to-start distance => 20-char overlap
+PACK_CAPACITY = 256  # token budget per packed sequence bin
+BENCH_MOD = 10  # doc_id % BENCH_MOD == 0 -> held-out benchmark slice
+SHINGLE_K = 3  # words per contamination shingle
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# doc_chunking — fixed-size overlapping windows. Every downstream
+# tokenizer wants bounded inputs; the overlap preserves cross-boundary
+# context. One generator expression per row, no Python.
+# ---------------------------------------------------------------------------
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    starts = F.expr(f"sequence(1L, greatest(n_chars, 1L), {CHUNK_STRIDE}L)")
+    return (
+        docs.select("doc_id", "text", F.posexplode(starts).alias("pos", "chunk_start"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.expr(f"substring(text, cast(chunk_start AS INT), {CHUNK_SIZE})").alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+    WITH starts AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(n_chars, 1) + 1, {CHUNK_STRIDE})) AS chunk_start
+        FROM documents
+    )
+    SELECT doc_id,
+           (chunk_start - 1) // {CHUNK_STRIDE} AS chunk_idx,
+           chunk_start,
+           substring(text, CAST(chunk_start AS INT), {CHUNK_SIZE}) AS chunk_text,
+           length(substring(text, CAST(chunk_start AS INT), {CHUNK_SIZE})) AS chunk_len
+    FROM starts
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence_packing — deterministic in-order packing: bin id is the
+# prefix token total DIV capacity, so a doc opens a new bin exactly when
+# the preceding docs of its lang have consumed the current budget. Not
+# best-fit (that is inherently sequential); this is the spec used when
+# packing must be reproducible and shard-parallel. A single doc larger
+# than the capacity still lands in one bin (never split here — that is
+# doc_chunking's job upstream).
+# ---------------------------------------------------------------------------
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.expr(f"size({tokens_expr('text')})").cast("long").alias("tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.withColumn("cum", F.sum("tok").over(w)).withColumn(
+        "bin_id", F.expr(f"(cum - tok) DIV {PACK_CAPACITY}")
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+    WITH t AS (
+        SELECT lang, doc_id, len({tokens_sql('text')}) AS tok FROM documents
+    ), c AS (
+        SELECT lang, doc_id, tok,
+               sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT lang, (cum - tok) // {PACK_CAPACITY} AS bin_id,
+           count(*) AS n_docs, sum(tok) AS sum_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# contamination_check — which training docs share word 3-grams with the
+# held-out benchmark slice, and how much. The join key is the shingle
+# (inverted index); the benchmark side is broadcast. Output only
+# contaminated docs — at real scale the result is a tiny quarantine
+# list, not a full-corpus column.
+# ---------------------------------------------------------------------------
+
+
+def _shingle_spark() -> str:
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(SHINGLE_K))
+    return (
+        f"transform(sequence(1, size(toks) - {SHINGLE_K - 1}), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+def _shingle_sql() -> str:
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(SHINGLE_K))
+    return f"list_transform(range(1, len(toks) - {SHINGLE_K - 2}), i -> {parts})"
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
+    sh = toks.filter(F.expr(f"size(toks) >= {SHINGLE_K}")).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_shingle_spark()))).alias("shingle"),
+    )
+    bench = sh.filter(F.col("doc_id") % BENCH_MOD == 0).withColumnRenamed(
+        "doc_id", "bench_doc"
+    )
+    train = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    n_sh = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_overlap"),
+            F.count_distinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+    return hits.join(n_sh, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        "n_bench_docs",
+        (F.col("n_overlap").cast("double") / F.col("n_shingles")).alias(
+            "contamination"
+        ),
+    )
+
+
+CONTAMINATION_CHECK_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, unnest({_shingle_sql()}) AS shingle
+        FROM toks WHERE len(toks) >= {SHINGLE_K}
+    ), bench AS (
+        SELECT doc_id AS bench_doc, shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0
+    ), train AS (
+        SELECT * FROM sh WHERE doc_id % {BENCH_MOD} != 0
+    ), n_sh AS (
+        SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1
+    ), hits AS (
+        SELECT t.doc_id,
+               count(DISTINCT t.shingle) AS n_overlap,
+               count(DISTINCT b.bench_doc) AS n_bench_docs
+        FROM train t JOIN bench b USING (shingle)
+        GROUP BY 1
+    )
+    SELECT h.doc_id, n_shingles, n_overlap, n_bench_docs,
+           CAST(n_overlap AS DOUBLE) / n_shingles AS contamination
+    FROM hits h JOIN n_sh USING (doc_id)
+"""
+
+
+QUERIES = {
+    "doc_chunking": doc_chunking,
+    "sequence_packing": sequence_packing,
+    "contamination_check": contamination_check,
+}
+
+ORACLE = {
+    "doc_chunking": DOC_CHUNKING_SQL,
+    "sequence_packing": SEQUENCE_PACKING_SQL,
+    "contamination_check": CONTAMINATION_CHECK_SQL,
+}

@@ -18,6 +18,7 @@ def _modules():
         dedup,
         multimodal,
         pandas_ops,
+        pipeline,
         similarity,
         text,
     )
@@ -49,6 +50,7 @@ def _modules():
         text,
         multimodal,
         pandas_ops,
+        pipeline,
         streaming_jobs,
     )
 

@@ -568,6 +568,41 @@ PROPS_JSON_STATS_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# props_variant_stats — the same stringified-dict parse as
+# props_json_stats, but through Spark 4's VARIANT type (parse_json +
+# try_variant_get): the open-schema path for semi-structured columns,
+# where from_json needs the schema up front. Binary-encoded variant
+# beats re-parsing JSON text per access at scale.
+# ---------------------------------------------------------------------------
+
+
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy(F.expr("k DIV 25").alias("k_band"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("k").alias("n_keys"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+PROPS_VARIANT_STATS_SQL = f"""
+    WITH parsed AS (
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k, value
+        FROM events
+    )
+    SELECT k // 25 AS k_band, count(*) AS n_events,
+           count(DISTINCT k) AS n_keys,
+           {_dsum_sql('value')} AS sum_value
+    FROM parsed GROUP BY 1
+"""
+
+
 QUERIES = {
     "late_shipment_priority": late_shipment_priority,
     "promo_revenue_ratio": promo_revenue_ratio,
@@ -581,6 +616,7 @@ QUERIES = {
     "volume_shipping": volume_shipping,
     "national_market_share": national_market_share,
     "props_json_stats": props_json_stats,
+    "props_variant_stats": props_variant_stats,
 }
 
 ORACLE = {
@@ -596,4 +632,5 @@ ORACLE = {
     "volume_shipping": VOLUME_SHIPPING_SQL,
     "national_market_share": NATIONAL_MARKET_SHARE_SQL,
     "props_json_stats": PROPS_JSON_STATS_SQL,
+    "props_variant_stats": PROPS_VARIANT_STATS_SQL,
 }

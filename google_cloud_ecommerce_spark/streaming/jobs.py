@@ -787,3 +787,67 @@ ORACLE["streaming_update_mode_counts"] = """
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# T3 upgrade, bounded-state form — dropDuplicatesWithinWatermark chained
+# into a daily windowed aggregate. Where streaming_dedup_counts keeps
+# every seen key forever (exact, unbounded state), the within-watermark
+# variant keeps a key only while the watermark can still admit a
+# duplicate of it — O(keys per watermark horizon) state, the only dedup
+# that survives an unbounded stream. The replay's duplicates arrive one
+# chunk late, so each one is either still inside the horizon (dropped by
+# dedup state) or already behind the watermark (dropped as late): both
+# paths converge on exactly-once, which is what makes the batch DISTINCT
+# the oracle. Two flush chunks push the watermark past the last real
+# day so append mode finalizes every window (same sentinel geometry as
+# streaming_two_level_window; filtered at the SINK, never in-plan).
+# ---------------------------------------------------------------------------
+
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.catalog import load_table
+
+    replay = write_replay_dir(spark, sf_dir, n_files=8, overlap_every=5)
+    try:
+        import glob as _glob
+
+        events = load_table(spark, sf_dir, "events")
+        for i, bump_us in enumerate((7_200_000_000, 14_400_000_000)):
+            flush = events.agg(F.max(F.unix_micros("ts")).alias("max_us")).select(
+                F.lit(-1 - i).cast("long").alias("event_id"),
+                F.expr(f"timestamp_micros(max_us + {bump_us})").alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("__flush__").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+            tmp = os.path.join(replay, "_stage_ddw_flush")
+            flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(replay, f"chunk-zzzz{i}-flush.parquet"))
+            shutil.rmtree(tmp)
+
+        stream = read_replay_stream(spark, replay)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        sunk = _run_to_memory(agg, "append")
+        return sunk.filter(F.col("event_type") != "__flush__").select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+        )
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
+QUERIES["streaming_dedup_within_watermark"] = streaming_dedup_within_watermark
+ORACLE["streaming_dedup_within_watermark"] = """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+"""

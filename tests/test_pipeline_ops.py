@@ -1,0 +1,111 @@
+"""Unit/property tests for the training-data pipeline operators
+(operators/pipeline.py): chunk reconstruction, packing spec
+conservation, and contamination on crafted duplicates."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from google_cloud_ecommerce_spark.operators.pipeline import (
+    BENCH_MOD,
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    PACK_CAPACITY,
+    contamination_check,
+    doc_chunking,
+    sequence_packing,
+)
+
+
+def test_chunking_reconstructs_text(spark, sf_smoke):
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        os.path.join(sf_smoke, "documents.parquet")).collect()}
+    chunks = doc_chunking(spark, sf_smoke).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        # stride-prefixes of all but the last chunk + the last chunk = text
+        rebuilt = "".join(r.chunk_text[:CHUNK_STRIDE] for r in rows[:-1])
+        rebuilt += rows[-1].chunk_text
+        assert rebuilt == docs[doc_id]
+        for r in rows:
+            assert 0 < r.chunk_len <= CHUNK_SIZE
+            assert r.chunk_start == r.chunk_idx * CHUNK_STRIDE + 1
+            if r.chunk_idx < len(rows) - 1 and len(docs[doc_id]) >= CHUNK_SIZE:
+                # interior chunks overlap the next by CHUNK_SIZE - CHUNK_STRIDE
+                nxt = rows[r.chunk_idx + 1]
+                assert r.chunk_text[CHUNK_STRIDE:] == nxt.chunk_text[
+                    : CHUNK_SIZE - CHUNK_STRIDE
+                ]
+
+
+def test_packing_matches_sequential_spec(spark, sf_smoke):
+    docs = (
+        spark.read.parquet(os.path.join(sf_smoke, "documents.parquet"))
+        .select(
+            "lang",
+            "doc_id",
+            F.expr("size(filter(split(text, ' '), t -> t != ''))").alias("tok"),
+        )
+        .collect()
+    )
+    # sequential reference: walk docs per lang in doc_id order
+    expected: dict[tuple, list] = {}
+    by_lang: dict[str, list] = {}
+    for r in sorted(docs, key=lambda r: (r.lang, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        prefix = 0
+        for r in rows:
+            bin_id = prefix // PACK_CAPACITY
+            expected.setdefault((lang, bin_id), []).append(r)
+            prefix += r.tok
+    got = {
+        (r.lang, r.bin_id): r for r in sequence_packing(spark, sf_smoke).collect()
+    }
+    assert set(got) == set(expected)
+    for key, rows in expected.items():
+        g = got[key]
+        assert g.n_docs == len(rows)
+        assert g.sum_tokens == sum(r.tok for r in rows)
+        assert g.first_doc == rows[0].doc_id
+        assert g.last_doc == rows[-1].doc_id
+
+
+def test_contamination_excludes_bench_and_bounds(spark, sf_smoke):
+    out = contamination_check(spark, sf_smoke).collect()
+    assert out, "synthetic corpus repeats vocabulary; expect some overlap"
+    for r in out:
+        assert r.doc_id % BENCH_MOD != 0  # bench slice never self-reports
+        assert 0 < r.n_overlap <= r.n_shingles
+        assert 0.0 < r.contamination <= 1.0
+        assert r.n_bench_docs >= 1
+
+
+def test_contamination_exact_copy_scores_one(spark, tmp_path):
+    # doc 10 (bench: 10 % BENCH_MOD == 0) copied verbatim as doc 11
+    # (train) -> every shingle overlaps; doc 13 shares no vocabulary.
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "unrelated words entirely different from benchmark content"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 13], type=pa.int64()),
+            "text": [text, text, other],
+            "lang": ["en"] * 3,
+            "source": ["crafted"] * 3,
+            "n_chars": pa.array([len(text), len(text), len(other)], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in contamination_check(spark, str(tmp_path)).collect()}
+    assert set(rows) == {11}
+    assert rows[11].contamination == pytest.approx(1.0)
+    assert rows[11].n_bench_docs == 1

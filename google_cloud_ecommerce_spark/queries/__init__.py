@@ -33,6 +33,7 @@ def _modules():
         tpch_extra,
         tpch_extra2,
     )
+    from google_cloud_ecommerce_spark.sources import wire
     from google_cloud_ecommerce_spark.streaming import jobs as streaming_jobs
 
     return (
@@ -51,6 +52,7 @@ def _modules():
         multimodal,
         pandas_ops,
         pipeline,
+        wire,
         streaming_jobs,
     )
 

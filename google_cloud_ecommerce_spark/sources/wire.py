@@ -1,0 +1,334 @@
+"""Wire-format message source/sink as a pluggable PySpark 4 Python
+Data Source (``spark.dataSource.register``).
+
+The reference's transport is one comma-joined UTF-8 byte string per
+event, published to / consumed from Pub/Sub
+(`/root/reference/streaming_pipeline/send_session_stream.py:30-33,52-56`,
+`write_session_stream.py:51-59`). Here that wire format becomes a real
+Spark source with the three faces a message system needs:
+
+  batch reader    one InputPartition per message file; parses the
+                  positional CSV line back into typed rows. Supports
+                  source-level EqualTo(event_type) filter pushdown —
+                  pruned at parse time, before rows reach the JVM.
+  stream reader   SimpleDataSourceStreamReader whose offset is the
+                  count of consumed files — the Pub/Sub subscription
+                  stand-in, with replayable readBetweenOffsets for
+                  exactly-once micro-batch recovery.
+  batch writer    per-partition message files (the publish sink,
+                  SURVEY §2.2 #9) with WriterCommitMessage plumbing.
+
+Format: ``event_id,ts,user_id,event_type,value,props`` with ts as
+``yyyy-MM-dd HH:mm:ss.ffffff``; props is LAST and parsed with
+``split(',', 5)`` so its embedded commas survive (the reference's
+whitespace re-join corrupts such fields — SURVEY §3.2). ``ts`` is
+TIMESTAMP_NTZ end to end: naive wall-clock text parses to a naive
+datetime, so no session/process timezone can shift values.
+
+Scale posture: a Python source is the integration/edge path, not the
+bulk-scan path — per-file partitions parallelize across executors and
+rows cross to the JVM via Arrow batches, but a 100 TB corpus belongs in
+parquet (catalog.py). This is the adapter for the message-shaped edge
+of the pipeline, exactly where the reference used Pub/Sub.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from google_cloud_ecommerce_spark.catalog import load_table
+
+WIRE_FORMAT = "csvwire"
+WIRE_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+N_FIELDS = 6
+
+
+def _parse_line(line: str):
+    parts = line.split(",", N_FIELDS - 1)
+    event_id, ts, user_id, event_type, value, props = parts
+    return (
+        int(event_id),
+        dt.datetime.strptime(ts, _TS_FMT),
+        int(user_id),
+        event_type,
+        float(value),
+        props if props != "" else None,
+    )
+
+
+def _wire_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".wire")
+    )
+
+
+class WireBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.event_type_eq: str | None = None
+
+    def pushFilters(self, filters):
+        # Source-level pushdown: an equality on event_type is applied at
+        # parse time; everything else is returned for Spark to evaluate.
+        # Eager (not a generator) so the side effect happens even if the
+        # engine never drains the returned iterable.
+        unsupported = []
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and tuple(f.attribute) == ("event_type",)
+                and self.event_type_eq is None
+                and isinstance(f.value, str)
+            ):
+                self.event_type_eq = f.value
+            else:
+                unsupported.append(f)
+        return unsupported
+
+    def partitions(self):
+        return [InputPartition(f) for f in _wire_files(self.path)]
+
+    def read(self, partition: InputPartition):
+        want = self.event_type_eq
+        with open(partition.value, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                row = _parse_line(line)
+                if want is None or row[3] == want:
+                    yield row
+
+
+class WireStreamReader(SimpleDataSourceStreamReader):
+    """Offset = number of files consumed, in sorted-name order (files
+    are the micro-batch unit, like the replay dir's paced chunks)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def read(self, start: dict):
+        files = _wire_files(self.path)
+        rows = self._rows(files[start["n_files"] :])
+        return rows, {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _wire_files(self.path)
+        return self._rows(files[start["n_files"] : end["n_files"]])
+
+    def _rows(self, files):
+        # Materialized list, not a generator: the engine's prefetch cache
+        # copy.copy()s these row iterables between offset commits.
+        rows = []
+        for path in files:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if line:
+                        rows.append(_parse_line(line))
+        return rows
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+@dataclass
+class WireCommit(WriterCommitMessage):
+    file: str
+    n_messages: int
+
+
+class WireBatchWriter(DataSourceWriter):
+    """The publish sink: one message file per task (micro-batch epoch ≈
+    one publish burst, replacing the reference's RPC per event)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> WireCommit:
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.wire")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fields = []
+                for v in row:
+                    if v is None:
+                        fields.append("")
+                    elif isinstance(v, dt.datetime):
+                        fields.append(v.strftime(_TS_FMT))
+                    elif isinstance(v, float):
+                        fields.append(repr(v))
+                    else:
+                        fields.append(str(v))
+                fh.write(",".join(fields) + "\n")
+                n += 1
+        return WireCommit(out, n)
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:  # pragma: no cover - error path
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class WireDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return WIRE_FORMAT
+
+    def schema(self) -> str:
+        return WIRE_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return WireBatchReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> WireStreamReader:
+        return WireStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return WireBatchWriter(self.options)
+
+
+def register(spark: SparkSession) -> None:
+    spark.dataSource.register(WireDataSource)
+
+
+def write_wire_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, out: str | None = None
+) -> str:
+    """Serialize events to wire message files with JVM-side expressions
+    (concat_ws — the codegen'd form of SURVEY §2.3 #19)."""
+    import tempfile
+
+    out = out or tempfile.mkdtemp(prefix="spark_graft_wire_")
+    events = load_table(spark, sf_dir, "events")
+    lines = events.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value").cast("string"),
+            F.coalesce(F.col("props"), F.lit("")),
+        ).alias("value")
+    )
+    tmp = os.path.join(out, "_stage")
+    lines.repartition(n_files).write.mode("overwrite").text(tmp)
+    import glob as _glob
+    import shutil
+
+    for i, part in enumerate(sorted(_glob.glob(os.path.join(tmp, "part-*")))):
+        if not part.endswith(".crc"):
+            shutil.move(part, os.path.join(out, f"messages-{i:04d}.wire"))
+    shutil.rmtree(tmp)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# queries() entries — the wire source driven end to end. Both serialize
+# events to message files, run the query through the pluggable source,
+# and materialize before the message dir is deleted (the source exists
+# to be consumed; the result is what outlives it).
+# ---------------------------------------------------------------------------
+
+
+def _safe_register(spark: SparkSession) -> None:
+    # pushFilters is rejected outright unless the (runtime-settable)
+    # python filter-pushdown flag is on.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        register(spark)
+    except Exception:
+        pass  # already registered in this session
+
+
+def wire_format_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face: equality filter pushed INTO the Python reader (rows
+    pruned at parse time), then a typed aggregate per day."""
+    import shutil
+
+    _safe_register(spark)
+    wire_dir = write_wire_dir(spark, sf_dir, n_files=4)
+    try:
+        df = spark.read.format(WIRE_FORMAT).load(wire_dir)
+        res = (
+            df.filter(F.col("event_type") == "purchase")
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wire_dir, ignore_errors=True)
+
+
+def wire_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face: the same message files consumed as micro-batches
+    through the SimpleDataSourceStreamReader offsets."""
+    import shutil
+
+    from google_cloud_ecommerce_spark.streaming.jobs import _run_to_memory
+
+    _safe_register(spark)
+    wire_dir = write_wire_dir(spark, sf_dir, n_files=4)
+    try:
+        stream = spark.readStream.format(WIRE_FORMAT).load(wire_dir)
+        agg = stream.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        return _run_to_memory(agg, "complete")
+    finally:
+        shutil.rmtree(wire_dir, ignore_errors=True)
+
+
+QUERIES = {
+    "wire_format_source": wire_format_source,
+    "wire_stream_counts": wire_stream_counts,
+}
+
+ORACLE = {
+    "wire_format_source": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    """,
+    "wire_stream_counts": """
+        SELECT event_type, count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1
+    """,
+}

@@ -1,0 +1,94 @@
+"""Wire-format Python Data Source tests: typed roundtrip through the
+batch reader, writer→reader identity, reader-level filter pushdown,
+and embedded-comma survival (the failure mode of the reference's
+whitespace re-join, SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan
+
+from google_cloud_ecommerce_spark.catalog import load_table
+from google_cloud_ecommerce_spark.sources.wire import (
+    WIRE_FORMAT,
+    WireBatchReader,
+    _parse_line,
+    _safe_register,
+    write_wire_dir,
+)
+
+
+def _agg(df):
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sid"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+        F.max(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).alias("mx"),
+    ).collect()[0]
+
+
+def test_wire_roundtrip_typed(spark, sf_smoke):
+    _safe_register(spark)
+    d = write_wire_dir(spark, sf_smoke, n_files=3)
+    try:
+        got = _agg(spark.read.format(WIRE_FORMAT).load(d))
+        want = _agg(load_table(spark, sf_smoke, "events"))
+        assert tuple(got) == tuple(want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_wire_writer_then_reader_identity(spark, sf_smoke, tmp_path):
+    _safe_register(spark)
+    out = str(tmp_path / "published")
+    events = load_table(spark, sf_smoke, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    events.write.format(WIRE_FORMAT).mode("append").save(out)
+    back = spark.read.format(WIRE_FORMAT).load(out)
+    assert tuple(_agg(back)) == tuple(_agg(events))
+
+
+def test_wire_filter_pushdown_sets_reader_state():
+    r = WireBatchReader({"path": "/nonexistent"})
+    leftover = list(
+        r.pushFilters([EqualTo(("event_type",), "view"), GreaterThan(("value",), 1.0)])
+    )
+    assert r.event_type_eq == "view"
+    # the non-equality filter must be handed back for Spark to apply
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
+
+
+def test_wire_pushdown_results_match_unpushed(spark, sf_smoke):
+    _safe_register(spark)
+    d = write_wire_dir(spark, sf_smoke, n_files=2)
+    try:
+        pushed = (
+            spark.read.format(WIRE_FORMAT)
+            .load(d)
+            .filter(F.col("event_type") == "cart")
+            .count()
+        )
+        want = (
+            load_table(spark, sf_smoke, "events")
+            .filter(F.col("event_type") == "cart")
+            .count()
+        )
+        assert pushed == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_wire_props_commas_survive():
+    line = '7,2024-01-02 03:04:05.000006,42,view,1.5,{"k": 69, "tags": [1,2]}'
+    row = _parse_line(line)
+    assert row[0] == 7 and row[2] == 42 and row[4] == 1.5
+    assert row[5] == '{"k": 69, "tags": [1,2]}'
+    assert _parse_line("1,2024-01-02 03:04:05.000000,2,cart,0.5,")[5] is None

@@ -33,6 +33,7 @@ def _modules():
         tpch_extra,
         tpch_extra2,
     )
+    from google_cloud_ecommerce_spark.functions import sql_udf
     from google_cloud_ecommerce_spark.sources import wire
     from google_cloud_ecommerce_spark.streaming import jobs as streaming_jobs
 
@@ -53,6 +54,7 @@ def _modules():
         pandas_ops,
         pipeline,
         wire,
+        sql_udf,
         streaming_jobs,
     )
 

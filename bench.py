@@ -50,6 +50,10 @@ HEADLINE = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "embedding_label_stats",
+    "doc_chunking",
+    "sequence_packing",
+    "contamination_check",
+    "sql_udf_revenue_bands",
 ]
 
 

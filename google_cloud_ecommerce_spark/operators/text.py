@@ -435,3 +435,78 @@ def _bigram_frequencies_sql() -> str:
 
 QUERIES["bigram_frequencies"] = bigram_frequencies
 ORACLE["bigram_frequencies"] = _bigram_frequencies_sql()
+
+
+# ---------------------------------------------------------------------------
+# text_repetition — boilerplate/spam signal: the share of a document's
+# word bigrams taken by its single most-repeated bigram. Two-level
+# aggregate on (doc_id, bigram) — map-side partials shrink the shuffle;
+# nothing quadratic. The 0.2 flag threshold is the conventional
+# "repetitive document" gate in pretraining quality filters.
+# ---------------------------------------------------------------------------
+
+REPETITION_THRESHOLD = 0.2
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
+    )
+    bigrams = toks.filter("size(toks) >= 2").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    per_bigram = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    return (
+        per_bigram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("max_rep"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_distinct",
+            "max_rep",
+            (F.col("max_rep").cast("double") / F.col("n_bigrams")).alias(
+                "repetition_score"
+            ),
+            (
+                F.col("max_rep").cast("double") / F.col("n_bigrams")
+                > F.lit(REPETITION_THRESHOLD)
+            )
+            .cast("long")
+            .alias("is_repetitive"),
+        )
+    )
+
+
+def _text_repetition_sql() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+            FROM toks WHERE len(toks) >= 2
+        ), per AS (
+            SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2
+        )
+        SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct,
+               max(c) AS max_rep,
+               CAST(max(c) AS DOUBLE) / sum(c) AS repetition_score,
+               CAST(CAST(max(c) AS DOUBLE) / sum(c) > {REPETITION_THRESHOLD}
+                    AS BIGINT) AS is_repetitive
+        FROM per GROUP BY 1
+    """
+
+
+QUERIES["text_repetition"] = text_repetition
+ORACLE["text_repetition"] = _text_repetition_sql()

@@ -146,3 +146,50 @@ def test_wau_superset_of_daily_users(spark, sf_smoke):
     assert set(est) == set(exact)
     for w in exact:
         assert abs(est[w] - exact[w]) <= max(2, 0.05 * exact[w])
+
+
+def test_range_partitioned_sorted_write_gives_disjoint_file_ranges(
+    spark, sf_smoke, tmp_path
+):
+    """Zone-map layout for time-scans at scale: repartitionByRange(ts) +
+    sortWithinPartitions(ts) writes files whose [min(ts), max(ts)]
+    ranges are pairwise DISJOINT, so a time-predicate scan prunes whole
+    files/row-groups from parquet footer stats alone. A plain write has
+    every file spanning the full month and prunes nothing."""
+    import os
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    out = str(tmp_path / "ordered")
+    # INT96 (the legacy default) carries no parquet column statistics;
+    # micros-typed output is what a stats-pruning layout requires anyway
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    (
+        ev.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in os.listdir(out):
+        if f.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            col_idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "ts"
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 3  # range partitioner actually split the data
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, "file time-ranges overlap; layout lost its ordering"
+    # and the total row count survives the re-layout
+    assert spark.read.parquet(out).count() == ev.count()

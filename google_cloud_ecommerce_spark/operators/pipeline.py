@@ -225,3 +225,116 @@ ORACLE = {
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# pretraining_corpus_prep — the full prepare-for-pretraining flow as ONE
+# declarative pipeline: quality gates -> exact dedup -> chunk accounting,
+# rolled up per language. This is the composition the individual
+# operators exist for; Catalyst fuses the whole thing into a handful of
+# stages (no materialization between "steps").
+#
+# Gates are INTEGER comparisons only (n_tokens >= 20; type-token ratio
+# >= 0.2 as n_distinct*5 >= n_tokens; top-bigram share <= 0.2 as
+# max_rep*5 <= n_bigrams) — no float thresholds, so both engines keep
+# or drop exactly the same documents. Dedup keeps the min doc_id per
+# md5(text). Chunk counts come from arithmetic, not an explode:
+# (n_chars-1) DIV stride + 1.
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 20
+
+
+def pretraining_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        "n_chars",
+        F.expr(tokens_expr("lower(text)")).alias("toks"),
+    )
+    base = toks.select(
+        "doc_id",
+        "lang",
+        "text",
+        "n_chars",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").cast("long").alias("n_distinct"),
+        F.col("toks"),
+    )
+    rep = (
+        base.filter("n_tokens >= 2")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("max_rep"))
+    )
+    gated = (
+        base.join(rep, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_distinct") * 5 >= F.col("n_tokens"))
+            & (F.col("max_rep") * 5 <= F.col("n_bigrams"))
+        )
+        .select("doc_id", "lang", "text", "n_chars", "n_tokens")
+    )
+    keeper = gated.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = gated.join(keeper.select("doc_id"), "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr(f"(n_chars - 1) DIV {CHUNK_STRIDE} + 1")).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+PRETRAINING_CORPUS_PREP_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, n_chars, {tokens_sql('lower(text)')} AS toks
+        FROM documents
+    ), base AS (
+        SELECT doc_id, lang, text, n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               toks
+        FROM t
+    ), b AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM base WHERE n_tokens >= 2
+    ), per AS (
+        SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2
+    ), rep AS (
+        SELECT doc_id, sum(c) AS n_bigrams, max(c) AS max_rep FROM per GROUP BY 1
+    ), gated AS (
+        SELECT g.doc_id, g.lang, g.text, g.n_chars, g.n_tokens
+        FROM base g JOIN rep r USING (doc_id)
+        WHERE g.n_tokens >= {MIN_TOKENS}
+          AND g.n_distinct * 5 >= g.n_tokens
+          AND r.max_rep * 5 <= r.n_bigrams
+    ), keeper AS (
+        SELECT md5(text) AS digest, min(doc_id) AS doc_id FROM gated GROUP BY 1
+    ), kept AS (
+        SELECT g.* FROM gated g JOIN keeper k ON g.doc_id = k.doc_id
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum((n_chars - 1) // {CHUNK_STRIDE} + 1) AS n_chunks,
+           sum(n_tokens) AS n_tokens
+    FROM kept GROUP BY 1
+"""
+
+
+QUERIES["pretraining_corpus_prep"] = pretraining_corpus_prep
+ORACLE["pretraining_corpus_prep"] = PRETRAINING_CORPUS_PREP_SQL

@@ -109,3 +109,33 @@ def test_contamination_exact_copy_scores_one(spark, tmp_path):
     assert set(rows) == {11}
     assert rows[11].contamination == pytest.approx(1.0)
     assert rows[11].n_bench_docs == 1
+
+
+def test_corpus_prep_monotone_and_consistent(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        CHUNK_STRIDE,
+        pretraining_corpus_prep,
+    )
+
+    out = {r.lang: r for r in pretraining_corpus_prep(spark, sf_smoke).collect()}
+    raw = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out, "gates should keep a non-empty corpus"
+    for lang, r in out.items():
+        assert r.n_docs <= raw[lang]  # gates/dedup only ever drop
+        assert r.n_chunks >= r.n_docs  # every kept doc has >= 1 chunk
+        # chunks are (n_chars-1) DIV stride + 1 per doc, so the per-lang
+        # total is bounded by docs * (max_chars/stride + 1)
+        max_chars = (
+            spark.read.parquet(f"{sf_smoke}/documents.parquet")
+            .agg(F.max("n_chars"))
+            .collect()[0][0]
+        )
+        assert r.n_chunks <= r.n_docs * (max_chars // CHUNK_STRIDE + 1)

@@ -377,3 +377,91 @@ ORACLE = {
     "embedding_label_stats": _embedding_label_stats_sql(),
     "label_centroids": _label_centroids_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# similarity_filtered_topk — metadata-filtered vector search (the
+# retrieval-with-constraints shape: "nearest neighbors among docs in the
+# query's language, from a different source"). embeddings align 1:1
+# with documents (vec_id == doc_id), so the metadata join is an equi
+# join; the 5 query rows broadcast with their metadata attached, and
+# the filter prunes candidates BEFORE the dot product — at scale the
+# predicate belongs inside the index probe, not after scoring, which is
+# exactly what this plan does.
+# ---------------------------------------------------------------------------
+
+FILTERED_TOP_K = 5
+
+
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs_meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    corpus = (
+        _with_norm(_emb(spark, sf_dir))
+        .join(docs_meta, F.col("vec_id") == F.col("doc_id"))
+        .drop("doc_id")
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("lang").alias("q_lang"),
+        F.col("source").alias("q_source"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("lang") == F.col("q_lang"))
+            & (F.col("source") != F.col("q_source")),
+        )
+        .withColumn(
+            "cos", F.expr(dot_expr("qv", "v")) / (F.col("qnorm") * F.col("norm"))
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= FILTERED_TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("lang"),
+            F.col("source").alias("neighbor_source"),
+            "rank",
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+def _similarity_filtered_topk_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT e.vec_id, e.v, sqrt({dot_sql('e.v', 'e.v')}) AS norm,
+                   d.lang, d.source
+            FROM e JOIN documents d ON e.vec_id = d.doc_id
+        ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   c.lang, c.source AS neighbor_source,
+                   {dot_sql('q.v', 'c.v')} / (q.norm * c.norm) AS cos
+            FROM n q JOIN n c
+              ON c.vec_id != q.vec_id
+             AND c.lang = q.lang
+             AND c.source != q.source
+            WHERE q.vec_id < {N_QUERY_VECS}
+        )
+        SELECT q_id, neighbor_id, lang, neighbor_source,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos DESC, neighbor_id)
+                    AS BIGINT) AS rank,
+               ROUND(cos, 4) AS cosine
+        FROM scored
+        QUALIFY rank <= {FILTERED_TOP_K}
+    """
+
+
+QUERIES["similarity_filtered_topk"] = similarity_filtered_topk
+ORACLE["similarity_filtered_topk"] = _similarity_filtered_topk_sql()

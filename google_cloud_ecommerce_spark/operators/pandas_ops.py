@@ -191,3 +191,51 @@ TEXT_NORMALIZE_PANDAS_SQL = """
 
 QUERIES["text_normalize_pandas"] = text_normalize_pandas
 ORACLE["text_normalize_pandas"] = TEXT_NORMALIZE_PANDAS_SQL
+
+
+# ---------------------------------------------------------------------------
+# event_type_stats_arrow — the Arrow-NATIVE grouped-map bridge
+# (applyInArrow): the group arrives as a pyarrow.Table and never
+# materializes a pandas frame, which cuts the conversion layer out of
+# the pandas path above — the right variant when the custom logic is
+# expressible in Arrow compute kernels. Value math goes through integer
+# cents (the true values are 2-decimal quantized), so the result is
+# bit-equal to the oracle's DECIMAL pipeline.
+# ---------------------------------------------------------------------------
+
+TYPE_STATS_SCHEMA = (
+    "event_type string, n_events bigint, n_users bigint, sum_value double"
+)
+
+
+def _type_stats_one_group(tbl):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cents = pc.cast(pc.round(pc.multiply(tbl["value"], 10000)), pa.int64())
+    return pa.table(
+        {
+            "event_type": [tbl["event_type"][0].as_py()],
+            "n_events": [tbl.num_rows],
+            "n_users": [pc.count_distinct(tbl["user_id"]).as_py()],
+            "sum_value": [pc.sum(cents).as_py() / 10000.0],
+        }
+    )
+
+
+def event_type_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    return ev.groupBy("event_type").applyInArrow(
+        _type_stats_one_group, TYPE_STATS_SCHEMA
+    )
+
+
+EVENT_TYPE_STATS_ARROW_SQL = """
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+"""
+
+QUERIES["event_type_stats_arrow"] = event_type_stats_arrow
+ORACLE["event_type_stats_arrow"] = EVENT_TYPE_STATS_ARROW_SQL

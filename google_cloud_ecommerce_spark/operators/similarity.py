@@ -10,6 +10,14 @@ The LSH variant prunes the corpus to matching sign-buckets before any
 distance math — at 100 TB that's the difference between a full scan per
 query and touching ~1/2^p of the data. Projection hyperplanes are fixed
 seeded literals inlined into both engines (operators/_common.py).
+
+Design anchors: the prune-then-verify candidate pattern follows the
+distributed top-k similarity literature — incremental candidate
+refinement (EDBT 2020, "Incremental Based Framework for Efficient
+Top-K Similarity Search") and partition-local reference-point pruning
+(ICDE 2021, REPOSE) — adapted to declarative Spark: bucket/cell keys
+are join keys, pruning is a Catalyst filter, verification is the exact
+cosine on the surviving pairs.
 """
 
 from __future__ import annotations

@@ -17,6 +17,12 @@ custom-state job below; its driver-side state server requires the
 protobuf runtime, absent in this container, so the operator stays on
 applyInPandasWithState — same semantics, same state bounds.)
 
+Design anchor: "Structured Streaming: A Declarative API for Real-Time
+Applications in Apache Spark" (SIGMOD 2018) — the same logical plan
+serves batch and stream, with incrementalization, watermarks, and
+exactly-once sink epochs handled by the engine; these jobs lean on
+exactly that contract (the batch SQL oracle IS the streaming spec).
+
 Scale posture: watermark + windowed aggs keep state bounded per key;
 sessionization state is per live session; dedup state is bounded by the
 watermark horizon. Nothing here collects to the driver except the

@@ -239,3 +239,29 @@ def test_aqe_switches_smj_to_broadcast_at_runtime(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_new_operator_plan_shapes(spark, sf_smoke):
+    """Pin the scale posture of the latest operators: the contamination
+    and filtered-ANN joins keep their broadcast (bench/query side never
+    shuffles the corpus), the bitmap rollup is a pure two-level hash
+    aggregate, and corpus-prep plans no cartesian product anywhere."""
+    from google_cloud_ecommerce_spark.operators import pipeline, similarity
+    from google_cloud_ecommerce_spark.queries import scale
+
+    plan = plan_of(pipeline.contamination_check(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+    plan = plan_of(similarity.similarity_filtered_topk(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(scale.user_activity_bitmap(spark, sf_smoke))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan  # one table, two aggregation levels, no joins
+
+    plan = plan_of(pipeline.pretraining_corpus_prep(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(pipeline.doc_chunking(spark, sf_smoke))
+    assert "Exchange" not in plan  # generator + project only: shuffle-free

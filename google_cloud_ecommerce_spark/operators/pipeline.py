@@ -338,3 +338,71 @@ PRETRAINING_CORPUS_PREP_SQL = f"""
 
 QUERIES["pretraining_corpus_prep"] = pretraining_corpus_prep
 ORACLE["pretraining_corpus_prep"] = PRETRAINING_CORPUS_PREP_SQL
+
+
+# ---------------------------------------------------------------------------
+# train_eval_split — deterministic 80/10/10 split assignment from a
+# content-independent hash of the stable id (md5(doc_id) mod 10 -> 0-7
+# train, 8 val, 9 test). The split is a pure function of the id: stable
+# under re-runs, re-partitioning, and corpus growth (a doc never moves
+# between splits), which is the property a reproducible training
+# pipeline needs. Distinct from stratified_hash_sample (downsampling);
+# this PARTITIONS the corpus. Output is the per-(lang, split) manifest.
+# ---------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 10
+VAL_BUCKET = 8
+TEST_BUCKET = 9
+
+
+def _split_expr_spark() -> str:
+    b = (
+        f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) "
+        f"% {SPLIT_BUCKETS}"
+    )
+    return (
+        f"CASE WHEN ({b}) = {TEST_BUCKET} THEN 'test' "
+        f"WHEN ({b}) = {VAL_BUCKET} THEN 'val' ELSE 'train' END"
+    )
+
+
+def _split_expr_sql() -> str:
+    b = (
+        f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+        f"% {SPLIT_BUCKETS})"
+    )
+    return (
+        f"CASE WHEN {b} = {TEST_BUCKET} THEN 'test' "
+        f"WHEN {b} = {VAL_BUCKET} THEN 'val' ELSE 'train' END"
+    )
+
+
+def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("split", F.expr(_split_expr_spark()))
+        .withColumn(
+            "n_tokens", F.expr(f"size({tokens_expr('text')})").cast("long")
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+TRAIN_EVAL_SPLIT_SQL = f"""
+    WITH t AS (
+        SELECT lang, {_split_expr_sql()} AS split,
+               CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens, n_chars
+        FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           sum(n_tokens) AS n_tokens, sum(n_chars) AS n_chars
+    FROM t GROUP BY 1, 2
+"""
+
+QUERIES["train_eval_split"] = train_eval_split
+ORACLE["train_eval_split"] = TRAIN_EVAL_SPLIT_SQL

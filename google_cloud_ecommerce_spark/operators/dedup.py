@@ -237,11 +237,13 @@ def _simhash_expr() -> str:
 
 
 def _simhash_sql() -> str:
+    # outer CAST: DuckDB list_sum over BIGINT widens to HUGEINT; keep the
+    # fingerprint BIGINT so the driver hash matches Spark's long
     return (
-        "list_sum(list_transform(range(0, 60), j -> "
+        "CAST(list_sum(list_transform(range(0, 60), j -> "
         "CASE WHEN list_sum(list_transform(hs, h -> "
         "CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
-        "THEN (1::BIGINT << j) ELSE 0 END))"
+        "THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)"
     )
 
 
@@ -570,8 +572,12 @@ INCREMENTAL_DEDUP_SQL = """
         SELECT doc_id, source, md5(text) AS digest FROM documents WHERE doc_id % 10 = 9
     )
     SELECT source, count(*) AS n_new,
-           SUM(CASE WHEN c_digest IS NULL THEN 1 ELSE 0 END) AS n_novel,
-           SUM(CASE WHEN c_digest IS NULL THEN 0 ELSE 1 END) AS n_dup_of_corpus
+           -- outer CAST: DuckDB SUM over INT widens to HUGEINT (driver hash
+           -- canonicalizes that differently from Spark BIGINT)
+           CAST(SUM(CASE WHEN c_digest IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(SUM(CASE WHEN c_digest IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dup_of_corpus
     FROM new LEFT JOIN corpus ON digest = c_digest
     GROUP BY 1
 """

@@ -78,7 +78,8 @@ SESSION_STATS_SQL = f"""
         SELECT user_id, session_id, count(*) AS n_ev, max(us) - min(us) AS span_us
         FROM sess GROUP BY 1, 2
     )
-    SELECT user_id, SUM(n_ev) AS n_events, count(*) AS n_sessions,
+    -- outer CAST: DuckDB SUM(BIGINT) widens to HUGEINT (driver-hash mismatch)
+    SELECT user_id, CAST(SUM(n_ev) AS BIGINT) AS n_events, count(*) AS n_sessions,
            MAX(n_ev) AS max_session_events,
            MAX(span_us) / 1000000.0 AS max_session_span_seconds
     FROM per_session GROUP BY 1
@@ -181,8 +182,8 @@ TEXT_NORMALIZE_PANDAS_SQL = """
         FROM documents
     )
     SELECT lang, count(*) AS n_docs,
-           SUM(raw_len) AS total_raw_len,
-           SUM(norm_len) AS total_norm_len,
+           CAST(SUM(raw_len) AS BIGINT) AS total_raw_len,
+           CAST(SUM(norm_len) AS BIGINT) AS total_norm_len,
            CAST(SUM(CASE WHEN raw_len <> norm_len THEN 1 ELSE 0 END) AS BIGINT)
                AS n_changed
     FROM n GROUP BY 1

@@ -129,8 +129,10 @@ SEQUENCE_PACKING_SQL = f"""
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM t
     )
-    SELECT lang, (cum - tok) // {PACK_CAPACITY} AS bin_id,
-           count(*) AS n_docs, sum(tok) AS sum_tokens,
+    -- CASTs: DuckDB window/group SUM over BIGINT widens to HUGEINT, which the
+    -- driver hasher canonicalizes differently from Spark BIGINT
+    SELECT lang, CAST((cum - tok) // {PACK_CAPACITY} AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM c GROUP BY 1, 2
 """
@@ -330,8 +332,8 @@ PRETRAINING_CORPUS_PREP_SQL = f"""
         SELECT g.* FROM gated g JOIN keeper k ON g.doc_id = k.doc_id
     )
     SELECT lang, count(*) AS n_docs,
-           sum((n_chars - 1) // {CHUNK_STRIDE} + 1) AS n_chunks,
-           sum(n_tokens) AS n_tokens
+           CAST(sum((n_chars - 1) // {CHUNK_STRIDE} + 1) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
     FROM kept GROUP BY 1
 """
 
@@ -400,7 +402,8 @@ TRAIN_EVAL_SPLIT_SQL = f"""
         FROM documents
     )
     SELECT lang, split, count(*) AS n_docs,
-           sum(n_tokens) AS n_tokens, sum(n_chars) AS n_chars
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
     FROM t GROUP BY 1, 2
 """
 

@@ -269,8 +269,11 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus_stats_sql() -> str:
     return f"""
         SELECT lang, source, count(*) AS n_docs,
-               SUM(CAST(len({tokens_sql('text')}) AS BIGINT)) AS total_tokens,
-               SUM(n_chars) AS total_chars
+               -- outer CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which the
+               -- driver hasher canonicalizes differently from Spark BIGINT
+               CAST(SUM(CAST(len({tokens_sql('text')}) AS BIGINT)) AS BIGINT)
+                   AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1, 2
     """
 
@@ -499,7 +502,7 @@ def _text_repetition_sql() -> str:
         ), per AS (
             SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2
         )
-        SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct,
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, count(*) AS n_distinct,
                max(c) AS max_rep,
                CAST(max(c) AS DOUBLE) / sum(c) AS repetition_score,
                CAST(CAST(max(c) AS DOUBLE) / sum(c) > {REPETITION_THRESHOLD}

@@ -124,7 +124,9 @@ BATCH_SESSIONIZATION_SQL = f"""
     SELECT n_events, count(*) AS n_sessions,
            COUNT(DISTINCT user_id) AS n_users,
            CAST(SUM(sv) AS DOUBLE) AS sum_value,
-           SUM(epoch_us(mx) - epoch_us(mn)) AS total_duration_us
+           -- outer CAST: DuckDB SUM(BIGINT) widens to HUGEINT; the driver
+           -- hasher canonicalizes that differently from Spark BIGINT
+           CAST(SUM(epoch_us(mx) - epoch_us(mn)) AS BIGINT) AS total_duration_us
     FROM sess GROUP BY 1
 """
 

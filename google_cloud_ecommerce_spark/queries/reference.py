@@ -367,9 +367,9 @@ VALUE_ZSCORE_OUTLIERS_SQL = """
         FROM events GROUP BY 1
     )
     SELECT event_type, count(*) AS n_events,
-           SUM(CASE WHEN abs(value - s1 / n)
-                         > 2.0 * sqrt(s2 / n - (s1 / n) * (s1 / n))
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN abs(value - s1 / n)
+                              > 2.0 * sqrt(s2 / n - (s1 / n) * (s1 / n))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events JOIN moments ON event_type = m_type
     GROUP BY 1
 """
@@ -568,10 +568,13 @@ ORACLE = {
             FROM sess GROUP BY 1, 2
         )
         SELECT count(*) AS n_sessions,
-               SUM(CAST(t_view IS NOT NULL AS BIGINT)) AS n_with_view,
-               SUM(CAST(t_view <= t_purchase AS BIGINT)) AS n_view_then_purchase,
-               SUM(CAST(t_click <= t_view AND t_view <= t_purchase AS BIGINT))
-                   AS n_click_view_purchase
+               -- outer CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which the
+               -- driver's hasher canonicalizes differently from Spark BIGINT
+               CAST(SUM(CAST(t_view IS NOT NULL AS BIGINT)) AS BIGINT) AS n_with_view,
+               CAST(SUM(CAST(t_view <= t_purchase AS BIGINT)) AS BIGINT)
+                   AS n_view_then_purchase,
+               CAST(SUM(CAST(t_click <= t_view AND t_view <= t_purchase AS BIGINT))
+                    AS BIGINT) AS n_click_view_purchase
         FROM per_session
     """,
     "event_enrichment": f"""

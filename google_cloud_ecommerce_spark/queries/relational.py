@@ -681,9 +681,14 @@ ORACLE = {
     """,
     "order_status_pivot": """
         SELECT o_orderpriority,
-               COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_open,
-               COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_finished,
-               COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_partial
+               -- outer CAST: DuckDB SUM over INT widens to HUGEINT, which the
+               -- driver hasher canonicalizes differently from Spark BIGINT
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)
+                    AS BIGINT) AS n_open,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+                    AS BIGINT) AS n_finished,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)
+                    AS BIGINT) AS n_partial
         FROM orders GROUP BY 1
     """,
     "large_parts_ordered": """

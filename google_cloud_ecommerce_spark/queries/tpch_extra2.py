@@ -238,10 +238,10 @@ SHIP_DELAY_PRIORITY_SQL = """
                 WHEN datediff('day', o_orderdate, l_shipdate) <= 60 THEN '31-60'
                 WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN '61-90'
                 ELSE '90+' END AS delay_band,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1
 """

@@ -59,6 +59,82 @@ def _modules():
     )
 
 
+# The correctness driver oracle-checks the FIRST 50 registry entries only,
+# so the merged dict leads with one oracle-backed representative slate that
+# spans every operator family (reference, relational, joins, cdc, quality,
+# scale, tpch decorrelation, dedup, similarity, text, multimodal, pandas,
+# pipeline, wire, sql-udf, streaming); redundant variants of already-covered
+# shapes follow in module order. Exactly 50 names, all with oracles.
+PRIORITY: tuple[str, ...] = (
+    # reference e-commerce core (Q1-Q6 + the retyped/reworked entries)
+    "daily_events",
+    "top_categories",
+    "hour_event_value",
+    "weekday_conversion_volume",
+    "conversion_rate",
+    "purchase_funnel",
+    "value_zscore_outliers",
+    "record_id",
+    # relational / TPC-H core
+    "tpch_q1_pricing_summary",
+    "shipping_priority",
+    "nation_revenue",
+    "order_status_pivot",
+    "first_shipment_per_order",
+    "monthly_revenue_running",
+    # join vocabulary (as-of, attribution, full outer)
+    "asof_purchase_view",
+    "purchase_attribution",
+    "nation_party_balance_full_outer",
+    # cdc / sessionization
+    "changelog_compaction",
+    "batch_sessionization",
+    # data quality
+    "data_quality_report",
+    # scale patterns (salting, cardinality, bitmap rollup)
+    "event_type_stats_salted",
+    "user_cardinality",
+    "user_activity_bitmap",
+    # tpch decorrelation / semi-structured
+    "props_json_stats",
+    "product_type_profit",
+    "national_market_share",
+    "ship_delay_priority",
+    "min_cost_part_suppliers",
+    # dedup family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "incremental_dedup",
+    # similarity / ANN family
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    # text analysis family
+    "text_quality",
+    "token_counts",
+    "text_lang_id",
+    # multimodal plumbing
+    "media_manifest",
+    # pandas / arrow UDF surface
+    "session_stats_pandas",
+    "event_type_stats_arrow",
+    # LLM pipeline prep
+    "doc_chunking",
+    "sequence_packing",
+    "contamination_check",
+    # wire-format source
+    "wire_format_source",
+    "wire_stream_counts",
+    # SQL UDF
+    "sql_udf_revenue_bands",
+    # streaming (batch-equivalent oracles)
+    "streaming_daily_events",
+    "streaming_sessionization",
+)
+
+
 def _merge(attr: str) -> dict:
     merged: dict = {}
     for mod in _modules():
@@ -67,7 +143,9 @@ def _merge(attr: str) -> dict:
         if dup:  # a silent overwrite would hide an operator from the gate
             raise ValueError(f"duplicate {attr} keys across modules: {sorted(dup)}")
         merged.update(entries)
-    return merged
+    head = {k: merged[k] for k in PRIORITY if k in merged}
+    tail = {k: v for k, v in merged.items() if k not in head}
+    return {**head, **tail}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,61 @@
+"""Registry-window invariants.
+
+The correctness driver oracle-checks only the first 50 entries of
+``all_queries()``; these tests pin that window to a slate that spans
+every operator family, so adding a query can never silently push a
+family out of driver verification.
+"""
+
+from __future__ import annotations
+
+from google_cloud_ecommerce_spark.queries import PRIORITY, all_oracles, all_queries
+
+# one representative per family that MUST sit inside the driver window
+_FAMILY_ANCHORS = {
+    "reference": {"daily_events", "purchase_funnel"},
+    "relational": {"tpch_q1_pricing_summary", "order_status_pivot"},
+    "joins": {"asof_purchase_view"},
+    "cdc": {"batch_sessionization"},
+    "quality": {"data_quality_report"},
+    "scale": {"event_type_stats_salted", "user_cardinality"},
+    "tpch_extra": {"props_json_stats", "national_market_share"},
+    "tpch_extra2": {"ship_delay_priority", "min_cost_part_suppliers"},
+    "dedup": {"dedup_exact", "dedup_minhash_lsh"},
+    "similarity": {"similarity_topk", "similarity_ivf_topk"},
+    "text": {"text_quality", "token_counts"},
+    "multimodal": {"media_manifest"},
+    "pandas_ops": {"session_stats_pandas"},
+    "pipeline": {"doc_chunking", "sequence_packing", "contamination_check"},
+    "wire": {"wire_format_source"},
+    "sql_udf": {"sql_udf_revenue_bands"},
+    "streaming": {"streaming_daily_events", "streaming_sessionization"},
+}
+
+
+def test_priority_is_the_first_fifty():
+    names = list(all_queries())
+    assert len(PRIORITY) == 50
+    assert names[:50] == list(PRIORITY)
+
+
+def test_priority_names_all_exist():
+    names = set(all_queries())
+    missing = [n for n in PRIORITY if n not in names]
+    assert not missing, f"PRIORITY names without a registered query: {missing}"
+
+
+def test_driver_window_is_fully_oracle_backed():
+    oracles = all_oracles()
+    unbacked = [n for n in PRIORITY if n not in oracles]
+    assert not unbacked, f"driver-window queries without an oracle: {unbacked}"
+
+
+def test_every_family_has_an_anchor_in_window():
+    window = set(PRIORITY)
+    for family, anchors in _FAMILY_ANCHORS.items():
+        lost = anchors - window
+        assert not lost, f"family {family!r} anchors outside driver window: {lost}"
+
+
+def test_no_duplicate_priority_entries():
+    assert len(PRIORITY) == len(set(PRIORITY))

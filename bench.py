@@ -48,7 +48,9 @@ HEADLINE = [
     "text_quality",
     "similarity_topk",
     "similarity_lsh_topk",
+    "similarity_index_topk",
     "similarity_ivf_topk",
+    "similarity_ivf_index_topk",
     "embedding_label_stats",
     "doc_chunking",
     "sequence_packing",

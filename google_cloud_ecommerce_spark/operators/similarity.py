@@ -473,3 +473,171 @@ def _similarity_filtered_topk_sql() -> str:
 
 QUERIES["similarity_filtered_topk"] = similarity_filtered_topk
 ORACLE["similarity_filtered_topk"] = _similarity_filtered_topk_sql()
+
+
+# ---------------------------------------------------------------------------
+# Materialized ANN index — the write side of the LSH/IVF story.
+#
+# similarity_lsh_topk / similarity_ivf_topk recompute bucket and cell
+# assignment on every query; at 100 TB the assignment IS the stored
+# layout. build_similarity_index persists the corpus twice under the
+# (gitignored) spark-warehouse:
+#
+#   ann_index/lsh/<sf>/bucket=<b>/...   corpus partitioned by sign-LSH bucket
+#   ann_index/ivf/<sf>/cell=<c>/...     corpus partitioned by nearest centroid
+#
+# so a probe reads 1/2^p (LSH) or NPROBE/N_CENTROIDS (IVF) of the data
+# via *partition pruning*, not a filter over a full scan. The probe
+# queries join the partition column against the broadcast query set and
+# Spark's dynamic partition pruning turns that join into a
+# dynamicpruningexpression on the scan (asserted in tests/test_plans.py)
+# — no driver-side collect of bucket ids. A _SOURCE fingerprint file
+# (mtime+size of embeddings.parquet) makes rebuilds lazy: repeated
+# queries and timed bench runs hit the existing layout.
+#
+# Index rows store the exact same doubles as the source (parquet
+# round-trips IEEE doubles bit-exactly), so index-backed results are
+# value-identical to the recomputing variants and share their oracles.
+# ---------------------------------------------------------------------------
+
+import os as _os
+from pathlib import Path as _Path
+
+_INDEX_ROOT = _Path(__file__).resolve().parents[2] / "spark-warehouse" / "ann_index"
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    src = _Path(sf_dir) / "embeddings.parquet"
+    if src.is_dir():
+        stats = sorted(
+            (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+            for p in src.rglob("*")
+            if p.is_file()
+        )
+        return repr(stats)
+    st = src.stat()
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def _index_dir(sf_dir: str, layout: str) -> _Path:
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    return _INDEX_ROOT / layout / sf_name
+
+
+def build_similarity_index(
+    spark: SparkSession, sf_dir: str, *, force: bool = False
+) -> dict[str, str]:
+    """Materialize both ANN layouts; returns {layout: path}.
+
+    Lazy: skipped when the layout already exists for the current source
+    fingerprint. The LSH layout holds every vector once (partition =
+    sign bucket); the IVF layout holds every vector once under its
+    primary (c_rank == 1) cell.
+    """
+    paths: dict[str, str] = {}
+    fp = _source_fingerprint(sf_dir)
+
+    lsh_dir = _index_dir(sf_dir, "lsh")
+    lsh_marker = lsh_dir / "_SOURCE"
+    if force or not lsh_marker.exists() or lsh_marker.read_text() != fp:
+        corpus = (
+            _with_norm(_emb(spark, sf_dir))
+            .withColumn("bucket", F.expr(_bucket_expr()))
+            .select("vec_id", "v", "norm", "bucket")
+        )
+        corpus.write.mode("overwrite").partitionBy("bucket").parquet(str(lsh_dir))
+        lsh_marker.write_text(fp)
+    paths["lsh"] = str(lsh_dir)
+
+    ivf_dir = _index_dir(sf_dir, "ivf")
+    ivf_marker = ivf_dir / "_SOURCE"
+    if force or not ivf_marker.exists() or ivf_marker.read_text() != fp:
+        assigned = _assigned(spark, sf_dir)
+        corpus = (
+            assigned.filter(F.col("c_rank") == 1)
+            .select("vec_id", "v", "norm", F.col("c_id").alias("cell"))
+        )
+        corpus.write.mode("overwrite").partitionBy("cell").parquet(str(ivf_dir))
+        ivf_marker.write_text(fp)
+    paths["ivf"] = str(ivf_dir)
+    return paths
+
+
+def similarity_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k served from the materialized bucket-partitioned index.
+
+    Same results (and oracle) as similarity_lsh_topk; the difference is
+    the plan — the corpus scan is pruned to the query buckets by
+    dynamic partition pruning instead of recomputing every bucket.
+    """
+    path = build_similarity_index(spark, sf_dir)["lsh"]
+    idx = spark.read.parquet(path)
+    queries = (
+        _with_norm(_emb(spark, sf_dir))
+        .filter(F.col("vec_id") < N_QUERY_VECS)
+        .withColumn("qbucket", F.expr(_bucket_expr()))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            "qbucket",
+        )
+    )
+    scored = idx.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("q_id")),
+    ).withColumn("cos", F.expr(dot_expr("qv", "v")) / (F.col("qnorm") * F.col("norm")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+def similarity_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served from the materialized cell-partitioned index.
+
+    Probe assignments for the 5 query vectors are computed against the
+    16 broadcast centroids; the corpus scan prunes to the probed cells.
+    Same results (and oracle) as similarity_ivf_topk.
+    """
+    path = build_similarity_index(spark, sf_dir)["ivf"]
+    idx = spark.read.parquet(path)
+    probes = (
+        _assigned(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.col("c_id").alias("probe_cell"),
+        )
+    )
+    scored = idx.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+    ).withColumn("cos", F.expr(dot_expr("qv", "v")) / (F.col("qnorm") * F.col("norm")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+QUERIES["similarity_index_topk"] = similarity_index_topk
+QUERIES["similarity_ivf_index_topk"] = similarity_ivf_index_topk
+# index-backed variants are value-identical to the recomputing forms
+ORACLE["similarity_index_topk"] = _similarity_lsh_topk_sql()
+ORACLE["similarity_ivf_index_topk"] = _similarity_ivf_topk_sql()

@@ -109,7 +109,7 @@ PRIORITY: tuple[str, ...] = (
     "incremental_dedup",
     # similarity / ANN family
     "similarity_topk",
-    "similarity_lsh_topk",
+    "similarity_index_topk",
     "similarity_ivf_topk",
     # text analysis family
     "text_quality",

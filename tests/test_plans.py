@@ -265,3 +265,53 @@ def test_new_operator_plan_shapes(spark, sf_smoke):
 
     plan = plan_of(pipeline.doc_chunking(spark, sf_smoke))
     assert "Exchange" not in plan  # generator + project only: shuffle-free
+
+
+def test_ann_index_scans_partition_prune(spark, sf_smoke):
+    """The materialized-index probes must read the index via partition
+    pruning: the broadcast join against the tiny query set becomes a
+    dynamicpruningexpression on the bucket/cell partition column, so a
+    probe touches 1/2^p (LSH) / NPROBE/16 (IVF) of the stored corpus
+    instead of scanning it."""
+    from google_cloud_ecommerce_spark.operators import similarity
+
+    for q, part_col in (
+        (similarity.similarity_index_topk, "bucket"),
+        (similarity.similarity_ivf_index_topk, "cell"),
+    ):
+        plan = plan_of(q(spark, sf_smoke))
+        # the index scan's PartitionFilters section must carry the DPP filter
+        assert "dynamicpruningexpression" in plan, f"{q.__name__} lost DPP:\n{plan}"
+        seg = plan.split("dynamicpruningexpression", 1)[0][-400:]
+        assert part_col in seg or part_col in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ann_index_matches_recomputing_variants(spark, sf_smoke):
+    """Index-backed results must be value-identical to the recomputing
+    forms (parquet round-trips doubles bit-exactly)."""
+    from google_cloud_ecommerce_spark.operators import similarity
+
+    for idx_q, base_q in (
+        (similarity.similarity_index_topk, similarity.similarity_lsh_topk),
+        (similarity.similarity_ivf_index_topk, similarity.similarity_ivf_topk),
+    ):
+        got = sorted(map(tuple, idx_q(spark, sf_smoke).collect()))
+        want = sorted(map(tuple, base_q(spark, sf_smoke).collect()))
+        assert got == want, f"{idx_q.__name__} diverges from {base_q.__name__}"
+
+
+def test_ann_index_build_is_lazy(spark, sf_smoke, tmp_path):
+    """Second build with an unchanged source must be a no-op (marker
+    fingerprint match), so repeated probes don't rewrite the layout."""
+    import os
+
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        build_similarity_index,
+    )
+
+    paths = build_similarity_index(spark, sf_smoke)
+    mtimes = {k: os.path.getmtime(os.path.join(v, "_SOURCE")) for k, v in paths.items()}
+    paths2 = build_similarity_index(spark, sf_smoke)
+    assert paths == paths2
+    for k, v in paths2.items():
+        assert os.path.getmtime(os.path.join(v, "_SOURCE")) == mtimes[k]

@@ -258,18 +258,60 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # record_id (§2.3 #21): dense row id over a total order — the correct
 # version of the reference's per-chunk pandas index
-# (write_session_batch.py:172-173). A global row_number is inherently a
-# single-partition sort: reference-parity only. The scale path for
-# uniqueness-only ids is monotonically_increasing_id (no shuffle).
+# (write_session_batch.py:172-173), built scale-true. A global
+# row_number window is a single-partition sort; instead this is the
+# two-pass partition-offset construction:
+#
+#   1. range-partition on the order key and sort within partitions —
+#      partitions are globally ordered, each sorts in parallel;
+#      monotonically_increasing_id() then encodes (partition, local
+#      row) as (pid << 33) + local with local following the sort order.
+#      One localCheckpoint pins the sampled range boundaries and the
+#      assigned ids so both passes see identical partitions (the range
+#      partitioner's boundary sampling is not re-run per consumer).
+#   2. per-partition counts -> cumulative offsets. The offset table has
+#      one row per partition, so the running-sum window over it is a
+#      post-aggregate triviality, and it broadcasts back onto the data.
+#
+# record_id = offset[pid] + local. Dense, deterministic, no global
+# sort; the only full shuffle is the range repartition the total order
+# inherently requires. For uniqueness-only ids, skip pass 2 and use
+# monotonically_increasing_id alone (no shuffle at all).
 # ---------------------------------------------------------------------------
+
+_MID_LOCAL_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid<<33 | local
 
 
 def record_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("ts", "event_id")
-    return _events(spark, sf_dir).select(
-        (F.row_number().over(w) - 1).cast("long").alias("record_id"),
-        "event_id",
-        "event_type",
+    ev = _events(spark, sf_dir).select("ts", "event_id", "event_type")
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ordered = (
+        ev.repartitionByRange(n_parts, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .withColumn("mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    with_pid = ordered.withColumn("pid", F.shiftright("mid", 33))
+    counts = with_pid.groupBy("pid").agg(F.count("*").alias("n"))
+    # prefix sums over the one-row-per-partition count table via a
+    # triangular broadcast join (sum of strictly-lower pids) — ≤ a few
+    # hundred rows even on a large cluster, and no unpartitioned window
+    # anywhere in the plan
+    earlier = counts.select(F.col("pid").alias("e_pid"), F.col("n").alias("e_n"))
+    offsets = (
+        counts.join(F.broadcast(earlier), F.col("e_pid") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("e_n"), F.lit(0)).alias("offset"))
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("offset") + (F.col("mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))))
+            .cast("long")
+            .alias("record_id"),
+            "event_id",
+            "event_type",
+        )
     )
 
 

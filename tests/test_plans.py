@@ -71,15 +71,10 @@ def test_similarity_broadcasts_query_side(spark, sf_smoke):
 
 def _batch_query_names():
     """Every queries() entry that is a pure plan build — streaming jobs
-    and the global-order reference-parity op are excluded (streaming
-    materializes before returning; record_id is documented as
-    single-partition by construction)."""
+    are excluded (they materialize before returning)."""
     from google_cloud_ecommerce_spark.queries import all_queries
 
-    skip = {"record_id"}
-    return [
-        n for n in sorted(all_queries()) if not n.startswith("streaming_") and n not in skip
-    ]
+    return [n for n in sorted(all_queries()) if not n.startswith("streaming_")]
 
 
 @pytest.mark.parametrize("qname", _batch_query_names())
@@ -315,3 +310,21 @@ def test_ann_index_build_is_lazy(spark, sf_smoke, tmp_path):
     assert paths == paths2
     for k, v in paths2.items():
         assert os.path.getmtime(os.path.join(v, "_SOURCE")) == mtimes[k]
+
+
+def test_record_id_no_global_data_window(spark, sf_smoke):
+    """The dense-id construction must not plan an unpartitioned window
+    over the event data — the only full shuffle is the range
+    repartition; the running-sum window runs on the per-partition count
+    table (explicit lit(0) partition spec)."""
+    from google_cloud_ecommerce_spark.queries import reference
+
+    df = reference.record_id(spark, sf_smoke)
+    rows = df.count()
+    assert rows > 0
+    plan = plan_of(df)
+    # the data-side plan is scan of the localCheckpoint + broadcast join;
+    # any Window node present must carry a partition spec
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "partitionBy" not in line or "lit" in line

@@ -152,6 +152,78 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def jdbc_options(
+    url: str,
+    table: str,
+    *,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    batch_size: int = 10_000,
+    isolation_level: str = "READ_COMMITTED",
+    num_partitions: int | None = None,
+) -> dict[str, str]:
+    """Options for the JDBC sink/source, as a pure inspectable dict.
+
+    ``batchsize`` is the JDBC statement batch (the analogue of the
+    reference's 100-row Spanner mutation batches,
+    ``batch_pipeline/write_session_batch.py:91-103``); ``numPartitions``
+    caps concurrent connections — at scale an unbounded writer is a
+    database-side connection storm, so size it to what the target can
+    absorb, not to the cluster's core count.
+    """
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+        "isolationLevel": isolation_level,
+    }
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    if driver is not None:
+        opts["driver"] = driver
+    if num_partitions is not None:
+        opts["numPartitions"] = str(num_partitions)
+    return opts
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append", **kwargs
+) -> None:
+    """External-database sink — the Spark-native form of the reference's
+    Spanner batch insert (``write_session_batch.py:91-103``) and BigQuery
+    append (``write_session_stream.py:107-112``): executors write
+    partition-parallel batched INSERTs instead of a driver-side row
+    loop. Config-gated: needs the target's JDBC driver jar on the
+    classpath (none ships in this container; tests cover the option
+    surface)."""
+    df.write.mode(mode).format("jdbc").options(**jdbc_options(url, table, **kwargs)).save()
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """JDBC source. Without a partition column the whole table arrives
+    through ONE connection — always pass (partitionColumn, lowerBound,
+    upperBound, numPartitions) for anything bigger than a dim table."""
+    opts = jdbc_options(url, table, num_partitions=num_partitions, **kwargs)
+    if partition_column is not None:
+        opts["partitionColumn"] = partition_column
+        opts["lowerBound"] = str(lower_bound)
+        opts["upperBound"] = str(upper_bound)
+    return spark.read.format("jdbc").options(**opts).load()
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink (built-in columnar alternative; same pushdown/pruning
     surface as parquet)."""

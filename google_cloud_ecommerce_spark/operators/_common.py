@@ -39,6 +39,22 @@ N_PROJECTIONS = 8
 EMBED_DIM = 64
 PROJECTIONS = [[float(v) for v in row] for row in _rng.randn(N_PROJECTIONS, EMBED_DIM)]
 
+# Banded sign-LSH for embedding near-dup candidate generation: 4 bands
+# of 6 hyperplanes. A pair is a candidate iff some band's full 6-bit
+# sign key matches (OR-of-ANDs — the classic LSH amplification). At the
+# 0.9-cosine threshold the per-hyperplane agreement is ~0.86, so band
+# recall is 0.86^6 ≈ 0.39 and 4-band recall 1-(1-0.39)^4 ≈ 0.86,
+# rising steeply toward 1 for truer duplicates — while candidates drop
+# to ~4/64 of the pair space instead of all of it.
+# NOTE: drawn AFTER the arrays above — appending keeps every previously
+# inlined literal (minhash coefficients, projections) bit-identical.
+DEDUP_N_BANDS = 4
+DEDUP_BAND_BITS = 6
+DEDUP_PROJECTIONS = [
+    [float(v) for v in row]
+    for row in _rng.randn(DEDUP_N_BANDS * DEDUP_BAND_BITS, EMBED_DIM)
+]
+
 
 def tokens_expr(col: str = "text") -> str:
     """Whitespace tokens, empty strings dropped (engine-neutral)."""

@@ -12,11 +12,14 @@ Five families, each a ``queries()`` entry with a DuckDB oracle:
   simhash        60-bit sign-fingerprint; hamming<=3 pairs found via the
                  4-band pigeonhole trick (a pair within distance 3 must
                  agree on at least one of 4 bands) — again no n^2 scan.
-  n-gram Jaccard 3-word shingle inverted index self-join (exact, for the
-                 high-threshold regime where the index join is sparse)
+  n-gram Jaccard 3-word shingle inverted index self-join, with standard
+                 document-frequency pruning (boilerplate shingles above
+                 max(20, 1% of corpus) dropped before the join — a hot
+                 shingle contributes df² join rows otherwise)
   embedding      cosine >= threshold near-dup pairs on the embedding
-                 column (brute-force form here; the LSH-bucketed scale
-                 path lives in operators/similarity.py)
+                 column via banded sign-LSH candidates + exact verify
+                 (no all-pairs scan; the query-time ANN path lives in
+                 operators/similarity.py)
 
 All hashing is md5-derived and all folds are explicit left-folds, so
 every value is bit-identical across engines (see operators/_common.py).
@@ -344,13 +347,41 @@ _SHINGLE_SQL = (
 )
 
 
+NGRAM_MAX_DF_FLOOR = 20  # shingles in more docs than max(20, 1% of corpus)
+NGRAM_MAX_DF_FRAC = 0.01  # are boilerplate, dropped before the index join
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs >= threshold via inverted-index join."""
+    """3-gram Jaccard pairs >= threshold via a DF-pruned inverted index.
+
+    Standard inverted-index pruning: shingles whose document frequency
+    exceeds max(NGRAM_MAX_DF_FLOOR, NGRAM_MAX_DF_FRAC * n_docs) are
+    boilerplate (headers, templates) and are dropped BEFORE the
+    self-join — a hot shingle otherwise contributes df² join rows and
+    quadratically blows its bucket at scale. Jaccard is computed over
+    the pruned shingle universe (stopword-removal semantics, identical
+    in the oracle); the cap is relative to corpus size so it stays
+    meaningful at any scale factor.
+    """
     sh = (
         _docs(spark, sf_dir)
         .select("doc_id", F.expr(tokens_expr("text")).alias("toks"))
         .select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle"))
     )
+    max_df = _docs(spark, sf_dir).agg(
+        F.greatest(
+            F.lit(NGRAM_MAX_DF_FLOOR),
+            F.ceil(F.count("*") * NGRAM_MAX_DF_FRAC).cast("long"),
+        ).alias("max_df")
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .join(F.broadcast(max_df))
+        .filter(F.col("df") > F.col("max_df"))
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -377,8 +408,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_ngram_sql() -> str:
     return f"""
         WITH docs_t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
-        sh AS (
+        sh_all AS (
             SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM docs_t
+        ), params AS (
+            SELECT greatest({NGRAM_MAX_DF_FLOOR},
+                            CAST(ceil(count(*) * {NGRAM_MAX_DF_FRAC}) AS BIGINT))
+                   AS max_df
+            FROM documents
+        ), hot AS (
+            SELECT shingle FROM sh_all, params
+            GROUP BY shingle, max_df
+            HAVING count(DISTINCT doc_id) > max_df
+        ), sh AS (
+            SELECT sh_all.* FROM sh_all ANTI JOIN hot USING (shingle)
         ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -396,22 +438,73 @@ def _dedup_ngram_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup (brute-force form; LSH scale path in
-# operators/similarity.py)
+# Embedding-cosine near-dup — banded sign-LSH candidate generation
+# (OR of 4 six-bit band-key matches), then the exact cosine verify on
+# the surviving pairs only. The former all-pairs `<` self-join is gone:
+# the join key is (band, key), so work scales with band collisions
+# (~4/64 of the pair space for random directions), never n². Same
+# banding literals inlined into the oracle, so the operator's contract
+# — "banded near-dup, recall ≈0.86 at the 0.9 boundary and →1 for
+# truer dups" — is verified end to end. The exhaustive scan has no
+# registry entry by design; at 100 TB it has no runnable form.
 # ---------------------------------------------------------------------------
 
 
+def _dedup_band_key_expr(band: int) -> str:
+    """Spark: the 6-bit sign key of one dedup band."""
+    from google_cloud_ecommerce_spark.operators._common import (
+        DEDUP_BAND_BITS,
+        DEDUP_PROJECTIONS,
+        spark_double_array,
+    )
+
+    terms = []
+    for p in range(DEDUP_BAND_BITS):
+        proj = spark_double_array(DEDUP_PROJECTIONS[band * DEDUP_BAND_BITS + p])
+        terms.append(f"IF({dot_expr('v', proj)} > 0, shiftleft(1L, {p}), 0L)")
+    return " + ".join(terms)
+
+
+def _dedup_band_key_sql(band: int) -> str:
+    from google_cloud_ecommerce_spark.operators._common import (
+        DEDUP_BAND_BITS,
+        DEDUP_PROJECTIONS,
+        sql_double_array,
+    )
+
+    terms = []
+    for p in range(DEDUP_BAND_BITS):
+        proj = sql_double_array(DEDUP_PROJECTIONS[band * DEDUP_BAND_BITS + p])
+        terms.append(
+            f"CASE WHEN {dot_sql('v', proj)} > 0 THEN (1::BIGINT << {p}) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.operators._common import DEDUP_N_BANDS
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     with_norm = emb.select(
         "vec_id", "v", F.expr(f"sqrt({dot_expr('v', 'v')})").alias("norm")
     )
-    a = with_norm.alias("a")
-    b = with_norm.alias("b")
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'key', {_dedup_band_key_expr(b)})"
+        for b in range(DEDUP_N_BANDS)
+    )
+    bands = with_norm.select(
+        "vec_id", "v", "norm", F.explode(F.expr(f"array({band_structs})")).alias("bk")
+    ).select("vec_id", "v", "norm", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -420,19 +513,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .distinct()  # a pair may match in several bands
     )
 
 
 def _dedup_embedding_sql() -> str:
+    from google_cloud_ecommerce_spark.operators._common import DEDUP_N_BANDS
+
+    band_selects = "\n            UNION ALL\n".join(
+        f"            SELECT vec_id, v, norm, {b} AS band,"
+        f" {_dedup_band_key_sql(b)} AS key FROM n"
+        for b in range(DEDUP_N_BANDS)
+    )
     return f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ), n AS (
             SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        ), bands AS (
+{band_selects}
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND({dot_sql('a.v', 'b.v')} / (a.norm * b.norm), 4) AS cosine
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
         WHERE ROUND({dot_sql('a.v', 'b.v')} / (a.norm * b.norm), 4)
               >= {COSINE_DUP_THRESHOLD}
     """

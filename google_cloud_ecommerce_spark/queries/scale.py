@@ -236,28 +236,34 @@ ORACLE["rolling_weekly_active_users"] = ROLLING_WEEKLY_ACTIVE_USERS_SQL
 
 
 # ---------------------------------------------------------------------------
-# user_activity_bitmap — day-presence bitmaps: one BIGINT per user whose
-# bit d is set iff the user was active on day-of-month d. bit_or is a
-# mergeable aggregate (partial-combinable like sum), so "distinct active
-# days" costs one shuffle of 8-byte masks instead of a distinct over
-# (user, day) pairs — the roaring-bitmap rollup pattern at engine scale,
-# here in its 64-bit-window form. Output is the engagement histogram:
-# how many users were active exactly k days.
+# user_activity_bitmap — day-presence bitmaps: one BIGINT per (user,
+# month) whose bit d is set iff the user was active on day-of-month d.
+# bit_or is a mergeable aggregate (partial-combinable like sum), so
+# "distinct active days" costs one shuffle of 8-byte masks instead of a
+# distinct over (user, day) pairs — the roaring-bitmap rollup pattern
+# at engine scale, here in its 64-bit-window form. Masking per MONTH
+# (not one global mask keyed on day-of-month) keeps the count exact for
+# corpora spanning any number of months: distinct days across months
+# land in distinct masks and sum cleanly. Output is the engagement
+# histogram: how many users were active exactly k days.
 # ---------------------------------------------------------------------------
 
 
 def user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    masks = (
+    month_masks = (
         ev.select(
             "user_id",
+            F.date_trunc("month", "ts").alias("month"),
             F.expr("shiftleft(1L, dayofmonth(ts))").alias("day_bit"),
         )
-        .groupBy("user_id")
+        .groupBy("user_id", "month")
         .agg(F.expr("bit_or(day_bit)").alias("days_mask"))
-        .withColumn("n_active_days", F.expr("bit_count(days_mask)").cast("long"))
     )
-    return masks.groupBy("n_active_days").agg(
+    per_user = month_masks.groupBy("user_id").agg(
+        F.sum(F.expr("bit_count(days_mask)")).cast("long").alias("n_active_days")
+    )
+    return per_user.groupBy("n_active_days").agg(
         F.count("*").alias("n_users"),
         F.min("user_id").alias("min_user"),
         F.max("user_id").alias("max_user"),
@@ -266,11 +272,12 @@ def user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 USER_ACTIVITY_BITMAP_SQL = """
     WITH masks AS (
-        SELECT user_id, bit_or(1::BIGINT << dayofmonth(ts)) AS days_mask
-        FROM events GROUP BY 1
+        SELECT user_id, date_trunc('month', ts) AS month,
+               bit_or(1::BIGINT << dayofmonth(ts)) AS days_mask
+        FROM events GROUP BY 1, 2
     ), counted AS (
-        SELECT user_id, CAST(bit_count(days_mask) AS BIGINT) AS n_active_days
-        FROM masks
+        SELECT user_id, CAST(SUM(bit_count(days_mask)) AS BIGINT) AS n_active_days
+        FROM masks GROUP BY 1
     )
     SELECT n_active_days, count(*) AS n_users,
            min(user_id) AS min_user, max(user_id) AS max_user

@@ -582,7 +582,10 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
     return (
         ev.withColumn("k", k)
-        .groupBy(F.expr("k DIV 25").alias("k_band"))
+        # floor(k/25.0), not k DIV 25: Spark DIV truncates toward zero
+        # while floor division rounds down, so the two diverge for
+        # negative k — the floor form is sign-stable across engines
+        .groupBy(F.expr("CAST(floor(k / 25.0) AS BIGINT)").alias("k_band"))
         .agg(
             F.count("*").alias("n_events"),
             F.count_distinct("k").alias("n_keys"),
@@ -596,7 +599,7 @@ PROPS_VARIANT_STATS_SQL = f"""
         SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k, value
         FROM events
     )
-    SELECT k // 25 AS k_band, count(*) AS n_events,
+    SELECT CAST(floor(k / 25.0) AS BIGINT) AS k_band, count(*) AS n_events,
            count(DISTINCT k) AS n_keys,
            {_dsum_sql('value')} AS sum_value
     FROM parsed GROUP BY 1

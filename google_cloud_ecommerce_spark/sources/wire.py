@@ -64,14 +64,17 @@ N_FIELDS = 6
 
 
 def _parse_line(line: str):
+    # '' is the wire encoding of NULL for EVERY column (the writer side
+    # — write_wire_dir and WireBatchWriter — emits '' for None in every
+    # position, so a null can never shift later fields)
     parts = line.split(",", N_FIELDS - 1)
     event_id, ts, user_id, event_type, value, props = parts
     return (
-        int(event_id),
-        dt.datetime.strptime(ts, _TS_FMT),
-        int(user_id),
-        event_type,
-        float(value),
+        int(event_id) if event_id else None,
+        dt.datetime.strptime(ts, _TS_FMT) if ts else None,
+        int(user_id) if user_id else None,
+        event_type if event_type else None,
+        float(value) if value else None,
         props if props != "" else None,
     )
 
@@ -228,14 +231,17 @@ def write_wire_dir(
 
     out = out or tempfile.mkdtemp(prefix="spark_graft_wire_")
     events = load_table(spark, sf_dir, "events")
+    # every field NULL-coalesced BEFORE concat_ws: concat_ws silently
+    # drops null args, which would shift all later positions and leave a
+    # short line the parser can't decode
     lines = events.select(
         F.concat_ws(
             ",",
-            F.col("event_id"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-            F.col("user_id"),
-            F.col("event_type"),
-            F.col("value").cast("string"),
+            F.coalesce(F.col("event_id").cast("string"), F.lit("")),
+            F.coalesce(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("")),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+            F.coalesce(F.col("event_type"), F.lit("")),
+            F.coalesce(F.col("value").cast("string"), F.lit("")),
             F.coalesce(F.col("props"), F.lit("")),
         ).alias("value")
     )
@@ -261,12 +267,12 @@ def write_wire_dir(
 
 def _safe_register(spark: SparkSession) -> None:
     # pushFilters is rejected outright unless the (runtime-settable)
-    # python filter-pushdown flag is on.
+    # python filter-pushdown flag is on. Re-registration is safe: the
+    # DataSourceManager replaces the prior entry (with a warning), so a
+    # genuine registration failure propagates instead of being
+    # swallowed and resurfacing later as DATA_SOURCE_NOT_FOUND.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        register(spark)
-    except Exception:
-        pass  # already registered in this session
+    register(spark)
 
 
 def wire_format_source(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,3 +92,35 @@ def test_wire_props_commas_survive():
     assert row[0] == 7 and row[2] == 42 and row[4] == 1.5
     assert row[5] == '{"k": 69, "tags": [1,2]}'
     assert _parse_line("1,2024-01-02 03:04:05.000000,2,cart,0.5,")[5] is None
+
+
+def test_wire_null_in_every_field_roundtrips(spark, tmp_path):
+    """'' encodes NULL for EVERY column, writer and parser agreeing —
+    a null field must come back as NULL, never shift later positions or
+    crash the parse."""
+    import datetime as dt
+
+    from google_cloud_ecommerce_spark.sources.wire import (
+        WIRE_FORMAT,
+        WIRE_SCHEMA,
+        _safe_register,
+    )
+
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5, 6)
+    rows = [
+        (None, ts, 2, "view", 1.5, "p"),
+        (10, None, 2, "view", 1.5, "p"),
+        (11, ts, None, "view", 1.5, "p"),
+        (12, ts, 2, None, 1.5, "p"),
+        (13, ts, 2, "view", None, "p"),
+        (14, ts, 2, "view", 1.5, None),
+    ]
+    src = spark.createDataFrame(rows, WIRE_SCHEMA)
+    _safe_register(spark)
+    out = str(tmp_path / "wire_nulls")
+    src.write.format(WIRE_FORMAT).option("path", out).mode("append").save()
+    back = spark.read.format(WIRE_FORMAT).load(out)
+    key = lambda t: tuple(map(repr, t))  # noqa: E731 — None-safe sort
+    assert sorted(map(tuple, back.collect()), key=key) == sorted(
+        map(tuple, src.collect()), key=key
+    )

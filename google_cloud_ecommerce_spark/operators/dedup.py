@@ -638,6 +638,67 @@ def _dedup_clusters_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Keeper selection — the decision step that turns clusters into a
+# deduplicated corpus: per near-dup cluster keep the highest-quality
+# member (quality from operators/text.text_quality; ties to the lowest
+# doc_id). Implemented as the struct-max argmax (same pattern as
+# changelog_compaction: map-side partial combine, ONE shuffle, no
+# per-cluster window sort) — at 100 TB the cluster table is small but
+# the pattern must still partially aggregate. The oracle spells it as
+# the row_number window, proving both forms agree.
+# ---------------------------------------------------------------------------
+
+
+def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.operators.text import text_quality
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    joined = clusters.join(quality, "doc_id")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("best"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).cast("long").alias("keeper_doc"),
+            F.col("best.quality_score").alias("keeper_quality"),
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+    )
+
+
+def _dedup_keeper_sql() -> str:
+    from google_cloud_ecommerce_spark.operators.text import _text_quality_sql
+
+    return f"""
+        WITH clusters AS ({_dedup_clusters_sql()}),
+        q AS ({_text_quality_sql()}),
+        j AS (
+            SELECT c.cluster_id, c.doc_id, q.quality_score
+            FROM clusters c JOIN q USING (doc_id)
+        ), ranked AS (
+            SELECT cluster_id, doc_id, quality_score,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY quality_score DESC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM j
+        )
+        SELECT cluster_id, doc_id AS keeper_doc, quality_score AS keeper_quality,
+               n_members, n_members - 1 AS n_dropped
+        FROM ranked WHERE rn = 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup — the steady-state form of the pipeline: an
 # arriving batch (here the doc_id % 10 = 9 slice, standing in for
 # "today's crawl") is checked against the existing corpus by content
@@ -696,6 +757,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
     "incremental_dedup": incremental_dedup,
+    "dedup_keeper_selection": dedup_keeper_selection,
 }
 
 ORACLE = {
@@ -707,4 +769,5 @@ ORACLE = {
     "dedup_embedding_cosine": _dedup_embedding_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
+    "dedup_keeper_selection": _dedup_keeper_sql(),
 }

@@ -161,3 +161,36 @@ def test_media_frame_sample_stride_and_determinism(spark, crafted_sf):
     idx = [r.frame_index for r in by_doc[0]]
     assert all(b - a == multimodal.FRAME_STRIDE for a, b in zip(idx, idx[1:]))
     assert all(0 < r.frame_bytes <= multimodal.FRAME_BYTES for r in rows)
+
+
+def test_keeper_selection_properties(spark, sf_smoke):
+    """One keeper per cluster; the keeper belongs to its cluster and has
+    the cluster's max quality (ties to lowest doc_id)."""
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keeper_selection,
+    )
+    from google_cloud_ecommerce_spark.operators.text import text_quality
+
+    keepers = dedup_keeper_selection(spark, sf_smoke).collect()
+    assert len({r.cluster_id for r in keepers}) == len(keepers)
+
+    clusters = dedup_clusters(spark, sf_smoke)
+    quality = text_quality(spark, sf_smoke).select("doc_id", "quality_score")
+    members = {
+        (r.cluster_id, r.doc_id): r.quality_score
+        for r in clusters.join(quality, "doc_id").collect()
+    }
+    by_cluster: dict[int, list[tuple[float, int]]] = {}
+    for (cid, doc), q in members.items():
+        by_cluster.setdefault(cid, []).append((q, doc))
+    for r in keepers:
+        assert (r.cluster_id, r.keeper_doc) in members
+        best_q, best_doc = max(
+            (q, -d) for q, d in by_cluster[r.cluster_id]
+        )
+        assert r.keeper_doc == -best_doc and r.keeper_quality == best_q
+        assert r.n_members == len(by_cluster[r.cluster_id])
+        assert r.n_dropped == r.n_members - 1

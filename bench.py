@@ -70,10 +70,48 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_ORACLE_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _time_oracles(names: list[str], repeat: int) -> dict[str, float]:
+    """Time the DuckDB oracle of each named query on the same parquet —
+    the measured anchor for the 'within 2x of baseline' bar. Same
+    discipline as the Spark side: one warm run, then min of N."""
+    import duckdb
+
+    from google_cloud_ecommerce_spark.queries import all_oracles
+
+    conn = duckdb.connect()
+    conn.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in _ORACLE_TABLES:
+        conn.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    oracles = all_oracles()
+    timings: dict[str, float] = {}
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        conn.execute(sql).fetchall()  # warm
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            conn.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+    return timings
+
+
 def main() -> None:
     repeat = 1
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    with_oracle = "--with-oracle" in sys.argv
 
     spark = get_spark(app_name="bench")
     queries = all_queries()
@@ -99,22 +137,27 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "methodology": (
-                    "per-query warm run, then min of N timed runs "
-                    "(steady-state); full materialization via noop sink "
-                    "(all output columns evaluated, no column pruning)"
-                ),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "methodology": (
+            "per-query warm run, then min of N timed runs "
+            "(steady-state); full materialization via noop sink "
+            "(all output columns evaluated, no column pruning)"
+        ),
+    }
+    if with_oracle:
+        oracle = _time_oracles(HEADLINE, repeat)
+        shared = [n for n in oracle if n in timings]
+        spark_total = sum(timings[n] for n in shared)
+        duck_total = sum(oracle[n] for n in shared)
+        out["oracle"] = oracle
+        out["oracle_total"] = round(duck_total, 4)
+        out["spark_vs_oracle_ratio"] = round(spark_total / duck_total, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

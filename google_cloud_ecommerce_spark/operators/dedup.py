@@ -748,6 +748,85 @@ INCREMENTAL_DEDUP_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Segment-level exact dedup — the C4/RefinedWeb "line dedup" adapted to
+# this corpus's structure (no punctuation, so the segment unit is a
+# fixed 10-token non-overlapping window instead of a sentence). A
+# segment instance is duplicated iff its md5 occurs more than once
+# corpus-wide; a document is flagged when more than half its segments
+# are duplicated elsewhere (the boilerplate gate). Plan: explode is
+# narrow, then ONE shuffle on the 16-byte segment digest (window
+# count) and one on doc_id (the roll-up) — linear at any corpus size,
+# and the digest shuffle is the same one exact dedup already pays.
+# Docs shorter than one full window have no segments and are excluded
+# (documented contract; the quality gate handles short docs).
+# ---------------------------------------------------------------------------
+
+SEGMENT_TOKENS = 10
+SEGMENT_DUP_SHARE_THRESHOLD = 0.5
+
+
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = SEGMENT_TOKENS
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
+        # guard BEFORE sequence(): Spark's sequence(1, 0) counts DOWN
+        # ([1, 0]) instead of returning empty like DuckDB's range(1, 1)
+        .filter(F.expr(f"size(toks) >= {n}"))
+    )
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) DIV {n}), "
+                f"w -> md5(array_join(slice(toks, (w - 1) * {n} + 1, {n}), ' ')))"
+            )
+        ).alias("seg_hash"),
+    )
+    inst = segs.withColumn("n_occ", F.count("*").over(W.partitionBy("seg_hash")))
+    dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+    per_doc = inst.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        dup.alias("n_dup_segments"),
+    )
+    share = F.col("n_dup_segments").cast("double") / F.col("n_segments")
+    return per_doc.select(
+        "doc_id",
+        "n_segments",
+        "n_dup_segments",
+        share.alias("dup_share"),
+        (share > F.lit(SEGMENT_DUP_SHARE_THRESHOLD)).cast("long").alias("is_flagged"),
+    )
+
+
+def _dedup_segments_sql() -> str:
+    n = SEGMENT_TOKENS
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+        ), segs AS (
+            -- len(toks) // {n} is non-negative here, so // == DIV
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) // {n} + 1),
+                       w -> md5(array_to_string(
+                                list_slice(toks, (w - 1) * {n} + 1, w * {n}), ' '))))
+                       AS seg_hash
+            FROM toks WHERE len(toks) >= {n}
+        ), inst AS (
+            SELECT doc_id, count(*) OVER (PARTITION BY seg_hash) AS n_occ FROM segs
+        )
+        SELECT doc_id, count(*) AS n_segments,
+               CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_segments,
+               CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                   AS dup_share,
+               CAST(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*) > {SEGMENT_DUP_SHARE_THRESHOLD} AS BIGINT) AS is_flagged
+        FROM inst GROUP BY 1
+    """
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -758,6 +837,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "incremental_dedup": incremental_dedup,
     "dedup_keeper_selection": dedup_keeper_selection,
+    "dedup_segments": dedup_segments,
 }
 
 ORACLE = {
@@ -770,4 +850,5 @@ ORACLE = {
     "dedup_clusters": _dedup_clusters_sql(),
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "dedup_keeper_selection": _dedup_keeper_sql(),
+    "dedup_segments": _dedup_segments_sql(),
 }

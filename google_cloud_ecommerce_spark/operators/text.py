@@ -513,3 +513,71 @@ def _text_repetition_sql() -> str:
 
 QUERIES["text_repetition"] = text_repetition
 ORACLE["text_repetition"] = _text_repetition_sql()
+
+
+# ---------------------------------------------------------------------------
+# pii_redaction — the scrubbing pass every pretraining corpus gets
+# before training: emails / SSN-shaped ids / phone-shaped numbers are
+# replaced by typed placeholder tokens and counted. Purely per-row
+# regexp work (regexp_extract_all + chained regexp_replace), all
+# JVM-side built-ins — embarrassingly parallel, zero shuffle, stays in
+# whole-stage codegen at any corpus size. The patterns use only regex
+# syntax with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): literal classes, \d, \b, bounded repetition.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    # order matters: SSN (3-2-4) before phone (3-3-4) would also work,
+    # but emails first keeps digit patterns from touching addresses.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_<kind> counts, n_redactions, and a `redacted` column.
+
+    Reusable on any DataFrame with a string column; the registry entry
+    below applies it to ``documents``.
+    """
+    out = df
+    redacted = F.col(text_col)
+    total = F.lit(0).cast("long")
+    for kind, pattern, token in PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
+        out = out.withColumn(f"n_{kind}", n.cast("long"))
+        total = total + F.col(f"n_{kind}")
+        redacted = F.regexp_replace(redacted, pattern, token)
+    return out.withColumn("n_redactions", total).withColumn("redacted", redacted)
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return redact_pii(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
+
+
+def _pii_redaction_sql() -> str:
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{kind}"
+        for kind, p, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
+    replaced = "text"
+    for _, p, token in PII_PATTERNS:
+        replaced = f"regexp_replace({replaced}, '{p}', '{token}', 'g')"
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+               {counts},
+               {replaced} AS redacted
+            FROM documents
+        )
+        SELECT doc_id, n_email, n_ssn, n_phone,
+               CAST(n_email + n_ssn + n_phone AS BIGINT) AS n_redactions,
+               redacted
+        FROM c
+    """
+
+
+QUERIES["pii_redaction"] = pii_redaction
+ORACLE["pii_redaction"] = _pii_redaction_sql()

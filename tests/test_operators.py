@@ -194,3 +194,50 @@ def test_keeper_selection_properties(spark, sf_smoke):
         assert r.keeper_doc == -best_doc and r.keeper_quality == best_q
         assert r.n_members == len(by_cluster[r.cluster_id])
         assert r.n_dropped == r.n_members - 1
+
+
+def test_pii_redaction_fires_on_known_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "contact me at jane.doe+spam@mail.example.org or 555-123-4567 ok"),
+            (1, "ssn 123-45-6789 appears twice 123-45-6789 here"),
+            (2, "clean text with no sensitive content at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.redact_pii(df).collect()}
+    assert rows[0].n_email == 1 and rows[0].n_phone == 1 and rows[0].n_ssn == 0
+    assert rows[0].redacted == "contact me at <EMAIL> or <PHONE> ok"
+    assert rows[1].n_ssn == 2 and rows[1].n_redactions == 2
+    assert rows[1].redacted == "ssn <SSN> appears twice <SSN> here"
+    assert rows[2].n_redactions == 0 and rows[2].redacted == rows[2].text
+
+
+def test_dedup_segments_flags_boilerplate(spark, tmp_path):
+    # 20-token docs = two 10-token segments each. Doc 0 and 1 share both
+    # segments (exact dup -> share 1.0); doc 2 shares only the first
+    # (share 0.5, NOT flagged at the strict > 0.5 gate); doc 3 unique.
+    seg_a = "a b c d e f g h i j"
+    seg_b = "k l m n o p q r s t"
+    seg_c = "u v w x y z aa bb cc dd"
+    seg_d = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{seg_a} {seg_b}", "en", "s", 40),
+            (1, f"{seg_a} {seg_b}", "en", "s", 40),
+            (2, f"{seg_a} {seg_c}", "en", "s", 40),
+            (3, f"{seg_d} {seg_d.upper()}", "en", "s", 40),
+            (4, "too short", "en", "s", 9),  # < 10 tokens: excluded
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "segsf"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    rows = {r.doc_id: r for r in dedup.dedup_segments(spark, str(d)).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[0].dup_share == 1.0 and rows[0].is_flagged == 1
+    assert rows[1].is_flagged == 1
+    assert rows[2].n_dup_segments == 1 and rows[2].dup_share == 0.5
+    assert rows[2].is_flagged == 0
+    # doc 3 lowercases to two IDENTICAL segments -> self-duplicated
+    assert rows[3].n_dup_segments == 2 and rows[3].is_flagged == 1

@@ -409,3 +409,53 @@ TRAIN_EVAL_SPLIT_SQL = f"""
 
 QUERIES["train_eval_split"] = train_eval_split
 ORACLE["train_eval_split"] = TRAIN_EVAL_SPLIT_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture_sample — deterministic weighted downsampling to a
+# target language mixture (the "data mixing" step of pretraining-corpus
+# assembly: upweight/downweight sources without materializing random
+# state). Keep a doc iff a salted md5 hash-bucket of its id falls under
+# the language's acceptance threshold — a pure per-row filter (no
+# shuffle, no RNG, reproducible across engines and across reruns at any
+# scale; the salt decorrelates it from the train/eval split hash).
+# ---------------------------------------------------------------------------
+
+MIXTURE_DENOM = 10_000
+# acceptance per 10k: keep all English, downsample the rest
+MIXTURE_WEIGHTS = {"en": 10_000, "de": 6_000, "es": 6_000, "fr": 6_000, "zh": 3_000}
+MIXTURE_SALT = "mix:"
+
+
+def _mixture_threshold_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {w}" for lang, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"CASE lang {whens} ELSE {MIXTURE_DENOM} END"
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        f"CAST(conv(substr(md5(concat('{MIXTURE_SALT}', CAST(doc_id AS STRING))), 1, 15), "
+        f"16, 10) AS BIGINT) % {MIXTURE_DENOM}"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.expr(f"({bucket}) < ({_mixture_threshold_case()})"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _corpus_mixture_sample_sql() -> str:
+    bucket = (
+        f"(('0x' || substr(md5('{MIXTURE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {MIXTURE_DENOM})"
+    )
+    return f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {bucket} < ({_mixture_threshold_case()})
+    """
+
+
+QUERIES["corpus_mixture_sample"] = corpus_mixture_sample
+ORACLE["corpus_mixture_sample"] = _corpus_mixture_sample_sql()

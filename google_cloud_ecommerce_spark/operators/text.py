@@ -581,3 +581,111 @@ def _pii_redaction_sql() -> str:
 
 QUERIES["pii_redaction"] = pii_redaction
 ORACLE["pii_redaction"] = _pii_redaction_sql()
+
+
+# ---------------------------------------------------------------------------
+# bm25_search — ranked keyword retrieval (Okapi BM25) for a fixed term
+# set, the scoring step behind corpus search / quality-by-query-match.
+# One pass computes ALL corpus statistics (doc count, total length,
+# per-term document frequencies) in a single aggregate; that one-row
+# stats frame is broadcast and cross-joined, so the corpus itself never
+# shuffles — per-doc term frequencies and scores are map-side column
+# expressions. At 100 TB this is one scan + a 1-row broadcast.
+#
+# Float determinism: the scoring formula is emitted from ONE Python
+# template into both engines, so the IEEE operation order is identical;
+# per-term scores are summed left-to-right in expression order (never
+# an aggregate over doubles, whose order is partition-dependent). The
+# one non-portable op is ln() itself (libm vs JVM differ in the last
+# ulp), so the OUTPUT score is rounded to 4 decimals and the top-k
+# order/cutoff uses the rounded value — the same load-bearing ROUND
+# policy as the cosine near-dup threshold.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "window", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def _bm25_score_tpl(tf: str, df: str, dl: str) -> str:
+    """Engine-neutral BM25 term score (identical text in both engines)."""
+    k1, k1p1 = repr(BM25_K1), repr(BM25_K1 + 1.0)
+    b, omb = repr(BM25_B), repr(1.0 - BM25_B)
+    idf = f"ln((CAST(n_docs - {df} AS DOUBLE) + 0.5) / (CAST({df} AS DOUBLE) + 0.5) + 1.0)"
+    return (
+        f"{idf} * ((CAST({tf} AS DOUBLE) * {k1p1}) / (CAST({tf} AS DOUBLE) + "
+        f"{k1} * ({omb} + {b} * {dl} / (CAST(sum_dl AS DOUBLE) / n_docs))))"
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
+    )
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("size(toks)")).alias("sum_dl"),
+        *[
+            F.sum(F.array_contains(F.col("toks"), t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    j = toks.crossJoin(F.broadcast(stats))
+    for i, t in enumerate(BM25_TERMS):
+        tf = f"size(filter(toks, x -> x = '{t}'))"
+        j = j.withColumn(f"tf_{t}", F.expr(tf).cast("long")).withColumn(
+            f"s_{i}", F.expr(_bm25_score_tpl(tf, f"df_{i}", "CAST(size(toks) AS DOUBLE)"))
+        )
+    total = " + ".join(f"s_{i}" for i in range(len(BM25_TERMS)))
+    return (
+        j.withColumn("score", F.expr(f"round({total}, 4)"))
+        .filter("score > 0.0")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .select("doc_id", *[f"tf_{t}" for t in BM25_TERMS], "score")
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_search_sql() -> str:
+    dfs = ",\n                   ".join(
+        f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    tf_cols = ",\n                   ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    s_cols = ",\n                   ".join(
+        _bm25_score_tpl(
+            f"len(list_filter(toks, x -> x = '{t}'))",
+            f"df_{i}",
+            "CAST(len(toks) AS DOUBLE)",
+        )
+        + f" AS s_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    total = " + ".join(f"s_{i}" for i in range(len(BM25_TERMS)))
+    tf_names = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+        ), stats AS (
+            SELECT count(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS sum_dl,
+                   {dfs}
+            FROM toks
+        ), scored AS (
+            SELECT doc_id,
+                   {tf_cols},
+                   {s_cols}
+            FROM toks CROSS JOIN stats
+        )
+        SELECT doc_id, {tf_names}, ROUND({total}, 4) AS score
+        FROM scored WHERE ROUND({total}, 4) > 0.0
+        ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+    """
+
+
+QUERIES["bm25_search"] = bm25_search
+ORACLE["bm25_search"] = _bm25_search_sql()

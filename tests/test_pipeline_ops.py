@@ -139,3 +139,38 @@ def test_corpus_prep_monotone_and_consistent(spark, sf_smoke):
             .collect()[0][0]
         )
         assert r.n_chunks <= r.n_docs * (max_chars // CHUNK_STRIDE + 1)
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        MIXTURE_DENOM,
+        MIXTURE_WEIGHTS,
+        corpus_mixture_sample,
+    )
+
+    kept = {r.lang: r.n for r in corpus_mixture_sample(spark, sf_smoke)
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = {r.lang: r.n for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+             .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n_total in total.items():
+        w = MIXTURE_WEIGHTS.get(lang, MIXTURE_DENOM) / MIXTURE_DENOM
+        if w == 1.0:
+            assert kept.get(lang, 0) == n_total  # weight 1.0 keeps everything
+        else:
+            assert kept.get(lang, 0) <= n_total
+    # deterministic: a second run samples the identical id set
+    a = {r.doc_id for r in corpus_mixture_sample(spark, sf_smoke).collect()}
+    b = {r.doc_id for r in corpus_mixture_sample(spark, sf_smoke).collect()}
+    assert a == b
+
+
+def test_bm25_ranks_matching_docs(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.operators.text import BM25_TERMS, BM25_TOP_K, bm25_search
+
+    rows = bm25_search(spark, sf_smoke).collect()
+    assert 0 < len(rows) <= BM25_TOP_K
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:  # every hit matches at least one query term
+        assert sum(r[f"tf_{t}"] for t in BM25_TERMS) > 0
+        assert r.score > 0

@@ -286,3 +286,80 @@ USER_ACTIVITY_BITMAP_SQL = """
 
 QUERIES["user_activity_bitmap"] = user_activity_bitmap
 ORACLE["user_activity_bitmap"] = USER_ACTIVITY_BITMAP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout — multi-dimensional data clustering for file skipping.
+# Interleaving the bits of two filter dimensions (user bucket, day)
+# into one sort key makes a range-partitioned, sorted write produce
+# files whose parquet min/max stats are narrow in BOTH dimensions, so
+# a predicate on EITHER column prunes most files — the standard
+# lakehouse OPTIMIZE ZORDER technique, expressed as pure integer
+# column arithmetic (exact, engine-portable, codegen'd).
+#
+# zorder_write is the layout side: repartitionByRange(z) + sort-within
+# -partitions + parquet. tests/test_bucketing.py asserts the written
+# files' footer stats are rectangles, not full-range stripes.
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8  # 8 bits per dimension -> 16-bit z values
+
+
+def _zorder_terms(x: str, y: str, div: str) -> str:
+    """Sum-of-terms bit interleave using only %, integer division, *."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(({x}) {div} {2**i}) % 2 * {2**(2 * i + 1)}")
+        terms.append(f"(({y}) {div} {2**i}) % 2 * {2**(2 * i)}")
+    return " + ".join(terms)
+
+
+def _zorder_cols(df: DataFrame) -> DataFrame:
+    x = f"user_id % {2**ZORDER_BITS}"
+    y = f"(dayofmonth(ts) - 1) % {2**ZORDER_BITS}"
+    return df.select(
+        "event_id",
+        F.expr(x).cast("long").alias("x_bucket"),
+        F.expr(y).cast("long").alias("y_day"),
+        F.expr(_zorder_terms(x, y, "DIV")).cast("long").alias("zval"),
+    )
+
+
+def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _zorder_cols(load_table(spark, sf_dir, "events"))
+
+
+ZORDER_CURVE_SQL = f"""
+    SELECT event_id,
+           CAST(user_id % {2**ZORDER_BITS} AS BIGINT) AS x_bucket,
+           CAST((dayofmonth(ts) - 1) % {2**ZORDER_BITS} AS BIGINT) AS y_day,
+           CAST({_zorder_terms(f'user_id % {2**ZORDER_BITS}',
+                               f'(dayofmonth(ts) - 1) % {2**ZORDER_BITS}', '//')}
+                AS BIGINT) AS zval
+    FROM events
+"""
+
+
+def zorder_write(df: DataFrame, path: str, n_files: int = 16) -> None:
+    """Write events-shaped df z-order-clustered on (user_id, day)."""
+    with_z = df.withColumn(
+        "zval",
+        F.expr(
+            _zorder_terms(
+                f"user_id % {2**ZORDER_BITS}",
+                f"(dayofmonth(ts) - 1) % {2**ZORDER_BITS}",
+                "DIV",
+            )
+        ).cast("long"),
+    )
+    (
+        with_z.repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+QUERIES["zorder_curve"] = zorder_curve
+ORACLE["zorder_curve"] = ZORDER_CURVE_SQL

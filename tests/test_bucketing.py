@@ -78,3 +78,43 @@ def test_bucketed_join_matches_unbucketed(spark, sf_smoke, bucketed_tables):
         .agg(F.count("*").alias("n"))
     )
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_smoke, tmp_path):
+    """Z-order files must cover RECTANGLES of (user bucket, day) space,
+    not full-range stripes — that narrowness is what lets parquet
+    row-group stats prune on either filter column."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from google_cloud_ecommerce_spark.queries.scale import ZORDER_BITS, zorder_write
+
+    events = load_table(spark, sf_smoke, "events")
+    out = str(tmp_path / "zorder")
+    zorder_write(events, out, n_files=16)
+
+    side = 2**ZORDER_BITS
+    areas, xs, ys = [], [], []
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        t = pq.read_table(f, columns=["user_id", "ts"])
+        x = [u % side for u in t.column("user_id").to_pylist()]
+        y = [(ts.day - 1) % side for ts in t.column("ts").to_pylist()]
+        if not x:
+            continue
+        xr, yr = max(x) - min(x) + 1, max(y) - min(y) + 1
+        xs.append(xr)
+        ys.append(yr)
+        areas.append(xr * yr)
+
+    global_area = side * 31  # user buckets x days in the one-month corpus
+    assert len(areas) >= 8
+    # every file covers a fraction of the 2-D space, and on average a
+    # small one; a linear sort on one column would give full-range
+    # stripes in the other (area ratio ~1 for most files)
+    assert max(areas) / global_area < 0.6
+    assert sum(areas) / len(areas) / global_area < 0.25
+    # neither dimension degenerates to always-full-range
+    assert sum(x < side for x in xs) > len(xs) // 2
+    assert sum(y < 31 for y in ys) > len(ys) // 2

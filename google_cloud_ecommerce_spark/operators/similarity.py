@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from google_cloud_ecommerce_spark.catalog import load_table
 from google_cloud_ecommerce_spark.operators._common import (
+    EMBED_DIM,
     N_PROJECTIONS,
     PROJECTIONS,
     dot_expr,
@@ -641,3 +642,128 @@ QUERIES["similarity_ivf_index_topk"] = similarity_ivf_index_topk
 # index-backed variants are value-identical to the recomputing forms
 ORACLE["similarity_index_topk"] = _similarity_lsh_topk_sql()
 ORACLE["similarity_ivf_index_topk"] = _similarity_ivf_topk_sql()
+
+
+# ---------------------------------------------------------------------------
+# kmeans_assign — Lloyd's k-means as an iterative DataFrame algorithm
+# (the trained form of the IVF cell structure above, whose centroids
+# are fixed corpus rows). Each round:
+#   assign  corpus x broadcast(K centroids) -> argmin squared distance
+#           (row_number tie-broken to the lower centroid id). The
+#           corpus NEVER shuffles for assignment — K rows broadcast.
+#   update  posexplode to (cluster, dim), ONE hash aggregate with
+#           map-side partials; the per-dim mean uses the same
+#           order-independent DECIMAL(18,6) accumulation as
+#           label_centroids, so centroid doubles are bit-identical
+#           across engines and partitionings — which is what makes an
+#           ITERATIVE float algorithm oracle-checkable at all.
+# Rounds are a fixed constant (not convergence-tested): determinism
+# and an unrollable oracle beat a data-dependent stop here; IVF probes
+# don't need convergence, just stable cells. The oracle unrolls both
+# rounds as CTEs.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _sqdist_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _sqdist_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]))), (acc, x) -> acc + x)"
+    )
+
+
+def _kmeans_assign_step(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "sq_dist", F.expr(_sqdist_expr("v", "cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("sq_dist"), F.asc("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "c_id", "sq_dist")
+    )
+
+
+def _kmeans_update_step(assigned: DataFrame) -> DataFrame:
+    per_dim = (
+        assigned.select("c_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("c_id", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.round("val", 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("comp")
+        )
+    )
+    return per_dim.groupBy("c_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, comp))), s -> s.comp)").alias(
+            "cv"
+        )
+    )
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign_step(emb, cents)
+        cents = _kmeans_update_step(assigned)
+    final = _kmeans_assign_step(emb, cents)
+    return final.select(
+        "vec_id",
+        F.col("c_id").alias("cluster_id"),
+        F.round("sq_dist", 4).alias("sq_dist"),
+    )
+
+
+def _kmeans_assign_sql() -> str:
+    def assign(src_e: str, src_c: str, n: int) -> str:
+        return f"""a{n} AS (
+            SELECT e.vec_id, e.v, c.c_id,
+                   {_sqdist_sql('e.v', 'c.cv')} AS sq_dist,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sqdist_sql('e.v', 'c.cv')}, c.c_id
+                   ) AS rk
+            FROM {src_e} e CROSS JOIN {src_c} c
+        ), m{n} AS (
+            SELECT vec_id, v, c_id, sq_dist FROM a{n} WHERE rk = 1
+        )"""
+
+    def update(src_m: str, n: int) -> str:
+        return f"""u{n} AS (
+            SELECT c_id, i AS dim,
+                   CAST(SUM(CAST(ROUND(v[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) AS comp
+            FROM {src_m}, unnest(range(1, {EMBED_DIM + 1})) t(i)
+            GROUP BY 1, 2
+        ), c{n} AS (
+            SELECT c_id, list(comp ORDER BY dim) AS cv FROM u{n} GROUP BY 1
+        )"""
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c0 AS (
+            SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {KMEANS_K}
+        ), {assign('e', 'c0', 1)}, {update('m1', 1)},
+        {assign('e', 'c1', 2)}, {update('m2', 2)},
+        {assign('e', 'c2', 3)}
+        SELECT vec_id, c_id AS cluster_id, ROUND(sq_dist, 4) AS sq_dist FROM m3
+    """
+
+
+QUERIES["kmeans_assign"] = kmeans_assign
+ORACLE["kmeans_assign"] = _kmeans_assign_sql()

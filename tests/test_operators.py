@@ -241,3 +241,37 @@ def test_dedup_segments_flags_boilerplate(spark, tmp_path):
     assert rows[2].is_flagged == 0
     # doc 3 lowercases to two IDENTICAL segments -> self-duplicated
     assert rows[3].n_dup_segments == 2 and rows[3].is_flagged == 1
+
+
+def test_kmeans_assign_properties(spark, sf_smoke):
+    from pyspark.sql import functions as SF
+
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        KMEANS_K,
+        _emb,
+        _kmeans_assign_step,
+        kmeans_assign,
+    )
+
+    out = kmeans_assign(spark, sf_smoke).collect()
+    emb_n = _emb(spark, sf_smoke).count()
+    assert len(out) == emb_n  # every vector assigned exactly once
+    clusters = {r.cluster_id for r in out}
+    assert 1 < len(clusters) <= KMEANS_K
+    assert all(r.sq_dist >= 0 for r in out)
+    # the update step must actually move centroids: assignments after
+    # two Lloyd rounds differ from the nearest-initial-seed partition
+    emb = _emb(spark, sf_smoke).select("vec_id", "v")
+    seeds = emb.filter(SF.col("vec_id") < KMEANS_K).select(
+        SF.col("vec_id").alias("c_id"), SF.col("v").alias("cv")
+    )
+    initial = {
+        r.vec_id: r.c_id for r in _kmeans_assign_step(emb, seeds).collect()
+    }
+    moved = sum(1 for r in out if initial[r.vec_id] != r.cluster_id)
+    assert moved > 0
+    # deterministic across executions
+    again = kmeans_assign(spark, sf_smoke).collect()
+    assert {(r.vec_id, r.cluster_id, r.sq_dist) for r in out} == {
+        (r.vec_id, r.cluster_id, r.sq_dist) for r in again
+    }

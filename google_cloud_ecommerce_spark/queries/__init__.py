@@ -97,10 +97,15 @@ PRIORITY: tuple[str, ...] = (
     "user_activity_bitmap",
     # tpch decorrelation / semi-structured
     "props_json_stats",
-    "product_type_profit",
     "national_market_share",
     "ship_delay_priority",
-    "min_cost_part_suppliers",
+    # ranked retrieval + iterative ML (the sole driver-checked
+    # representatives of their shapes; product_type_profit and
+    # min_cost_part_suppliers rotated out — their decorrelation
+    # patterns stay covered by the three tpch entries above + local
+    # parity)
+    "bm25_search",
+    "kmeans_assign",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",

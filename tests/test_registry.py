@@ -19,10 +19,10 @@ _FAMILY_ANCHORS = {
     "quality": {"data_quality_report"},
     "scale": {"event_type_stats_salted", "user_cardinality"},
     "tpch_extra": {"props_json_stats", "national_market_share"},
-    "tpch_extra2": {"ship_delay_priority", "min_cost_part_suppliers"},
+    "tpch_extra2": {"ship_delay_priority"},
     "dedup": {"dedup_exact", "dedup_minhash_lsh"},
-    "similarity": {"similarity_topk", "similarity_ivf_topk"},
-    "text": {"text_quality", "token_counts"},
+    "similarity": {"similarity_topk", "similarity_ivf_topk", "kmeans_assign"},
+    "text": {"text_quality", "token_counts", "bm25_search"},
     "multimodal": {"media_manifest"},
     "pandas_ops": {"session_stats_pandas"},
     "pipeline": {"doc_chunking", "sequence_packing", "contamination_check"},

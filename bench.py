@@ -56,6 +56,12 @@ HEADLINE = [
     "sequence_packing",
     "contamination_check",
     "sql_udf_revenue_bands",
+    "dedup_segments",
+    "pii_redaction",
+    "bm25_search",
+    "corpus_mixture_sample",
+    "zorder_curve",
+    "kmeans_assign",
 ]
 
 

@@ -328,3 +328,38 @@ def test_record_id_no_global_data_window(spark, sf_smoke):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             assert "partitionBy" not in line or "lit" in line
+
+
+def test_round2_operator_plan_shapes(spark, sf_smoke):
+    """Scale posture of the round-2 additions: BM25's one-row stats
+    frame and k-means' K centroids broadcast (the corpus side never
+    shuffles for scoring/assignment); segment dedup is shuffle-bounded
+    by its two hash exchanges; redaction and mixture sampling plan as
+    pure scans (no exchange at all)."""
+    from google_cloud_ecommerce_spark.operators import dedup, pipeline, similarity, text
+    from google_cloud_ecommerce_spark.queries import scale
+
+    plan = plan_of(text.bm25_search(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(similarity.kmeans_assign(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # segment dedup: one exchange on seg_hash (window) + one on doc_id
+    # (roll-up); anything more means a lost map-side combine (count tree
+    # nodes, not the details section where every node reappears)
+    plan = plan_of(dedup.dedup_segments(spark, sf_smoke))
+    assert plan.count("+- Exchange") == 2
+    assert "partial_count" in plan  # roll-up keeps its map-side partials
+
+    for q in (text.pii_redaction, pipeline.corpus_mixture_sample):
+        plan = plan_of(q(spark, sf_smoke))
+        assert "Exchange" not in plan, f"{q.__name__} should be shuffle-free"
+        assert "Join" not in plan
+
+    # zorder_curve is a pure projection; the write path adds exactly the
+    # intended range exchange
+    plan = plan_of(scale.zorder_curve(spark, sf_smoke))
+    assert "Exchange" not in plan and "Join" not in plan

@@ -459,3 +459,95 @@ def _corpus_mixture_sample_sql() -> str:
 
 QUERIES["corpus_mixture_sample"] = corpus_mixture_sample
 ORACLE["corpus_mixture_sample"] = _corpus_mixture_sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_drift — distribution-shift detection between two corpus
+# snapshots (stand-in: even/odd doc_id halves as "previous/current
+# crawl"). Per language, the token unigram distributions are compared
+# by L1 distance. The sum is computed over INTEGER cross-multiplied
+# numerators (|c_old*T_new - c_new*T_old|, exact BIGINT) with ONE final
+# double division — no order-dependent float accumulation, so the
+# result is bit-identical across engines and partitionings. Plan: two
+# hash aggregates on (lang, token) + a co-partitioned full-outer join +
+# the per-lang roll-up; at 100 TB the BIGINT cross products cap at
+# count*total ~ 2^63 — switch to DECIMAL(38,0) past ~4e18 token-pairs.
+# ---------------------------------------------------------------------------
+
+
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
+    )
+
+    def counted(side: int, cname: str) -> DataFrame:
+        return (
+            toks.filter(F.col("doc_id") % 2 == side)
+            .groupBy("lang", "token")
+            .agg(F.count("*").alias(cname))
+        )
+
+    old, new = counted(0, "c_old"), counted(1, "c_new")
+    merged = old.join(new, ["lang", "token"], "full_outer").select(
+        "lang",
+        "token",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    totals = merged.groupBy("lang").agg(
+        F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")
+    )
+    joined = merged.join(F.broadcast(totals), "lang")
+    return (
+        joined.groupBy("lang", "t_old", "t_new")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum(
+                F.abs(F.col("c_old") * F.col("t_new") - F.col("c_new") * F.col("t_old"))
+            ).alias("drift_num"),
+        )
+        .select(
+            "lang",
+            "t_old",
+            "t_new",
+            "n_terms",
+            (
+                F.col("drift_num").cast("double")
+                / (F.col("t_old") * F.col("t_new")).cast("double")
+            ).alias("l1_drift"),
+        )
+    )
+
+
+CORPUS_DRIFT_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest({tokens_sql('lower(text)')}) AS token
+        FROM documents
+    ), old AS (
+        SELECT lang, token, count(*) AS c_old FROM toks
+        WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ), new AS (
+        SELECT lang, token, count(*) AS c_new FROM toks
+        WHERE doc_id % 2 = 1 GROUP BY 1, 2
+    ), merged AS (
+        SELECT COALESCE(old.lang, new.lang) AS lang,
+               COALESCE(old.token, new.token) AS token,
+               COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new
+        FROM old FULL OUTER JOIN new
+          ON old.lang = new.lang AND old.token = new.token
+    ), totals AS (
+        SELECT lang, CAST(SUM(c_old) AS BIGINT) AS t_old,
+               CAST(SUM(c_new) AS BIGINT) AS t_new
+        FROM merged GROUP BY 1
+    )
+    SELECT m.lang, t.t_old, t.t_new, count(*) AS n_terms,
+           CAST(CAST(SUM(abs(m.c_old * t.t_new - m.c_new * t.t_old)) AS BIGINT)
+                AS DOUBLE)
+               / CAST(t.t_old * t.t_new AS DOUBLE) AS l1_drift
+    FROM merged m JOIN totals t ON m.lang = t.lang
+    GROUP BY 1, 2, 3
+"""
+
+QUERIES["corpus_drift"] = corpus_drift
+ORACLE["corpus_drift"] = CORPUS_DRIFT_SQL

@@ -767,3 +767,65 @@ def _kmeans_assign_sql() -> str:
 
 QUERIES["kmeans_assign"] = kmeans_assign
 ORACLE["kmeans_assign"] = _kmeans_assign_sql()
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize — per-vector int8 scalar quantization, the storage
+# side of a disk-resident ANN index (4x smaller scans than float32; the
+# IVF/LSH probes above read quantized codes and rerank the short list
+# with full precision). Pure per-row column math: symmetric scale
+# 127/max|v_i|, round-to-int8, reconstruct, report the max absolute
+# reconstruction error. No shuffle, no UDF; max() folds are
+# order-independent so every output is bit-stable across partitionings
+# and engines.
+# ---------------------------------------------------------------------------
+
+QUANT_BITS_MAX = 127
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    q = emb.withColumn(
+        "max_abs", F.expr("array_max(transform(v, x -> abs(x)))")
+    ).withColumn("scale", F.lit(float(QUANT_BITS_MAX)) / F.col("max_abs"))
+    codes = q.withColumn(
+        "q", F.expr("transform(v, x -> CAST(round(x * scale, 0) AS BIGINT))")
+    )
+    return codes.select(
+        "vec_id",
+        "scale",
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias(
+            "q_checksum"
+        ),
+        F.expr("array_max(transform(q, x -> abs(x)))").cast("long").alias("q_max"),
+        F.expr(
+            "array_max(zip_with(v, q, (x, c) -> abs(x - c / scale)))"
+        ).alias("max_abs_err"),
+    )
+
+
+def _embedding_quantize_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), s AS (
+            SELECT vec_id, v,
+                   {QUANT_BITS_MAX}.0 / list_max(list_transform(v, x -> abs(x)))
+                       AS scale
+            FROM e
+        ), c AS (
+            SELECT vec_id, v, scale,
+                   list_transform(v, x -> CAST(round(x * scale, 0) AS BIGINT)) AS q
+            FROM s
+        )
+        SELECT vec_id, scale,
+               CAST(list_sum(q) AS BIGINT) AS q_checksum,
+               CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT) AS q_max,
+               list_max(list_transform(range(1, {EMBED_DIM + 1}),
+                        i -> abs(v[i] - q[i] / scale))) AS max_abs_err
+        FROM c
+    """
+
+
+QUERIES["embedding_quantize"] = embedding_quantize
+ORACLE["embedding_quantize"] = _embedding_quantize_sql()

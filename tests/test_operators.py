@@ -275,3 +275,39 @@ def test_kmeans_assign_properties(spark, sf_smoke):
     assert {(r.vec_id, r.cluster_id, r.sq_dist) for r in out} == {
         (r.vec_id, r.cluster_id, r.sq_dist) for r in again
     }
+
+
+def test_embedding_quantize_error_bound(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        QUANT_BITS_MAX,
+        embedding_quantize,
+    )
+
+    rows = embedding_quantize(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.q_max <= QUANT_BITS_MAX  # codes fit int8
+        # symmetric rounding bounds the error by half a quantization step
+        assert r.max_abs_err <= 0.5 / r.scale + 1e-12
+
+
+def test_corpus_drift_bounds_and_extremes(spark, tmp_path):
+    from google_cloud_ecommerce_spark.operators.pipeline import corpus_drift
+
+    docs = spark.createDataFrame(
+        [
+            # 'same': even/odd halves have identical token distributions
+            (0, "alpha beta beta", "same", "s", 15),
+            (1, "alpha beta beta", "same", "s", 15),
+            # 'disjoint': no token shared between the halves -> L1 = 2
+            (2, "xx yy", "disjoint", "s", 5),
+            (3, "zz ww", "disjoint", "s", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "driftsf"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {r.lang: r for r in corpus_drift(spark, str(d)).collect()}
+    assert out["same"].l1_drift == 0.0
+    assert out["disjoint"].l1_drift == 2.0
+    assert out["same"].t_old == out["same"].t_new == 3

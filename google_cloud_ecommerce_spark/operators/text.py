@@ -689,3 +689,146 @@ def _bm25_search_sql() -> str:
 
 QUERIES["bm25_search"] = bm25_search
 ORACLE["bm25_search"] = _bm25_search_sql()
+
+
+# ---------------------------------------------------------------------------
+# bpe_merges — the first rounds of byte-pair-encoding tokenizer
+# training (Sennrich et al. 2016) as an iterative DataFrame algorithm:
+# per round, count adjacent symbol pairs across the word vocabulary
+# (weighted by word frequency), take the argmax pair (ties broken
+# lexicographically), and merge it greedily left-to-right in every
+# word. Everything is INTEGER/string math — no float anywhere — so the
+# unrolled-CTE oracle is exact.
+#
+# Scale posture per round: pair counting is explode + ONE hash
+# aggregate over the VOCABULARY (orders of magnitude smaller than the
+# corpus — the corpus is only scanned once to build word counts); the
+# argmax is a 1-row broadcast; the merge is a map-side higher-order
+# fold. Real tokenizer training runs ~30k rounds of exactly this step.
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.expr(tokens_expr("lower(text)"))).alias("word")
+    )
+    return toks.groupBy("word").agg(F.count("*").alias("wcount")).select(
+        "word",
+        "wcount",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").alias(
+            "syms"
+        ),
+    )
+
+
+def _bpe_best_pair(vocab: DataFrame, rnd: int) -> DataFrame:
+    pairs = vocab.filter(F.expr("size(syms) >= 2")).select(
+        "wcount",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> array(element_at(syms, i), element_at(syms, i + 1)))"
+            )
+        ).alias("pr"),
+    )
+    counted = pairs.groupBy(
+        F.expr("get(pr, 0)").alias("ls"), F.expr("get(pr, 1)").alias("rs")
+    ).agg(F.sum("wcount").alias("pair_count"))
+    return (
+        counted.orderBy(F.desc("pair_count"), F.asc("ls"), F.asc("rs"))
+        .limit(1)
+        .select(
+            F.lit(rnd).cast("long").alias("round"),
+            "ls",
+            "rs",
+            F.concat("ls", "rs").alias("merged"),
+            "pair_count",
+        )
+    )
+
+
+_BPE_MERGE_FOLD = (
+    "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+    "CASE WHEN size(acc) = 0 THEN concat(acc, array(x)) "
+    "WHEN element_at(acc, -1) = ls AND x = rs "
+    "THEN concat(slice(acc, 1, size(acc) - 1), array(merged)) "
+    "ELSE concat(acc, array(x)) END)"
+)
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = _bpe_vocab(spark, sf_dir)
+    bests = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        best = _bpe_best_pair(vocab, rnd)
+        bests.append(best)
+        vocab = vocab.crossJoin(
+            F.broadcast(best.select("ls", "rs", "merged"))
+        ).select("word", "wcount", F.expr(_BPE_MERGE_FOLD).alias("syms"))
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "round",
+        F.col("ls").alias("left_sym"),
+        F.col("rs").alias("right_sym"),
+        "merged",
+        "pair_count",
+    )
+
+
+def _bpe_merges_sql() -> str:
+    fold = (
+        "list_reduce(list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])), "
+        "(acc, x) -> CASE WHEN len(acc) = 0 THEN list_append(acc, x[1]) "
+        "WHEN acc[-1] = b.ls AND x[1] = b.rs "
+        "THEN list_append(acc[:-2], b.merged) "
+        "ELSE list_append(acc, x[1]) END)"
+    )
+
+    def pair_cte(src: str, n: int) -> str:
+        return f"""p{n} AS (
+            SELECT pr[1] AS ls, pr[2] AS rs, CAST(SUM(wcount) AS BIGINT) AS pair_count
+            FROM (
+                SELECT wcount,
+                       unnest(list_transform(range(1, len(syms)),
+                                             i -> [syms[i], syms[i + 1]])) AS pr
+                FROM {src} WHERE len(syms) >= 2
+            ) t GROUP BY 1, 2
+        ), b{n} AS (
+            SELECT CAST({n} AS BIGINT) AS round, ls, rs, ls || rs AS merged,
+                   pair_count
+            FROM p{n} ORDER BY pair_count DESC, ls, rs LIMIT 1
+        )"""
+
+    def merge_cte(src: str, n: int) -> str:
+        return f"""v{n} AS (
+            SELECT word, wcount, {fold} AS syms
+            FROM {src}, b{n} b
+        )"""
+
+    ctes = [
+        f"""v0 AS (
+            SELECT word, count(*) AS wcount,
+                   list_transform(range(1, length(word) + 1),
+                                  i -> substr(word, i, 1)) AS syms
+            FROM (
+                SELECT unnest({tokens_sql('lower(text)')}) AS word FROM documents
+            ) w GROUP BY 1
+        )"""
+    ]
+    for n in range(1, BPE_ROUNDS + 1):
+        ctes.append(pair_cte(f"v{n - 1}", n))
+        if n < BPE_ROUNDS:
+            ctes.append(merge_cte(f"v{n - 1}", n))
+    selects = " UNION ALL ".join(
+        f"SELECT round, ls AS left_sym, rs AS right_sym, merged, pair_count FROM b{n}"
+        for n in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + selects
+
+
+QUERIES["bpe_merges"] = bpe_merges
+ORACLE["bpe_merges"] = _bpe_merges_sql()

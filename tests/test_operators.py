@@ -311,3 +311,23 @@ def test_corpus_drift_bounds_and_extremes(spark, tmp_path):
     assert out["same"].l1_drift == 0.0
     assert out["disjoint"].l1_drift == 2.0
     assert out["same"].t_old == out["same"].t_new == 3
+
+
+def test_bpe_merges_greedy_left_to_right(spark, tmp_path):
+    from google_cloud_ecommerce_spark.operators.text import bpe_merges
+
+    # vocabulary: 'aaab' x2, 'cd' x1. Round 1 pair counts:
+    # (a,a)=4 [two per word occurrence], (a,b)=2, (c,d)=1 -> merge (a,a).
+    # After merge 'aaab' -> [aa, a, b]. Round 2 counts: (aa,a)=2,
+    # (a,b)=2, (c,d)=1 -> tie broken lexicographically: (a,b).
+    # After merge -> [aa, ab]. Round 3: (aa,ab)=2 wins over (c,d)=1.
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab", "en", "s", 9), (1, "cd", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "bpesf"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    rows = {r.round: r for r in bpe_merges(spark, str(d)).collect()}
+    assert (rows[1].left_sym, rows[1].right_sym, rows[1].pair_count) == ("a", "a", 4)
+    assert (rows[2].left_sym, rows[2].right_sym, rows[2].pair_count) == ("a", "b", 2)
+    assert (rows[3].left_sym, rows[3].right_sym, rows[3].merged) == ("aa", "ab", "aaab")

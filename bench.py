@@ -62,6 +62,9 @@ HEADLINE = [
     "corpus_mixture_sample",
     "zorder_curve",
     "kmeans_assign",
+    "embedding_quantize",
+    "corpus_drift",
+    "bpe_merges",
 ]
 
 

@@ -24,6 +24,7 @@ scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 EVENTS_CSV_DDL = (
     "event_id bigint, ts timestamp, user_id bigint, "
@@ -232,3 +233,25 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw media ingestion via the built-in ``binaryFile`` source: one
+    row per blob with (path, modificationTime, length, content binary).
+    This is the ingest edge for operators/multimodal.py — images/audio
+    land as opaque payload columns with typed metadata, content stays
+    in executors (never driver-collected). ``pathGlobFilter`` prunes by
+    extension at LISTING time; a length filter here is driver-side file
+    pruning, not a scan."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

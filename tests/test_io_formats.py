@@ -193,3 +193,19 @@ def test_range_partitioned_sorted_write_gives_disjoint_file_ranges(
         assert hi_a <= lo_b, "file time-ranges overlap; layout lost its ordering"
     # and the total row count survives the re-layout
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_binary_file_source_reads_blobs(spark, tmp_path):
+    blobs = {"a.img": b"\x89IMG" + bytes(range(64)), "b.img": b"\x89IMG" + b"\x00" * 128,
+             "skip.txt": b"not media"}
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+
+    df = gio.read_binary_dir(spark, str(tmp_path), glob="*.img")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}  # glob pruned the .txt at listing
+    assert bytes(rows["a.img"].content) == blobs["a.img"]
+    assert rows["b.img"].length == len(blobs["b.img"])
+
+    small = gio.read_binary_dir(spark, str(tmp_path), glob="*.img", max_bytes=100)
+    assert [r.path.rsplit("/", 1)[-1] for r in small.collect()] == ["a.img"]

@@ -363,3 +363,22 @@ def test_round2_operator_plan_shapes(spark, sf_smoke):
     # intended range exchange
     plan = plan_of(scale.zorder_curve(spark, sf_smoke))
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_quantize_drift_bpe_plan_shapes(spark, sf_smoke):
+    """embedding_quantize is a pure per-row projection (no exchange);
+    corpus_drift joins its two snapshot aggregates co-partitioned on
+    (lang, token) and broadcasts the per-lang totals; each BPE round is
+    one vocabulary aggregate + a 1-row broadcast merge."""
+    from google_cloud_ecommerce_spark.operators import pipeline, similarity, text
+
+    plan = plan_of(similarity.embedding_quantize(spark, sf_smoke))
+    assert "Exchange" not in plan and "Join" not in plan
+
+    plan = plan_of(pipeline.corpus_drift(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # per-lang totals broadcast
+
+    plan = plan_of(text.bpe_merges(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

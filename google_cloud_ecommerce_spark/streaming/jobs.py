@@ -857,3 +857,107 @@ ORACLE["streaming_dedup_within_watermark"] = """
            count(*) AS n_events
     FROM events GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming vector search — the retrieval-serving shape: query vectors
+# arrive as a stream (one per micro-batch here, modeling paced
+# requests) and are scored against the STATIC corpus inside
+# foreachBatch; per-query exact top-k appends to the result sink. The
+# corpus side is the batch similarity_topk plan (queries broadcast,
+# corpus never shuffled), so the streaming job inherits its scale
+# posture per batch — and because top-k is per query, batch-at-a-time
+# results equal the all-at-once batch run, which is why this entry
+# carries similarity_topk's REAL oracle rather than a rows-only check.
+# ---------------------------------------------------------------------------
+
+
+def streaming_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from google_cloud_ecommerce_spark.operators._common import dot_expr
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        N_QUERY_VECS,
+        TOP_K,
+        _emb,
+        _with_norm,
+    )
+
+    qdir = tempfile.mkdtemp(prefix="spark_graft_qvecs_")
+    out_root = tempfile.mkdtemp(prefix="spark_graft_simout_")
+    out = os.path.join(out_root, "topk")
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_simckpt_")
+    try:
+        emb = _emb(spark, sf_dir)
+        # one file per query vector -> one request per micro-batch
+        for i in range(N_QUERY_VECS):
+            stage = os.path.join(qdir, f"_stage_{i}")
+            emb.filter(F.col("vec_id") == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(qdir, f"query-{i:04d}.parquet"))
+            shutil.rmtree(stage)
+
+        corpus = _with_norm(emb)
+
+        def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            q = _with_norm(batch_df).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("v").alias("qv"),
+                F.col("norm").alias("qnorm"),
+            )
+            scored = corpus.join(
+                F.broadcast(q), F.col("vec_id") != F.col("q_id")
+            ).withColumn(
+                "cos",
+                F.expr(f"{dot_expr('qv', 'v')}") / (F.col("qnorm") * F.col("norm")),
+            )
+            w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+            (
+                scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= TOP_K)
+                .select(
+                    "q_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    "rank",
+                    F.round("cos", 4).alias("cosine"),
+                )
+                .write.mode("append")
+                .parquet(out)
+            )
+
+        stream = (
+            spark.readStream.schema("vec_id bigint, v array<double>, label int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(out)
+        # K rows per query — pin driver-side so the temp sink can be removed
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(qdir, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+QUERIES["streaming_similarity_topk"] = streaming_similarity_topk
+
+
+def _streaming_similarity_sql() -> str:
+    from google_cloud_ecommerce_spark.operators.similarity import _similarity_topk_sql
+
+    return _similarity_topk_sql()
+
+
+ORACLE["streaming_similarity_topk"] = _streaming_similarity_sql()

@@ -777,3 +777,69 @@ RETURN_EXCESS_ORDERS_SQL = """
 
 QUERIES["return_excess_orders"] = return_excess_orders
 ORACLE["return_excess_orders"] = RETURN_EXCESS_ORDERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_quartiles_distributed — the SAME statistic as
+# lineitem_quartiles built scale-true: instead of the single-partition
+# ntile window, global rank comes from the two-pass partition-offset
+# construction (range partition + in-partition sort + per-partition
+# counts -> broadcast prefix offsets, exactly record_id's machinery),
+# and the quartile is computed from the rank with ntile's
+# remainder-to-front arithmetic. The oracle IS the window-ntile SQL —
+# proving the distributed construction is value-identical to the
+# global-sort form it replaces at scale.
+# ---------------------------------------------------------------------------
+
+_LQD_MASK = (1 << 33) - 1
+N_TILES = 4
+
+
+def lineitem_quartiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    li = _t(spark, sf_dir, "lineitem").select(*keys)
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ordered = (
+        li.repartitionByRange(n_parts, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("mid", F.monotonically_increasing_id())
+        .localCheckpoint()  # pin sampled range boundaries + assigned ids
+    )
+    with_pid = ordered.withColumn("pid", F.shiftright("mid", 33))
+    counts = with_pid.groupBy("pid").agg(F.count("*").alias("n"))
+    earlier = counts.select(F.col("pid").alias("e_pid"), F.col("n").alias("e_n"))
+    offsets = (
+        counts.join(F.broadcast(earlier), F.col("e_pid") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("e_n"), F.lit(0)).alias("offset"))
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    ranked = (
+        with_pid.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "r", (F.col("offset") + F.col("mid").bitwiseAND(F.lit(_LQD_MASK))).cast("long")
+        )
+    )
+    # ntile semantics: the first (N % t) buckets hold (N DIV t + 1) rows
+    t = N_TILES
+    quartile = F.expr(
+        f"CASE WHEN r < (n_total % {t}) * (n_total DIV {t} + 1) "
+        f"THEN r DIV (n_total DIV {t} + 1) + 1 "
+        f"ELSE (r - (n_total % {t}) * (n_total DIV {t} + 1)) DIV (n_total DIV {t}) "
+        f"     + (n_total % {t}) + 1 END"
+    )
+    return (
+        ranked.withColumn("quartile", quartile.cast("long"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("l_extendedprice")).alias("sum_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+QUERIES["lineitem_quartiles_distributed"] = lineitem_quartiles_distributed
+ORACLE["lineitem_quartiles_distributed"] = ORACLE["lineitem_quartiles"]

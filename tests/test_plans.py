@@ -382,3 +382,15 @@ def test_quantize_drift_bpe_plan_shapes(spark, sf_smoke):
     plan = plan_of(text.bpe_merges(spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_distributed_quartiles_has_no_window(spark, sf_smoke):
+    """The scale-true ntile must plan ZERO window operators (the global
+    sort is replaced by range partition + broadcast prefix offsets) and
+    keep every offset/total join broadcast."""
+    from google_cloud_ecommerce_spark.queries import relational
+
+    plan = plan_of(relational.lineitem_quartiles_distributed(spark, sf_smoke))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

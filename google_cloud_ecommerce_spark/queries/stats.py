@@ -124,3 +124,72 @@ ORACLE = {
     "value_hour_correlation": VALUE_HOUR_CORRELATION_SQL,
     "priority_trailing_week_revenue": PRIORITY_TRAILING_WEEK_REVENUE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# daily_value_gapfill — time-series densify + LOCF (the resample step
+# of any metric pipeline): per event type, the daily value series is
+# completed over the full calendar span (generated per key with
+# sequence(), no calendar table needed) and missing days carry the
+# last observed value forward. The LOCF window partitions on the
+# series key — parallel per key, never global. The daily aggregate is
+# decimal-exact, so carried-forward doubles are bit-identical across
+# engines. Gap days count themselves via is_filled.
+# ---------------------------------------------------------------------------
+
+
+def daily_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v_dec"))
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    joined = calendar.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.last(F.col("v_dec").cast("double"), ignorenulls=True)
+        .over(w)
+        .alias("value_filled"),
+        F.col("v_dec").isNull().cast("long").alias("is_filled"),
+    )
+
+
+DAILY_VALUE_GAPFILL_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS v_dec
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), calendar AS (
+        SELECT event_type,
+               unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM span
+    ), joined AS (
+        SELECT c.event_type, c.day, d.v_dec
+        FROM calendar c LEFT JOIN daily d
+          ON c.event_type = d.event_type AND c.day = d.day
+    )
+    SELECT event_type, day,
+           last_value(CAST(v_dec AS DOUBLE) IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled,
+           CAST(v_dec IS NULL AS BIGINT) AS is_filled
+    FROM joined
+"""
+
+QUERIES["daily_value_gapfill"] = daily_value_gapfill
+ORACLE["daily_value_gapfill"] = DAILY_VALUE_GAPFILL_SQL

@@ -45,3 +45,32 @@ def test_range_frame_skips_gap_days(spark, tmp_path):
     assert out["2024-01-01"] == 100.0
     assert out["2024-01-04"] == 150.0  # within 6 days of Jan 1
     assert out["2024-01-14"] == 7.0    # gap day: Jan 4 is 10 days back, excluded
+
+
+def test_gapfill_locf_on_crafted_gaps(spark, tmp_path):
+    from google_cloud_ecommerce_spark.queries.stats import daily_value_gapfill
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 10.0, None),
+        (2, "2024-01-01 11:00:00", 1, "view", 5.0, None),
+        # Jan 2-3 missing entirely for 'view'
+        (3, "2024-01-04 09:00:00", 1, "view", 7.0, None),
+        (4, "2024-01-02 09:00:00", 2, "cart", 3.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = tmp_path / "gapsf"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    out = {(r.event_type, str(r.day)): r for r in daily_value_gapfill(spark, str(d)).collect()}
+    # view spans 4 calendar days: Jan 2+3 are filled with Jan 1's total
+    assert out[("view", "2024-01-01")].value_filled == 15.0
+    assert out[("view", "2024-01-02")].is_filled == 1
+    assert out[("view", "2024-01-02")].value_filled == 15.0
+    assert out[("view", "2024-01-03")].value_filled == 15.0
+    assert out[("view", "2024-01-04")].value_filled == 7.0
+    assert out[("view", "2024-01-04")].is_filled == 0
+    # cart has a single day: nothing to fill
+    assert out[("cart", "2024-01-02")].is_filled == 0
+    assert len([k for k in out if k[0] == "cart"]) == 1

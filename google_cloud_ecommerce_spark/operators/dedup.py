@@ -755,11 +755,15 @@ INCREMENTAL_DEDUP_SQL = """
 # segment instance is duplicated iff its md5 occurs more than once
 # corpus-wide; a document is flagged when more than half its segments
 # are duplicated elsewhere (the boilerplate gate). Plan: explode is
-# narrow, then ONE shuffle on the 16-byte segment digest (window
-# count) and one on doc_id (the roll-up) — linear at any corpus size,
-# and the digest shuffle is the same one exact dedup already pays.
-# Docs shorter than one full window have no segments and are excluded
-# (documented contract; the quality gate handles short docs).
+# narrow; corpus-wide occurrence counts come from a HASH AGGREGATE
+# (map-side partials shrink the digest shuffle) joined back onto the
+# instances — deliberately a join rather than a count-over-window,
+# because a boilerplate segment with millions of copies makes the
+# window's per-key partition a hot sort that AQE cannot split, while
+# the skewed JOIN partition is exactly what AQE's skew-join handles.
+# Then one roll-up shuffle on doc_id. Docs shorter than one full
+# window have no segments and are excluded (documented contract; the
+# quality gate handles short docs).
 # ---------------------------------------------------------------------------
 
 SEGMENT_TOKENS = 10
@@ -784,7 +788,8 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg_hash"),
     )
-    inst = segs.withColumn("n_occ", F.count("*").over(W.partitionBy("seg_hash")))
+    occ = segs.groupBy("seg_hash").agg(F.count("*").alias("n_occ"))
+    inst = segs.join(occ, "seg_hash")
     dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
     per_doc = inst.groupBy("doc_id").agg(
         F.count("*").alias("n_segments"),

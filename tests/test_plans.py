@@ -347,12 +347,15 @@ def test_round2_operator_plan_shapes(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
-    # segment dedup: one exchange on seg_hash (window) + one on doc_id
-    # (roll-up); anything more means a lost map-side combine (count tree
-    # nodes, not the details section where every node reappears)
+    # segment dedup: digest shuffles for the count join (probe + the
+    # partially-aggregated build side) + the doc_id roll-up, nothing
+    # more; no window operator (a hot-segment window partition could
+    # not be AQE-skew-split, the join can). Count tree nodes, not the
+    # details section where every node reappears.
     plan = plan_of(dedup.dedup_segments(spark, sf_smoke))
-    assert plan.count("+- Exchange") == 2
-    assert "partial_count" in plan  # roll-up keeps its map-side partials
+    assert "Window" not in plan
+    assert plan.count("+- Exchange") <= 3
+    assert "partial_count" in plan  # map-side partials survive
 
     for q in (text.pii_redaction, pipeline.corpus_mixture_sample):
         plan = plan_of(q(spark, sf_smoke))

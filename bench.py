@@ -65,6 +65,8 @@ HEADLINE = [
     "embedding_quantize",
     "corpus_drift",
     "bpe_merges",
+    "daily_value_gapfill",
+    "lineitem_quartiles_distributed",
 ]
 
 

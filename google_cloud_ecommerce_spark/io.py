@@ -255,3 +255,20 @@ def read_binary_dir(
     if max_bytes is not None:
         df = df.filter(F.col("length") <= max_bytes)
     return df
+
+
+def read_json_permissive(
+    spark: SparkSession, path: str, schema_ddl: str
+) -> DataFrame:
+    """Ingest JSON lines tolerantly: malformed rows land in
+    ``_corrupt_record`` instead of failing the job (the quarantine-and-
+    continue posture a crawl-scale ingest needs — at 100 TB a single
+    bad record must never kill the batch). Callers split on
+    ``_corrupt_record IS NULL`` into clean/quarantine sinks."""
+    full_schema = f"{schema_ddl}, _corrupt_record string"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -551,3 +551,54 @@ CORPUS_DRIFT_SQL = f"""
 
 QUERIES["corpus_drift"] = corpus_drift
 ORACLE["corpus_drift"] = CORPUS_DRIFT_SQL
+
+
+# ---------------------------------------------------------------------------
+# balanced_group_sample — exactly-K-per-group deterministic sampling
+# (the class-balancing step before fine-tune/eval set assembly, where
+# the mixture sampler above is rate-based and this is count-based).
+# Priority = salted md5 hash of the doc id: a uniform, reproducible
+# "random" order with no RNG state; rank within language via a window
+# partitioned on the group key — parallel per group, never global.
+# Groups smaller than K keep everything.
+# ---------------------------------------------------------------------------
+
+BALANCED_K = 20
+BALANCED_SALT = "bal:"
+
+
+def balanced_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pri = (
+        f"CAST(conv(substr(md5(concat('{BALANCED_SALT}', CAST(doc_id AS STRING))), 1, 15), "
+        f"16, 10) AS BIGINT)"
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", F.expr(pri).alias("pri")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("pri"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= BALANCED_K)
+        .select("doc_id", "lang", "source", "rk")
+    )
+
+
+def _balanced_group_sample_sql() -> str:
+    pri = (
+        f"(('0x' || substr(md5('{BALANCED_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT)"
+    )
+    return f"""
+        WITH p AS (
+            SELECT doc_id, lang, source, {pri} AS pri FROM documents
+        )
+        SELECT doc_id, lang, source,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id)
+                    AS BIGINT) AS rk
+        FROM p
+        QUALIFY rk <= {BALANCED_K}
+    """
+
+
+QUERIES["balanced_group_sample"] = balanced_group_sample
+ORACLE["balanced_group_sample"] = _balanced_group_sample_sql()

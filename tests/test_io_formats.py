@@ -209,3 +209,21 @@ def test_binary_file_source_reads_blobs(spark, tmp_path):
 
     small = gio.read_binary_dir(spark, str(tmp_path), glob="*.img", max_bytes=100)
     assert [r.path.rsplit("/", 1)[-1] for r in small.collect()] == ["a.img"]
+
+
+def test_permissive_json_quarantines_bad_rows(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": "not-a-number", "name": "bad-type"}\n'
+        "this is not json at all\n"
+        '{"id": 3, "name": "fine"}\n'
+    )
+    df = gio.read_json_permissive(spark, str(p), "id bigint, name string")
+    rows = df.collect()
+    assert len(rows) == 4  # nothing dropped, nothing crashed
+    clean = [r for r in rows if r._corrupt_record is None]
+    quarantined = [r for r in rows if r._corrupt_record is not None]
+    assert {r.id for r in clean} == {1, 3}
+    assert len(quarantined) == 2
+    assert any("not json at all" in r._corrupt_record for r in quarantined)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from google_cloud_ecommerce_spark.catalog import load_table
 from google_cloud_ecommerce_spark.operators._common import (
@@ -832,3 +833,75 @@ def _bpe_merges_sql() -> str:
 
 QUERIES["bpe_merges"] = bpe_merges
 ORACLE["bpe_merges"] = _bpe_merges_sql()
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — per-document keyword extraction (the feature side
+# of retrieval, where bm25_search above is the query side): each doc's
+# top-3 terms by smoothed tf-idf. One (doc, term) hash aggregate is
+# the only corpus-sized shuffle; document frequencies aggregate from
+# it (vocabulary-sized) and broadcast back; ranking partitions per
+# doc. idf uses ln(), so scores follow the load-bearing ROUND policy:
+# rank and cutoff are computed on the ROUNDED score (ties to the
+# lexicographically first term) to keep the row set cross-engine
+# stable.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(tokens_expr("lower(text)"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.expr(
+                "round(CAST(tf AS DOUBLE) * "
+                "(ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 4)"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+def _tfidf_top_terms_sql() -> str:
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, unnest({tokens_sql('lower(text)')}) AS term
+            FROM documents
+        ), tfc AS (
+            SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2
+        ), dfc AS (
+            SELECT term, count(*) AS df FROM tfc GROUP BY 1
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT doc_id, t.term, tf, df,
+                   round(CAST(tf AS DOUBLE)
+                         * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 4) AS score
+            FROM tfc t JOIN dfc USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY rk <= {TFIDF_TOP_K}
+    """
+
+
+QUERIES["tfidf_top_terms"] = tfidf_top_terms
+ORACLE["tfidf_top_terms"] = _tfidf_top_terms_sql()

@@ -112,3 +112,65 @@ DATA_QUALITY_REPORT_SQL = f"""
 
 QUERIES = {"data_quality_report": data_quality_report}
 ORACLE = {"data_quality_report": DATA_QUALITY_REPORT_SQL}
+
+
+# ---------------------------------------------------------------------------
+# profile_table — generic per-column dataset profiler (the first thing
+# anyone runs on an unfamiliar 100 TB table): row count, null count,
+# exact distinct count per column, emitted one row per column. Built
+# generically from the DataFrame schema, so it works on ANY table; the
+# registry entry profiles events. ONE pass computes every column's
+# counts in a single aggregate (count_distinct expands to Spark's
+# expand+two-phase plan — n_cols× the rows map-side, but one job, no
+# per-column scans); stack() pivots the single result row into the
+# report. Counts only — integers survive every engine's canonicalizer.
+# ---------------------------------------------------------------------------
+
+
+def profile_table(df, column_order: list[str] | None = None):
+    cols = column_order or df.columns
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_null, n_distinct)"
+        ),
+        F.col("n_rows"),
+    ).select("column_name", "n_rows", "n_null", "n_distinct")
+
+
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_table(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_PROFILE_SQL = """
+    WITH s AS (
+        SELECT count(*) AS n_rows,
+               CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+               COUNT(DISTINCT event_id) AS dist_event_id,
+               CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+               COUNT(DISTINCT ts) AS dist_ts,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+               COUNT(DISTINCT user_id) AS dist_user_id,
+               CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+               COUNT(DISTINCT event_type) AS dist_event_type,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+               COUNT(DISTINCT value) AS dist_value,
+               CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+               COUNT(DISTINCT props) AS dist_props
+        FROM events
+    )
+    SELECT 'event_id' AS column_name, n_rows, null_event_id AS n_null, dist_event_id AS n_distinct FROM s
+    UNION ALL SELECT 'ts', n_rows, null_ts, dist_ts FROM s
+    UNION ALL SELECT 'user_id', n_rows, null_user_id, dist_user_id FROM s
+    UNION ALL SELECT 'event_type', n_rows, null_event_type, dist_event_type FROM s
+    UNION ALL SELECT 'value', n_rows, null_value, dist_value FROM s
+    UNION ALL SELECT 'props', n_rows, null_props, dist_props FROM s
+"""
+
+QUERIES["events_profile"] = events_profile
+ORACLE["events_profile"] = EVENTS_PROFILE_SQL

@@ -71,3 +71,31 @@ def read_replay_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(replay_dir)
     )
+
+
+def read_rate_stream(
+    spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 4
+) -> DataFrame:
+    """Built-in synthetic load generator (``rate`` source) shaped like
+    the events stream — the standard way to soak-test a streaming job's
+    throughput without a broker. Columns are derived deterministically
+    from the rate source's (timestamp, value) so any job written
+    against the events schema runs unmodified."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+    types = ["view", "cart", "purchase", "click", "scroll"]
+    type_case = "CASE CAST(value % 5 AS INT) " + " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(types)
+    ) + " END"
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 1000).alias("user_id"),
+        F.expr(type_case).alias("event_type"),
+        (F.col("value") % 500).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )

@@ -114,3 +114,31 @@ def test_session_state_conserves_events(spark, sf_smoke):
     n_events = load_table(spark, sf_smoke, "events").count()
     assert total == n_events
     assert sessions.filter(F.col("span_seconds") < 0).count() == 0
+
+
+def test_rate_stream_feeds_event_shaped_jobs(spark):
+    from google_cloud_ecommerce_spark.streaming.replay import read_rate_stream
+
+    stream = read_rate_stream(spark, rows_per_second=500)
+    agg = stream.groupBy("event_type").count()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate_soak")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("rate_soak").collect()
+            if sum(r["count"] for r in rows) >= 100 and len(rows) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert rows and sum(r["count"] for r in rows) >= 100
+    assert {r.event_type for r in rows} <= {"view", "cart", "purchase", "click", "scroll"}

@@ -198,3 +198,207 @@ ORACLE = {
     # media_features / media_frame_sample: intentionally no oracle —
     # Python decode stubs (driver records the rows-only check).
 }
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders — WAV/PCM audio and BMP image parsing need no codec
+# library (stdlib struct + numpy), so unlike the _fake_decode stub
+# above these two paths decode actual standard file formats in
+# executors. Each registry entry synthesizes a deterministic payload
+# per document (a real RIFF/WAVE file, a real 24-bit BMP), runs the
+# REAL parser on the bytes, and — because the synthesized signal is a
+# closed-form function of (doc_id, i) — carries a FULL value oracle:
+# DuckDB recomputes the expected sample statistics analytically from
+# the same formula. Arrow batches stream through mapInPandas; payloads
+# never leave executors. sqrt is IEEE-correctly-rounded in numpy and
+# DuckDB alike, and every sum is integer, so the doubles match
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+import struct
+
+import numpy as np
+
+WAV_SAMPLE_RATE = 16_000
+WAV_MAX_CHARS = 200  # n_samples = 4 * min(n_chars, 200)
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, bits int, "
+    "n_samples bigint, rms double"
+)
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE encoder (stdlib only)."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Parse a RIFF/WAVE file: walk chunks, read fmt + PCM data.
+
+    Returns (sample_rate, n_channels, bits, n_samples, rms). A real
+    chunk walker (not fixed offsets): tolerates extra chunks the way
+    decoders must in the wild."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    _, n_channels, sample_rate, _, _, bits = fmt
+    samples = np.frombuffer(data, dtype="<i2")
+    ssq = int((samples.astype(np.int64) ** 2).sum())
+    n = len(samples)
+    rms = float(np.sqrt(float(ssq) / n)) if n else 0.0
+    return sample_rate, n_channels, bits, n, rms
+
+
+def _wav_samples(doc_id: int, n_chars: int) -> "np.ndarray":
+    """The deterministic test signal — closed form, so SQL can verify."""
+    n = 4 * min(int(n_chars), WAV_MAX_CHARS)
+    i = np.arange(n, dtype=np.int64)
+    return ((int(doc_id) * 31 + 37 * i) % 65536 - 32768).astype(np.int16)
+
+
+def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                wav = encode_wav(_wav_samples(doc_id, n_chars))
+                sr, ch, bits, n, rms = decode_wav(wav)
+                rows.append((doc_id, sr, ch, bits, n, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "bits",
+                    "n_samples", "rms",
+                ],
+            )
+
+    return docs.mapInPandas(run, WAV_FEATURE_SCHEMA)
+
+
+MEDIA_WAV_DECODE_SQL = f"""
+    WITH s AS (
+        SELECT doc_id,
+               unnest(range(0, 4 * least(n_chars, {WAV_MAX_CHARS}))) AS i
+        FROM documents
+    ), x AS (
+        SELECT doc_id, ((doc_id * 31 + 37 * i) % 65536 - 32768) AS v FROM s
+    )
+    SELECT doc_id, {WAV_SAMPLE_RATE} AS sample_rate, 1 AS n_channels,
+           16 AS bits, count(*) AS n_samples,
+           sqrt(CAST(CAST(SUM(v * v) AS BIGINT) AS DOUBLE) / count(*)) AS rms
+    FROM x GROUP BY 1
+"""
+
+
+BMP_W, BMP_H = 8, 8
+
+BMP_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, bpp int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """24-bit uncompressed BMP encoder. pixels: (h, w, 3) uint8 RGB."""
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = b"".join(
+        pixels[y, :, ::-1].tobytes() + b"\x00" * pad  # rows bottom-up, BGR
+        for y in range(h - 1, -1, -1)
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + body
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, float, float, float]:
+    """Parse an uncompressed 24-bit BMP: header fields + per-channel
+    means over the (padded, bottom-up, BGR) pixel rows."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    rows = [
+        np.frombuffer(payload, np.uint8, row_bytes, offset + y * stride)
+        for y in range(abs(h))
+    ]
+    px = np.stack(rows[::-1]).reshape(abs(h), w, 3)[:, :, ::-1]  # to top-down RGB
+    sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    n = abs(h) * w
+    return (
+        w, abs(h), bpp,
+        float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n,
+    )
+
+
+def _bmp_pixels(doc_id: int) -> "np.ndarray":
+    y, x = np.mgrid[0:BMP_H, 0:BMP_W]
+    r = (int(doc_id) + 3 * x + 7 * y) % 256
+    g = (2 * int(doc_id) + 5 * x + 11 * y) % 256
+    b = (3 * int(doc_id) + 13 * x + 17 * y) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                bmp = encode_bmp(_bmp_pixels(doc_id))
+                rows.append((doc_id, *decode_bmp(bmp)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "bpp", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return docs.mapInPandas(run, BMP_FEATURE_SCHEMA)
+
+
+MEDIA_BMP_DECODE_SQL = f"""
+    WITH px AS (
+        SELECT doc_id, i % {BMP_W} AS x, i // {BMP_W} AS y
+        FROM documents, unnest(range(0, {BMP_W * BMP_H})) t(i)
+    )
+    SELECT doc_id, {BMP_W} AS width, {BMP_H} AS height, 24 AS bpp,
+           CAST(CAST(SUM((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS DOUBLE)
+               / count(*) AS mean_r,
+           CAST(CAST(SUM((2 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT) AS DOUBLE)
+               / count(*) AS mean_g,
+           CAST(CAST(SUM((3 * doc_id + 13 * x + 17 * y) % 256) AS BIGINT) AS DOUBLE)
+               / count(*) AS mean_b
+    FROM px GROUP BY 1
+"""
+
+
+QUERIES["media_wav_decode"] = media_wav_decode
+QUERIES["media_bmp_decode"] = media_bmp_decode
+ORACLE["media_wav_decode"] = MEDIA_WAV_DECODE_SQL
+ORACLE["media_bmp_decode"] = MEDIA_BMP_DECODE_SQL

@@ -331,3 +331,42 @@ def test_bpe_merges_greedy_left_to_right(spark, tmp_path):
     assert (rows[1].left_sym, rows[1].right_sym, rows[1].pair_count) == ("a", "a", 4)
     assert (rows[2].left_sym, rows[2].right_sym, rows[2].pair_count) == ("a", "b", 2)
     assert (rows[3].left_sym, rows[3].right_sym, rows[3].merged) == ("aa", "ab", "aaab")
+
+
+def test_wav_decoder_reads_stdlib_written_file(tmp_path):
+    """Independence check: decode_wav must parse a file produced by
+    Python's stdlib wave module, not just our own encoder."""
+    import math
+    import wave
+
+    import numpy as np
+
+    from google_cloud_ecommerce_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = np.array([0, 1000, -1000, 32767, -32768, 500], dtype=np.int16)
+    p = tmp_path / "ref.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    sr, ch, bits, n, rms = decode_wav(p.read_bytes())
+    assert (sr, ch, bits, n) == (8000, 1, 16, len(samples))
+    expected = math.sqrt(sum(int(s) ** 2 for s in samples) / len(samples))
+    assert rms == expected
+    # and the round-trip through our own encoder agrees
+    assert decode_wav(encode_wav(samples, 8000)) == (8000, 1, 16, len(samples), rms)
+
+
+def test_bmp_decoder_roundtrip_and_padding(tmp_path):
+    import numpy as np
+
+    from google_cloud_ecommerce_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    # 3x2 image: width*3 = 9 bytes/row -> 3 pad bytes/row exercises the
+    # 4-byte row alignment path
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    w, h, bpp, mr, mg, mb = decode_bmp(encode_bmp(px))
+    assert (w, h, bpp) == (3, 2, 24)
+    flat = px.reshape(-1, 3).astype(int)
+    assert (mr, mg, mb) == tuple(flat.mean(axis=0))

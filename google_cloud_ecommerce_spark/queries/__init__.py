@@ -121,7 +121,9 @@ PRIORITY: tuple[str, ...] = (
     "token_counts",
     "text_lang_id",
     # multimodal plumbing
-    "media_manifest",
+    # real WAV parse in executors, analytical oracle — stronger driver
+    # evidence than the metadata-only manifest it replaced
+    "media_wav_decode",
     # pandas / arrow UDF surface
     "session_stats_pandas",
     "event_type_stats_arrow",

@@ -23,7 +23,7 @@ _FAMILY_ANCHORS = {
     "dedup": {"dedup_exact", "dedup_minhash_lsh"},
     "similarity": {"similarity_topk", "similarity_ivf_topk", "kmeans_assign"},
     "text": {"text_quality", "token_counts", "bm25_search"},
-    "multimodal": {"media_manifest"},
+    "multimodal": {"media_wav_decode"},
     "pandas_ops": {"session_stats_pandas"},
     "pipeline": {"doc_chunking", "sequence_packing", "contamination_check"},
     "wire": {"wire_format_source"},

@@ -67,6 +67,8 @@ HEADLINE = [
     "bpe_merges",
     "daily_value_gapfill",
     "lineitem_quartiles_distributed",
+    "tfidf_top_terms",
+    "media_wav_decode",  # the one deliberate Python/Arrow path in the bench
 ]
 
 

@@ -697,3 +697,177 @@ ORACLE = {
     "value_zscore_outliers": VALUE_ZSCORE_OUTLIERS_SQL,
     # value_percentiles_approx: intentionally no oracle (sketch, rows-only).
 }
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments — RFM (recency / frequency / monetary) customer
+# segmentation, the canonical e-commerce marketing rollup the
+# reference's warehouse queries stop short of. Per user: days since
+# last event (int), event count (int), exact spend in CENTS (decimal
+# sum, so an integer) — all three quartile-bucketed against corpus
+# boundaries from one 1-row percentile aggregate (broadcast; the fact
+# table never reshuffles for bucketing). Integer inputs make the
+# interpolated quartile boundaries bit-exact across engines (p*(n-1)
+# and the 1/4-step fractions are dyadic), so the bucket assignment —
+# an integer comparison against those boundaries — is deterministic
+# without any rounding. 4x4x4 segment grid out, with exact totals.
+# ---------------------------------------------------------------------------
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("anchor_day"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").alias("f"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("m_dec"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("anchor_day", "last_day").cast("long").alias("r"),
+            "f",
+            (F.col("m_dec") * 100).cast("long").alias("m_cents"),
+        )
+    )
+    bounds = per_user.agg(
+        F.expr("percentile(r, array(0.25, 0.5, 0.75))").alias("rb"),
+        F.expr("percentile(f, array(0.25, 0.5, 0.75))").alias("fb"),
+        F.expr("percentile(m_cents, array(0.25, 0.5, 0.75))").alias("mb"),
+    )
+
+    def quartile(col: str, b: str):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.expr(f"{b}[0]")).cast("int")
+            + (F.col(col) > F.expr(f"{b}[1]")).cast("int")
+            + (F.col(col) > F.expr(f"{b}[2]")).cast("int")
+        ).cast("long")
+
+    seg = per_user.crossJoin(F.broadcast(bounds)).select(
+        quartile("r", "rb").alias("r_q"),  # 1 = most recent
+        quartile("f", "fb").alias("f_q"),  # 4 = most frequent
+        quartile("m_cents", "mb").alias("m_q"),  # 4 = highest spend
+        "m_cents",
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_users"),
+        (F.sum("m_cents").cast("double") / F.lit(100.0)).alias("total_monetary"),
+    )
+
+
+RFM_SEGMENTS_SQL = """
+    WITH anchor AS (
+        SELECT max(CAST(ts AS DATE)) AS anchor_day FROM events
+    ), per_user AS (
+        SELECT user_id,
+               CAST(date_diff('day', max(CAST(ts AS DATE)),
+                              (SELECT anchor_day FROM anchor)) AS BIGINT) AS r,
+               count(*) AS f,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS m_cents
+        FROM events GROUP BY 1
+    ), bounds AS (
+        SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS rb,
+               quantile_cont(f, [0.25, 0.5, 0.75]) AS fb,
+               quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS mb
+        FROM per_user
+    ), seg AS (
+        SELECT CAST(1 + (r > rb[1])::INT + (r > rb[2])::INT + (r > rb[3])::INT
+                    AS BIGINT) AS r_q,
+               CAST(1 + (f > fb[1])::INT + (f > fb[2])::INT + (f > fb[3])::INT
+                    AS BIGINT) AS f_q,
+               CAST(1 + (m_cents > mb[1])::INT + (m_cents > mb[2])::INT
+                      + (m_cents > mb[3])::INT AS BIGINT) AS m_q,
+               m_cents
+        FROM per_user CROSS JOIN bounds
+    )
+    SELECT r_q, f_q, m_q, count(*) AS n_users,
+           CAST(CAST(SUM(m_cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_monetary
+    FROM seg GROUP BY 1, 2, 3
+"""
+
+QUERIES["rfm_segments"] = rfm_segments
+ORACLE["rfm_segments"] = RFM_SEGMENTS_SQL
+
+
+# ---------------------------------------------------------------------------
+# band_affinity — market-basket pair mining ("viewed together") over
+# the props k-bands: for every pair of bands co-occurring in one
+# user's history, support + lift against the independent-baskets
+# baseline. The classic a-priori first step, shaped for scale: the
+# self-join runs on the DISTINCT (user, band) set (orders of magnitude
+# smaller than events; per-user pair fan-out is bounded by the band
+# vocabulary, not event count), and the per-band basket counts
+# broadcast onto the pair aggregate. Lift's float division happens
+# once per OUTPUT pair from exact integers — deterministic everywhere.
+# Pairs are kept ordered (band_a < band_b) so each appears once.
+# ---------------------------------------------------------------------------
+
+
+def band_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    user_bands = (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .select("user_id", F.expr("CAST(floor(k / 25.0) AS BIGINT)").alias("band"))
+        .distinct()
+    )
+    n_users = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    band_counts = user_bands.groupBy("band").agg(F.count("*").alias("n_band"))
+    a = user_bands.select("user_id", F.col("band").alias("band_a"))
+    b = user_bands.select("user_id", F.col("band").alias("band_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("band_a") < F.col("band_b"))
+        .groupBy("band_a", "band_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    ca = band_counts.select(F.col("band").alias("band_a"), F.col("n_band").alias("n_a"))
+    cb = band_counts.select(F.col("band").alias("band_b"), F.col("n_band").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "band_a")
+        .join(F.broadcast(cb), "band_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "band_a",
+            "band_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double") * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+BAND_AFFINITY_SQL = """
+    WITH ub AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 25.0)
+                    AS BIGINT) AS band
+        FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+    ), n AS (
+        SELECT COUNT(DISTINCT user_id) AS n_users FROM events
+    ), bc AS (
+        SELECT band, count(*) AS n_band FROM ub GROUP BY 1
+    ), pairs AS (
+        SELECT a.band AS band_a, b.band AS band_b, count(*) AS n_both
+        FROM ub a JOIN ub b ON a.user_id = b.user_id AND a.band < b.band
+        GROUP BY 1, 2
+    )
+    SELECT band_a, band_b, n_both, ca.n_band AS n_a, cb.n_band AS n_b,
+           CAST(n_both AS DOUBLE) * n_users
+               / CAST(ca.n_band * cb.n_band AS DOUBLE) AS lift
+    FROM pairs
+    JOIN bc ca ON ca.band = band_a
+    JOIN bc cb ON cb.band = band_b
+    CROSS JOIN n
+"""
+
+QUERIES["band_affinity"] = band_affinity
+ORACLE["band_affinity"] = BAND_AFFINITY_SQL

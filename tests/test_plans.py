@@ -397,3 +397,28 @@ def test_distributed_quartiles_has_no_window(spark, sf_smoke):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_affinity_tfidf_profile_plan_shapes(spark, sf_smoke):
+    """rfm buckets against 1-row broadcast boundaries (the fact never
+    reshuffles for bucketing); affinity self-joins the DISTINCT
+    (user, band) set with broadcast dimension counts; tfidf broadcasts
+    the vocabulary; the profiler is a single aggregate (no join)."""
+    from google_cloud_ecommerce_spark.operators import text
+    from google_cloud_ecommerce_spark.queries import quality, reference
+
+    plan = plan_of(reference.rfm_segments(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(reference.band_affinity(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(text.tfidf_top_terms(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(doc_id" in plan  # ranking window stays per-doc
+
+    plan = plan_of(quality.events_profile(spark, sf_smoke))
+    assert "Join" not in plan
+    assert "Expand" in plan  # multi-count-distinct single-pass plan

@@ -905,3 +905,75 @@ def _tfidf_top_terms_sql() -> str:
 
 QUERIES["tfidf_top_terms"] = tfidf_top_terms
 ORACLE["tfidf_top_terms"] = _tfidf_top_terms_sql()
+
+
+# ---------------------------------------------------------------------------
+# lm_score — statistical language-model quality filtering (the
+# CCNet-style gate): a unigram LM is fit on the corpus itself (exact
+# integer counts), then every document is scored by its mean negative
+# log-probability; improbable-token documents score high and get
+# flagged. Float discipline: ln() is computed once per DISTINCT
+# vocabulary token, rounded to DECIMAL(18,9) (absorbing the
+# cross-engine libm ulp), and per-document accumulation SUMS DECIMALS
+# — order-independent, so the doc score is bit-stable under any
+# partitioning. The vocabulary (with its logprob) broadcasts; the
+# corpus shuffles only for the per-doc roll-up.
+# ---------------------------------------------------------------------------
+
+LM_FLAG_THRESHOLD = 4.0  # mean -ln p(token) above this => flagged
+
+
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
+    )
+    totals = toks.agg(F.count("*").alias("n_total"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.expr(
+                "CAST(round(-ln(CAST(c AS DOUBLE) / n_total), 9) AS DECIMAL(18,9))"
+            ).alias("neg_lnp"),
+        )
+    )
+    scored = toks.join(F.broadcast(vocab), "token")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("neg_lnp").alias("sum_neg_lnp"),
+    )
+    mean = F.col("sum_neg_lnp").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        mean.alias("mean_neg_logprob"),
+        (mean > F.lit(LM_FLAG_THRESHOLD)).cast("long").alias("is_flagged"),
+    )
+
+
+LM_SCORE_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tokens_sql('lower(text)')}) AS token
+        FROM documents
+    ), totals AS (
+        SELECT count(*) AS n_total FROM toks
+    ), vocab AS (
+        SELECT token,
+               CAST(round(-ln(CAST(count(*) AS DOUBLE) / n_total), 9)
+                    AS DECIMAL(18,9)) AS neg_lnp
+        FROM toks CROSS JOIN totals GROUP BY token, n_total
+    ), per_doc AS (
+        SELECT doc_id, count(*) AS n_tokens, SUM(neg_lnp) AS sum_neg_lnp
+        FROM toks JOIN vocab USING (token) GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           CAST(sum_neg_lnp AS DOUBLE) / n_tokens AS mean_neg_logprob,
+           CAST(CAST(sum_neg_lnp AS DOUBLE) / n_tokens > {LM_FLAG_THRESHOLD}
+                AS BIGINT) AS is_flagged
+    FROM per_doc
+"""
+
+QUERIES["lm_score"] = lm_score
+ORACLE["lm_score"] = LM_SCORE_SQL

@@ -9,6 +9,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from google_cloud_ecommerce_spark.operators import pandas_ops
 from google_cloud_ecommerce_spark.queries import joins
@@ -94,3 +95,111 @@ def test_session_stats_matches_brute_force(spark, tmp_path_factory, rows):
         for r in pandas_ops.session_stats_pandas(spark, sf).collect()
     }
     assert got == _brute_force_sessions(rows)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 operator properties
+# ---------------------------------------------------------------------------
+
+doc_text_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab @.-0123456789xyz"),
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=doc_text_strategy)
+def test_pii_redaction_is_idempotent_and_consistent(spark, texts):
+    """Redacting an already-redacted text changes nothing, and
+    n_redactions always equals the sum of the per-kind counts."""
+    from google_cloud_ecommerce_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    once = t.redact_pii(df).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_redactions",
+        F.col("redacted").alias("text"),
+    )
+    twice = t.redact_pii(once.select("doc_id", "text")).collect()
+    for r in twice:
+        assert r.redacted == r.text  # idempotent: placeholders don't re-match
+    for r in once.collect():
+        assert r.n_redactions == r.n_email + r.n_ssn + r.n_phone
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet=st.sampled_from("abcd"), min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_merge_fold_preserves_word_text(spark, words):
+    """After any number of merge rounds, concatenating a word's symbols
+    must reproduce the word exactly — the greedy fold may regroup but
+    never lose or duplicate characters."""
+    from google_cloud_ecommerce_spark.operators.text import (
+        _BPE_MERGE_FOLD,
+        _bpe_best_pair,
+        _bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "en", "s", len(" ".join(words)))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile, shutil as sh
+
+    d = tempfile.mkdtemp(prefix="bpe_prop_")
+    try:
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        vocab = _bpe_vocab(spark, d)
+        for rnd in range(1, 3):
+            pairs = vocab.filter(F.expr("size(syms) >= 2"))
+            if pairs.isEmpty():
+                break
+            best = _bpe_best_pair(vocab, rnd)
+            vocab = vocab.crossJoin(
+                F.broadcast(best.select("ls", "rs", "merged"))
+            ).select("word", "wcount", F.expr(_BPE_MERGE_FOLD).alias("syms"))
+            for r in vocab.collect():
+                assert "".join(r.syms) == r.word
+    finally:
+        sh.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    xy=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_zorder_interleave_is_injective_and_bounded(spark, xy):
+    """Distinct (x, y) pairs must get distinct z-values within 16 bits,
+    and the curve must preserve the per-dimension bit decomposition."""
+    from google_cloud_ecommerce_spark.queries.scale import ZORDER_BITS, _zorder_terms
+
+    df = spark.createDataFrame(xy, "x long, y long").select(
+        "x", "y", F.expr(_zorder_terms("x", "y", "DIV")).alias("z")
+    )
+    rows = df.collect()
+    zs = [r.z for r in rows]
+    assert len(set(zs)) == len(zs)  # injective
+    assert all(0 <= z < 4 ** ZORDER_BITS for z in zs)
+    for r in rows:  # de-interleave recovers the inputs
+        x = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(ZORDER_BITS))
+        y = sum(((r.z >> (2 * i)) & 1) << i for i in range(ZORDER_BITS))
+        assert (x, y) == (r.x, r.y)

@@ -961,3 +961,107 @@ def _streaming_similarity_sql() -> str:
 
 
 ORACLE["streaming_similarity_topk"] = _streaming_similarity_sql()
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus prep — the LLM-data pipeline's gate+dedup stage as
+# a stream: documents arrive in doc_id-ordered chunks WITH duplicate
+# redeliveries (at-least-once), pass the same integer-exact quality
+# gates as the batch pretraining_corpus_prep (the repetition gate is
+# recomputed as a PER-ROW array expression, so the streaming plan needs
+# no pre-aggregation), get exactly-once'd by content digest
+# (dropDuplicates state), and roll up per language. The oracle IS the
+# batch prep's SQL — stream == batch, duplicates and all, because
+# chunks arrive in doc_id order so first-seen == min-doc_id keeper.
+# ---------------------------------------------------------------------------
+
+
+def streaming_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import tempfile
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.operators._common import tokens_expr
+    from google_cloud_ecommerce_spark.operators.pipeline import CHUNK_STRIDE, MIN_TOKENS
+
+    replay = tempfile.mkdtemp(prefix="spark_graft_docs_")
+    docs = load_table(spark, sf_dir, "documents")
+    n_files = 6
+    n = docs.count()
+    per = -(-n // n_files)
+    for i in range(n_files):
+        chunk = docs.filter(
+            (F.col("doc_id") >= i * per) & (F.col("doc_id") < (i + 1) * per)
+        )
+        if i > 0:  # redeliver every 5th doc of the previous chunk
+            dup = docs.filter(
+                (F.col("doc_id") >= (i - 1) * per)
+                & (F.col("doc_id") < i * per)
+                & (F.col("doc_id") % 5 == 0)
+            )
+            chunk = chunk.unionByName(dup)
+        stage = os.path.join(replay, f"_stage_{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(replay, f"chunk-{i:04d}.parquet"))
+        shutil.rmtree(stage)
+
+    try:
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string, source string, n_chars bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        toks = stream.withColumn("toks", F.expr(tokens_expr("lower(text)")))
+        # per-row forms of the batch gates (identical integer semantics)
+        enriched = (
+            toks.withColumn("n_tokens", F.expr("size(toks)").cast("long"))
+            .withColumn("n_distinct", F.expr("size(array_distinct(toks))").cast("long"))
+            .withColumn(
+                "bigrams",
+                F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+                    "ELSE array() END"
+                ),
+            )
+            .withColumn("n_bigrams", F.expr("size(bigrams)").cast("long"))
+            .withColumn(
+                "max_rep",
+                F.expr(
+                    "CASE WHEN size(bigrams) = 0 THEN 0 ELSE "
+                    "array_max(transform(array_distinct(bigrams), "
+                    "b -> size(filter(bigrams, x -> x = b)))) END"
+                ).cast("long"),
+            )
+        )
+        gated = enriched.filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_distinct") * 5 >= F.col("n_tokens"))
+            & (F.col("max_rep") * 5 <= F.col("n_bigrams"))
+        ).withColumn("digest", F.md5("text"))
+        deduped = gated.dropDuplicates(["digest"])
+        agg = deduped.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.expr(f"(n_chars - 1) DIV {CHUNK_STRIDE} + 1")).alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        return _run_to_memory(agg, "complete")
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
+QUERIES["streaming_corpus_prep"] = streaming_corpus_prep
+
+
+def _streaming_corpus_prep_sql() -> str:
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        PRETRAINING_CORPUS_PREP_SQL,
+    )
+
+    return PRETRAINING_CORPUS_PREP_SQL
+
+
+ORACLE["streaming_corpus_prep"] = _streaming_corpus_prep_sql()

@@ -977,3 +977,123 @@ LM_SCORE_SQL = f"""
 
 QUERIES["lm_score"] = lm_score
 ORACLE["lm_score"] = LM_SCORE_SQL
+
+
+# ---------------------------------------------------------------------------
+# countmin_estimates — a Count-Min sketch over the token stream with
+# DETERMINISTIC (md5-derived) hash rows, so unlike engine-native
+# sketches (HLL etc.) the whole structure is cross-engine exact and
+# oracle-checkable: the sketch is just GROUP BY (row, bucket) over
+# derived hashes (4x the explode rows in, 4*64 cells out, map-side
+# partials absorb everything), and a point estimate is the MIN over
+# the 4 cells a term hashes to. Output: per probe term, the true count
+# beside the sketch estimate — the overestimate bound (est >= true) is
+# part of the oracle-verified result. Sketch cells are trivially
+# mergeable across partitions/streams: they're sums.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+CM_PROBE_TERMS = ("spark", "join", "window", "stream", "zzz-absent")
+
+
+def _cm_bucket_expr(token: str, r: int) -> str:
+    salted = f"concat('cm{r}:', {token})"
+    return f"({token_hash_expr(salted)}) % {CM_WIDTH}"
+
+
+def _cm_bucket_sql(token: str, r: int) -> str:
+    salted = f"'cm{r}:' || {token}"
+    return f"({token_hash_sql(salted)}) % {CM_WIDTH}"
+
+
+def countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
+    )
+    rows = toks.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.expr(_cm_bucket_expr("token", r)).cast("long").alias("bucket"),
+                    )
+                    for r in range(CM_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    )
+    sketch = rows.groupBy(
+        F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count("*").alias("cell"))
+
+    probes = spark.createDataFrame(
+        [(t,) for t in CM_PROBE_TERMS], "term string"
+    ).select(
+        "term",
+        *[
+            F.expr(_cm_bucket_expr("term", r)).cast("long").alias(f"b_{r}")
+            for r in range(CM_DEPTH)
+        ],
+    )
+    est = probes
+    for r in range(CM_DEPTH):
+        cell_r = sketch.filter(F.col("r") == r).select(
+            F.col("bucket").alias(f"b_{r}"), F.col("cell").alias(f"c_{r}")
+        )
+        est = est.join(F.broadcast(cell_r), f"b_{r}", "left")
+    true_counts = toks.groupBy("token").agg(F.count("*").alias("true_count"))
+    mins = F.least(*[F.coalesce(F.col(f"c_{r}"), F.lit(0)) for r in range(CM_DEPTH)])
+    return (
+        est.join(
+            F.broadcast(true_counts), est.term == true_counts.token, "left"
+        )
+        .select(
+            "term",
+            F.coalesce("true_count", F.lit(0)).alias("true_count"),
+            mins.alias("cm_estimate"),
+        )
+        .withColumn(
+            "overestimate", (F.col("cm_estimate") - F.col("true_count")).cast("long")
+        )
+    )
+
+
+def _countmin_estimates_sql() -> str:
+    probe_rows = ", ".join(f"('{t}')" for t in CM_PROBE_TERMS)
+    cell_joins = "\n        ".join(
+        f"LEFT JOIN sketch s{r} ON s{r}.r = {r} AND s{r}.bucket = {_cm_bucket_sql('p.term', r)}"
+        for r in range(CM_DEPTH)
+    )
+    mins = ", ".join(f"COALESCE(s{r}.cell, 0)" for r in range(CM_DEPTH))
+    union_rb = " UNION ALL ".join(
+        f"SELECT token, {r} AS r, {_cm_bucket_sql('token', r)} AS bucket FROM toks"
+        for r in range(CM_DEPTH)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT unnest({tokens_sql('lower(text)')}) AS token FROM documents
+        ), rb AS (
+            {union_rb}
+        ), sketch AS (
+            SELECT r, bucket, count(*) AS cell FROM rb GROUP BY 1, 2
+        ), truth AS (
+            SELECT token, count(*) AS true_count FROM toks GROUP BY 1
+        ), probes AS (
+            SELECT * FROM (VALUES {probe_rows}) v(term)
+        )
+        SELECT p.term,
+               COALESCE(t.true_count, 0) AS true_count,
+               LEAST({mins}) AS cm_estimate,
+               CAST(LEAST({mins}) - COALESCE(t.true_count, 0) AS BIGINT)
+                   AS overestimate
+        FROM probes p
+        {cell_joins}
+        LEFT JOIN truth t ON t.token = p.term
+    """
+
+
+QUERIES["countmin_estimates"] = countmin_estimates
+ORACLE["countmin_estimates"] = _countmin_estimates_sql()

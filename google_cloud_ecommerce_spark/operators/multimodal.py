@@ -402,3 +402,153 @@ QUERIES["media_wav_decode"] = media_wav_decode
 QUERIES["media_bmp_decode"] = media_bmp_decode
 ORACLE["media_wav_decode"] = MEDIA_WAV_DECODE_SQL
 ORACLE["media_bmp_decode"] = MEDIA_BMP_DECODE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Real resize + real frame sampling. media_bmp_thumbnail block-mean
+# pools the decoded 8x8 BMP to 2x2 (the "resize" step, actually
+# computed from pixels, not stubbed); media_bmp_stream_sample walks a
+# MULTI-FRAME payload (N concatenated BMPs — sizes read from each
+# header, the way any container demuxer works) and keeps every 2nd
+# frame. Both carry analytical oracles over the closed-form pixel
+# pattern. Every mean is an integer sum divided once — bit-stable.
+# ---------------------------------------------------------------------------
+
+THUMB_POOL = 4  # 8x8 -> 2x2 thumbnail via 4x4 block means
+
+BMP_THUMB_SCHEMA = (
+    "doc_id bigint, cell_x int, cell_y int, thumb_r double, "
+    "thumb_g double, thumb_b double"
+)
+
+
+def bmp_thumbnail(payload: bytes) -> "np.ndarray":
+    """Decode + nearest-block-mean resize: (H/P, W/P, 3) float64."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    rows = [
+        np.frombuffer(payload, np.uint8, row_bytes, offset + y * stride)
+        for y in range(abs(h))
+    ]
+    px = np.stack(rows[::-1]).reshape(abs(h), w, 3)[:, :, ::-1].astype(np.int64)
+    p = THUMB_POOL
+    hh, ww = abs(h) // p, w // p
+    pooled = px[: hh * p, : ww * p].reshape(hh, p, ww, p, 3).sum(axis=(1, 3))
+    return pooled / float(p * p)
+
+
+def media_bmp_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                thumb = bmp_thumbnail(encode_bmp(_bmp_pixels(doc_id)))
+                for cy in range(thumb.shape[0]):
+                    for cx in range(thumb.shape[1]):
+                        r, g, b = thumb[cy, cx]
+                        rows.append((doc_id, cx, cy, float(r), float(g), float(b)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "cell_x", "cell_y", "thumb_r", "thumb_g", "thumb_b"],
+            )
+
+    return docs.mapInPandas(run, BMP_THUMB_SCHEMA)
+
+
+MEDIA_BMP_THUMBNAIL_SQL = f"""
+    WITH px AS (
+        SELECT doc_id, i % {BMP_W} AS x, i // {BMP_W} AS y
+        FROM documents, unnest(range(0, {BMP_W * BMP_H})) t(i)
+    )
+    SELECT doc_id,
+           CAST(x // {THUMB_POOL} AS INT) AS cell_x,
+           CAST(y // {THUMB_POOL} AS INT) AS cell_y,
+           CAST(CAST(SUM((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS DOUBLE)
+               / {THUMB_POOL * THUMB_POOL} AS thumb_r,
+           CAST(CAST(SUM((2 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT) AS DOUBLE)
+               / {THUMB_POOL * THUMB_POOL} AS thumb_g,
+           CAST(CAST(SUM((3 * doc_id + 13 * x + 17 * y) % 256) AS BIGINT) AS DOUBLE)
+               / {THUMB_POOL * THUMB_POOL} AS thumb_b
+    FROM px GROUP BY 1, 2, 3
+"""
+
+
+N_STREAM_FRAMES = 6
+FRAME_KEEP_STRIDE = 2  # keep frames 0, 2, 4
+
+BMP_STREAM_SCHEMA = (
+    "doc_id bigint, frame_index bigint, frame_mean_r double"
+)
+
+
+def split_bmp_stream(payload: bytes) -> list[bytes]:
+    """Demux a concatenated-BMP stream by reading each header's
+    declared file size — the container-walking step of any video
+    pipeline, on a format this container can actually parse."""
+    frames = []
+    pos = 0
+    while pos + 6 <= len(payload):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"bad frame magic at {pos}")
+        (size,) = struct.unpack_from("<I", payload, pos + 2)
+        frames.append(payload[pos : pos + size])
+        pos += size
+    return frames
+
+
+def _frame_pixels(doc_id: int, f: int) -> "np.ndarray":
+    y, x = np.mgrid[0:BMP_H, 0:BMP_W]
+    r = (int(doc_id) + 3 * x + 7 * y + 19 * f) % 256
+    g = (2 * int(doc_id) + 5 * x + 11 * y + 23 * f) % 256
+    b = (3 * int(doc_id) + 13 * x + 17 * y + 29 * f) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def media_bmp_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                stream = b"".join(
+                    encode_bmp(_frame_pixels(doc_id, f)) for f in range(N_STREAM_FRAMES)
+                )
+                for idx, frame in enumerate(split_bmp_stream(stream)):
+                    if idx % FRAME_KEEP_STRIDE:
+                        continue
+                    _, _, _, mean_r, _, _ = decode_bmp(frame)
+                    rows.append((doc_id, idx, mean_r))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_index", "frame_mean_r"]
+            )
+
+    return docs.mapInPandas(run, BMP_STREAM_SCHEMA)
+
+
+MEDIA_BMP_STREAM_SQL = f"""
+    WITH fr AS (
+        SELECT doc_id, f
+        FROM documents, unnest(range(0, {N_STREAM_FRAMES})) t(f)
+        WHERE f % {FRAME_KEEP_STRIDE} = 0
+    ), px AS (
+        SELECT doc_id, f, i % {BMP_W} AS x, i // {BMP_W} AS y
+        FROM fr, unnest(range(0, {BMP_W * BMP_H})) t(i)
+    )
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_index,
+           CAST(CAST(SUM((doc_id + 3 * x + 7 * y + 19 * f) % 256) AS BIGINT)
+                AS DOUBLE) / {BMP_W * BMP_H} AS frame_mean_r
+    FROM px GROUP BY 1, 2
+"""
+
+
+QUERIES["media_bmp_thumbnail"] = media_bmp_thumbnail
+QUERIES["media_bmp_stream_sample"] = media_bmp_stream_sample
+ORACLE["media_bmp_thumbnail"] = MEDIA_BMP_THUMBNAIL_SQL
+ORACLE["media_bmp_stream_sample"] = MEDIA_BMP_STREAM_SQL

@@ -370,3 +370,30 @@ def test_bmp_decoder_roundtrip_and_padding(tmp_path):
     assert (w, h, bpp) == (3, 2, 24)
     flat = px.reshape(-1, 3).astype(int)
     assert (mr, mg, mb) == tuple(flat.mean(axis=0))
+
+
+def test_bmp_stream_demux_and_thumbnail_pooling():
+    import numpy as np
+    import pytest as _pt
+
+    from google_cloud_ecommerce_spark.operators.multimodal import (
+        THUMB_POOL,
+        _bmp_pixels,
+        bmp_thumbnail,
+        encode_bmp,
+        split_bmp_stream,
+    )
+
+    frames = [encode_bmp(_bmp_pixels(i)) for i in range(3)]
+    stream = b"".join(frames)
+    assert split_bmp_stream(stream) == frames  # demux by header sizes
+    with _pt.raises(ValueError):
+        split_bmp_stream(b"XX" + stream)
+
+    px = _bmp_pixels(7).astype(np.int64)
+    thumb = bmp_thumbnail(encode_bmp(_bmp_pixels(7)))
+    p = THUMB_POOL
+    for cy in range(thumb.shape[0]):
+        for cx in range(thumb.shape[1]):
+            block = px[cy * p : (cy + 1) * p, cx * p : (cx + 1) * p]
+            assert (thumb[cy, cx] == block.reshape(-1, 3).mean(axis=0)).all()

@@ -422,3 +422,18 @@ def test_rfm_affinity_tfidf_profile_plan_shapes(spark, sf_smoke):
     plan = plan_of(quality.events_profile(spark, sf_smoke))
     assert "Join" not in plan
     assert "Expand" in plan  # multi-count-distinct single-pass plan
+
+
+def test_lm_countmin_plan_shapes(spark, sf_smoke):
+    """lm_score broadcasts the vocabulary (corpus shuffles only for the
+    doc roll-up); the count-min sketch is hash aggregates + broadcast
+    cell lookups — no cartesian anywhere."""
+    from google_cloud_ecommerce_spark.operators import text
+
+    plan = plan_of(text.lm_score(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(text.countmin_estimates(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

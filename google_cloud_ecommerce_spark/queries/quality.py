@@ -174,3 +174,56 @@ EVENTS_PROFILE_SQL = """
 
 QUERIES["events_profile"] = events_profile
 ORACLE["events_profile"] = EVENTS_PROFILE_SQL
+
+
+# ---------------------------------------------------------------------------
+# functional_dependencies — schema-inference companion to the profiler:
+# for ordered column pairs (A, B), does A determine B? Measured as
+# n_distinct(A) vs n_distinct(A, B): equal counts mean every A value
+# maps to exactly one B (holds=1). One pass per pair over a
+# pre-projected frame; counts are exact integers. The registry entry
+# checks the event table's candidate dependencies (id -> everything;
+# the deliberate near-keys too).
+# ---------------------------------------------------------------------------
+
+FD_PAIRS = (
+    ("event_id", "user_id"),
+    ("event_id", "event_type"),
+    ("user_id", "event_type"),
+    ("event_type", "user_id"),
+)
+
+
+def functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = None
+    for a, b in FD_PAIRS:
+        row = ev.agg(
+            F.lit(a).alias("determinant"),
+            F.lit(b).alias("dependent"),
+            F.count_distinct(F.col(a)).alias("n_distinct_a"),
+            F.count_distinct(F.col(a), F.col(b)).alias("n_distinct_ab"),
+        ).select(
+            "determinant",
+            "dependent",
+            "n_distinct_a",
+            "n_distinct_ab",
+            (F.col("n_distinct_a") == F.col("n_distinct_ab")).cast("long").alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+FUNCTIONAL_DEPENDENCIES_SQL = " UNION ALL ".join(
+    f"""
+    SELECT '{a}' AS determinant, '{b}' AS dependent,
+           COUNT(DISTINCT {a}) AS n_distinct_a,
+           COUNT(DISTINCT ({a}, {b})) AS n_distinct_ab,
+           CAST(COUNT(DISTINCT {a}) = COUNT(DISTINCT ({a}, {b})) AS BIGINT) AS holds
+    FROM events
+    """
+    for a, b in FD_PAIRS
+)
+
+QUERIES["functional_dependencies"] = functional_dependencies
+ORACLE["functional_dependencies"] = FUNCTIONAL_DEPENDENCIES_SQL

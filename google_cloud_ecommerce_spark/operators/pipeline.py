@@ -602,3 +602,125 @@ def _balanced_group_sample_sql() -> str:
 
 QUERIES["balanced_group_sample"] = balanced_group_sample
 ORACLE["balanced_group_sample"] = _balanced_group_sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_to_training_batches — the END-TO-END prep composition: quality
+# gates -> exact dedup -> deterministic split assignment -> token-budget
+# packing, per (lang, split), as ONE declarative plan (Catalyst fuses
+# it; nothing materializes between stages — the point of expressing a
+# pipeline relationally instead of as imperative steps). Gate + dedup
+# semantics are identical to pretraining_corpus_prep; the packing
+# window partitions on (lang, split), so bins never cross a split
+# boundary — the invariant a training loader needs.
+# ---------------------------------------------------------------------------
+
+
+def corpus_to_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(tokens_expr("lower(text)")).alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").cast("long").alias("n_distinct"),
+        "toks",
+    )
+    rep = (
+        base.filter("n_tokens >= 2")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("max_rep"))
+    )
+    gated = (
+        base.join(rep, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_distinct") * 5 >= F.col("n_tokens"))
+            & (F.col("max_rep") * 5 <= F.col("n_bigrams"))
+        )
+        .select("doc_id", "lang", "text", "n_tokens")
+    )
+    keeper = gated.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = gated.join(keeper.select("doc_id"), "doc_id").withColumn(
+        "split", F.expr(_split_expr_spark())
+    )
+    w = (
+        Window.partitionBy("lang", "split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = kept.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id", F.expr(f"(cum - n_tokens) DIV {PACK_CAPACITY}")
+    )
+    return binned.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count_distinct("bin_id").alias("n_bins"),
+    )
+
+
+CORPUS_TO_TRAINING_BATCHES_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, {tokens_sql('lower(text)')} AS toks
+        FROM documents
+    ), base AS (
+        SELECT doc_id, lang, text,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               toks
+        FROM t
+    ), b AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM base WHERE n_tokens >= 2
+    ), per AS (
+        SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2
+    ), rep AS (
+        SELECT doc_id, sum(c) AS n_bigrams, max(c) AS max_rep FROM per GROUP BY 1
+    ), gated AS (
+        SELECT g.doc_id, g.lang, g.text, g.n_tokens
+        FROM base g JOIN rep r USING (doc_id)
+        WHERE g.n_tokens >= {MIN_TOKENS}
+          AND g.n_distinct * 5 >= g.n_tokens
+          AND r.max_rep * 5 <= r.n_bigrams
+    ), keeper AS (
+        SELECT md5(text) AS digest, min(doc_id) AS doc_id FROM gated GROUP BY 1
+    ), kept0 AS (
+        SELECT g.doc_id AS doc_id, g.lang, g.n_tokens
+        FROM gated g JOIN keeper k ON g.doc_id = k.doc_id
+    ), kept AS (
+        SELECT doc_id, lang, n_tokens, {_split_expr_sql()} AS split FROM kept0
+    ), c AS (
+        SELECT lang, split, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang, split ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM kept
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT (cum - n_tokens) // {PACK_CAPACITY}) AS n_bins
+    FROM c GROUP BY 1, 2
+"""
+
+QUERIES["corpus_to_training_batches"] = corpus_to_training_batches
+ORACLE["corpus_to_training_batches"] = CORPUS_TO_TRAINING_BATCHES_SQL

@@ -101,3 +101,17 @@ def test_two_level_window_equals_direct_hourly(spark, sf_smoke):
         .collect()
     }
     assert chained == direct
+
+
+def test_functional_dependencies_semantics(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.queries.quality import functional_dependencies
+
+    rows = {(r.determinant, r.dependent): r for r in
+            functional_dependencies(spark, sf_smoke).collect()}
+    # event_id is the table key: it determines every other column
+    assert rows[("event_id", "user_id")].holds == 1
+    assert rows[("event_id", "event_type")].holds == 1
+    # 5 event types across thousands of users: cannot determine user_id
+    assert rows[("event_type", "user_id")].holds == 0
+    for r in rows.values():  # n_distinct(A) <= n_distinct(A,B) always
+        assert r.n_distinct_a <= r.n_distinct_ab

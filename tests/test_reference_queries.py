@@ -69,3 +69,28 @@ def test_record_id_dense(spark, sf_smoke):
         F.countDistinct("record_id").alias("d"),
     ).collect()[0]
     assert (stats.lo, stats.hi, stats.d) == (0, n - 1, n)
+
+
+def test_rfm_segments_partition_users_exactly_once(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.queries.reference import rfm_segments
+
+    rows = rfm_segments(spark, sf_smoke).collect()
+    n_users = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users  # exact partition
+    for r in rows:
+        assert 1 <= r.r_q <= 4 and 1 <= r.f_q <= 4 and 1 <= r.m_q <= 4
+        assert r.total_monetary >= 0
+
+
+def test_band_affinity_lift_and_symmetry_bounds(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.queries.reference import band_affinity
+
+    rows = band_affinity(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.band_a < r.band_b  # each unordered pair appears once
+        assert 0 < r.n_both <= min(r.n_a, r.n_b)  # co-occurrence bound
+        assert r.lift > 0

@@ -69,6 +69,8 @@ HEADLINE = [
     "lineitem_quartiles_distributed",
     "tfidf_top_terms",
     "media_wav_decode",  # the one deliberate Python/Arrow path in the bench
+    "rfm_segments",
+    "corpus_to_training_batches",
 ]
 
 

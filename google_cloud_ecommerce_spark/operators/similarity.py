@@ -829,3 +829,99 @@ def _embedding_quantize_sql() -> str:
 
 QUERIES["embedding_quantize"] = embedding_quantize
 ORACLE["embedding_quantize"] = _embedding_quantize_sql()
+
+
+# ---------------------------------------------------------------------------
+# embedding_top_component — PCA by power iteration, as DataFrames: the
+# dominant eigenvector of the (uncentered) covariance X^T X via
+# x <- normalize(X^T (X x)). Each round is ONE corpus pass: the
+# per-vector projection s = v . x is a deterministic in-order fold, and
+# the matvec y_d = sum_i round(s_i * v_id, 9) accumulates in
+# DECIMAL(18,9) — order-independent, so the iterate is bit-stable and
+# the oracle can unroll the rounds as CTEs (same discipline as
+# kmeans_assign). Normalization uses sqrt (IEEE-exact everywhere). The
+# 64-row iterate is rebuilt as an array via the sorted collect_list
+# idiom and re-broadcast; the corpus never shuffles.
+# ---------------------------------------------------------------------------
+
+POWER_ITERS = 4
+
+
+def _proj_with(cv: str) -> str:
+    return dot_expr("v", cv)
+
+
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    # x0 = e_1 (exact literal)
+    x = spark.range(1).select(
+        F.expr(
+            "array(" + ", ".join(
+                "CAST(1.0 AS DOUBLE)" if i == 0 else "CAST(0.0 AS DOUBLE)"
+                for i in range(EMBED_DIM)
+            ) + ")"
+        ).alias("x")
+    )
+    for _ in range(POWER_ITERS):
+        scored = emb.crossJoin(F.broadcast(x)).withColumn(
+            "s", F.expr(dot_expr("v", "x"))
+        )
+        per_dim = (
+            scored.select("s", F.posexplode("v").alias("pos", "val"))
+            .groupBy((F.col("pos") + 1).alias("dim"))
+            .agg(
+                F.sum(F.expr("CAST(round(s * val, 9) AS DECIMAL(18,9))"))
+                .cast("double")
+                .alias("y")
+            )
+        )
+        x = per_dim.agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, y))), t -> t.y)"
+            ).alias("raw")
+        ).select(
+            F.expr(
+                f"transform(raw, e -> e / sqrt({dot_expr('raw', 'raw')}))"
+            ).alias("x")
+        )
+    return x.select(F.posexplode("x").alias("pos", "component")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"), "component"
+    )
+
+
+def _embedding_top_component_sql() -> str:
+    def one_round(xsrc: str, n: int) -> str:
+        return f"""s{n} AS (
+            SELECT e.vec_id, e.v, {dot_sql('e.v', 'x.x')} AS s
+            FROM e CROSS JOIN {xsrc} x
+        ), y{n} AS (
+            SELECT i AS dim,
+                   CAST(SUM(CAST(round(s * v[i], 9) AS DECIMAL(18,9))) AS DOUBLE)
+                       AS y
+            FROM s{n}, unnest(range(1, {EMBED_DIM + 1})) t(i)
+            GROUP BY 1
+        ), r{n} AS (
+            SELECT list(y ORDER BY dim) AS raw FROM y{n}
+        ), x{n} AS (
+            SELECT list_transform(raw, e -> e / sqrt({dot_sql('raw', 'raw')})) AS x
+            FROM r{n}
+        )"""
+
+    x0 = "[" + ", ".join(
+        "CAST(1.0 AS DOUBLE)" if i == 0 else "CAST(0.0 AS DOUBLE)"
+        for i in range(EMBED_DIM)
+    ) + "]"
+    rounds = ", ".join(one_round(f"x{n - 1}", n) for n in range(1, POWER_ITERS + 1))
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), x0 AS (
+            SELECT {x0} AS x
+        ), {rounds}
+        SELECT CAST(i AS BIGINT) AS dim, x[i] AS component
+        FROM x{POWER_ITERS}, unnest(range(1, {EMBED_DIM + 1})) t(i)
+    """
+
+
+QUERIES["embedding_top_component"] = embedding_top_component
+ORACLE["embedding_top_component"] = _embedding_top_component_sql()

@@ -397,3 +397,37 @@ def test_bmp_stream_demux_and_thumbnail_pooling():
         for cx in range(thumb.shape[1]):
             block = px[cy * p : (cy + 1) * p, cx * p : (cx + 1) * p]
             assert (thumb[cy, cx] == block.reshape(-1, 3).mean(axis=0)).all()
+
+
+def test_power_iteration_component_properties(spark, sf_smoke):
+    import numpy as np
+
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        embedding_top_component,
+    )
+
+    comp = np.array([
+        r.component
+        for r in sorted(
+            embedding_top_component(spark, sf_smoke).collect(), key=lambda r: r.dim
+        )
+    ])
+    assert abs(float(comp @ comp) - 1.0) < 1e-9  # unit norm
+
+    from google_cloud_ecommerce_spark.operators.similarity import POWER_ITERS
+
+    X = np.array([
+        r.embedding
+        for r in spark.read.parquet(f"{sf_smoke}/embeddings.parquet").collect()
+    ], dtype=np.float64)
+    C = X.T @ X
+    e1 = np.zeros(X.shape[1]); e1[0] = 1.0
+    # power iteration must not lose variance vs its own start direction
+    assert comp @ C @ comp >= e1 @ C @ e1
+    # and must match numpy's same-k power iterate (the round-9 decimal
+    # quantization perturbs each step by ~1e-9)
+    x = e1.copy()
+    for _ in range(POWER_ITERS):
+        x = C @ x
+        x /= np.linalg.norm(x)
+    assert abs(float(comp @ x)) > 1.0 - 1e-6

@@ -843,3 +843,48 @@ def lineitem_quartiles_distributed(spark: SparkSession, sf_dir: str) -> DataFram
 
 QUERIES["lineitem_quartiles_distributed"] = lineitem_quartiles_distributed
 ORACLE["lineitem_quartiles_distributed"] = ORACLE["lineitem_quartiles"]
+
+
+# ---------------------------------------------------------------------------
+# order_value_distribution — the last two ranking-window functions in
+# the SQL vocabulary (percent_rank, cume_dist), per order priority.
+# Both are exact integer ratios ((rank-1)/(n-1), peers/n) so the
+# doubles are engine-identical unrounded. Top-5 per priority by price
+# (ties to the lower key) keeps the output bounded; the window
+# partitions per priority — parallel, never global.
+# ---------------------------------------------------------------------------
+
+
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+ORDER_VALUE_DISTRIBUTION_SQL = """
+    WITH r AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    SELECT * FROM r WHERE rn <= 5
+"""
+
+QUERIES["order_value_distribution"] = order_value_distribution
+ORACLE["order_value_distribution"] = ORDER_VALUE_DISTRIBUTION_SQL

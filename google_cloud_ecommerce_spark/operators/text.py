@@ -1097,3 +1097,87 @@ def _countmin_estimates_sql() -> str:
 
 QUERIES["countmin_estimates"] = countmin_estimates
 ORACLE["countmin_estimates"] = _countmin_estimates_sql()
+
+
+# ---------------------------------------------------------------------------
+# lm_bigram_score — the Markov upgrade of lm_score: documents scored
+# by mean -ln p(w_i | w_{i-1}) under the corpus's own bigram model
+# (conditional MLE: c(prev, w) / c(prev)). Same float discipline — one
+# ln per DISTINCT bigram, rounded into DECIMAL(18,9), per-document
+# decimal sums. The bigram table is vocabulary^2-bounded (tiny next to
+# the corpus) and broadcasts; docs with < 2 tokens have no bigrams and
+# are excluded (documented contract, as in segment dedup).
+# ---------------------------------------------------------------------------
+
+LM_BIGRAM_FLAG_THRESHOLD = 6.0
+
+
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
+    )
+    bigrams = toks.filter("size(toks) >= 2").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS prev, "
+                "element_at(toks, i + 1) AS w))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    c2 = bigrams.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    model = c2.join(c1, "prev").select(
+        "prev",
+        "w",
+        F.expr(
+            "CAST(round(-ln(CAST(c2 AS DOUBLE) / c1), 9) AS DECIMAL(18,9))"
+        ).alias("neg_lnp"),
+    )
+    scored = bigrams.join(F.broadcast(model), ["prev", "w"])
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("neg_lnp").alias("sum_neg_lnp"),
+    )
+    mean = F.col("sum_neg_lnp").cast("double") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        mean.alias("mean_neg_logprob"),
+        (mean > F.lit(LM_BIGRAM_FLAG_THRESHOLD)).cast("long").alias("is_flagged"),
+    )
+
+
+LM_BIGRAM_SCORE_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {{'prev': toks[i], 'w': toks[i + 1]}})) AS b
+        FROM toks WHERE len(toks) >= 2
+    ), pairs AS (
+        SELECT doc_id, b.prev AS prev, b.w AS w FROM bg
+    ), c2 AS (
+        SELECT prev, w, count(*) AS c2 FROM pairs GROUP BY 1, 2
+    ), c1 AS (
+        SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+    ), model AS (
+        SELECT c2.prev, c2.w,
+               CAST(round(-ln(CAST(c2 AS DOUBLE) / c1), 9) AS DECIMAL(18,9))
+                   AS neg_lnp
+        FROM c2 JOIN c1 USING (prev)
+    ), per_doc AS (
+        SELECT doc_id, count(*) AS n_bigrams, SUM(neg_lnp) AS sum_neg_lnp
+        FROM pairs JOIN model USING (prev, w) GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(sum_neg_lnp AS DOUBLE) / n_bigrams AS mean_neg_logprob,
+           CAST(CAST(sum_neg_lnp AS DOUBLE) / n_bigrams
+                > {LM_BIGRAM_FLAG_THRESHOLD} AS BIGINT) AS is_flagged
+    FROM per_doc
+"""
+
+QUERIES["lm_bigram_score"] = lm_bigram_score
+ORACLE["lm_bigram_score"] = LM_BIGRAM_SCORE_SQL

@@ -851,8 +851,9 @@ def _proj_with(cv: str) -> str:
     return dot_expr("v", cv)
 
 
-def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).select("vec_id", "v")
+def _power_iterate(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """POWER_ITERS rounds of x <- normalize(X^T X x); returns the 1-row
+    iterate frame (column `x`, array<double>)."""
     # x0 = e_1 (exact literal)
     x = spark.range(1).select(
         F.expr(
@@ -884,8 +885,25 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"transform(raw, e -> e / sqrt({dot_expr('raw', 'raw')}))"
             ).alias("x")
         )
+    return x
+
+
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    x = _power_iterate(spark, emb)
     return x.select(F.posexplode("x").alias("pos", "component")).select(
         (F.col("pos") + 1).cast("long").alias("dim"), "component"
+    )
+
+
+def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimensionality-reduction output: every vector's coordinate
+    along the learned top component (one broadcast of the 1-row
+    iterate; the corpus never shuffles)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    x = _power_iterate(spark, emb)
+    return emb.crossJoin(F.broadcast(x)).select(
+        "vec_id", F.expr(dot_expr("v", "x")).alias("proj")
     )
 
 
@@ -923,5 +941,19 @@ def _embedding_top_component_sql() -> str:
     """
 
 
+def _embedding_projection_sql() -> str:
+    base = _embedding_top_component_sql()
+    # swap the final SELECT for the per-vector projection
+    head = base.rsplit("SELECT CAST(i AS BIGINT)", 1)[0]
+    return (
+        head
+        + f"""SELECT e.vec_id, {dot_sql('e.v', 'x.x')} AS proj
+        FROM e CROSS JOIN x{POWER_ITERS} x
+    """
+    )
+
+
 QUERIES["embedding_top_component"] = embedding_top_component
+QUERIES["embedding_projection"] = embedding_projection
 ORACLE["embedding_top_component"] = _embedding_top_component_sql()
+ORACLE["embedding_projection"] = _embedding_projection_sql()

@@ -24,6 +24,7 @@ def _modules():
     )
     from google_cloud_ecommerce_spark.queries import (
         cdc,
+        graph,
         joins,
         quality,
         reference,
@@ -42,6 +43,7 @@ def _modules():
         relational,
         joins,
         cdc,
+        graph,
         quality,
         scale,
         stats,

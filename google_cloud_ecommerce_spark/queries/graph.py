@@ -1,0 +1,288 @@
+"""Graph analytics over the event stream: PageRank on the category
+transition graph and triangle counting on the co-view graph.
+
+The reference's funnel charts (README.md:78-80) treat consecutive
+per-user events as edges; these operators generalize that to a graph
+the engine can iterate on. Both are expressed as DataFrame programs —
+edges are built once with one window pass, then each PageRank round is
+a broadcast join + one hash aggregate (the rank vector is tiny; the
+edge list never re-shuffles for the rank side).
+
+Determinism across engines for an ITERATIVE float algorithm is the hard
+part (same issue as `operators/similarity.py` k-means): we sidestep
+floats entirely by running PageRank in scaled-integer arithmetic
+(rank * 10^12 as BIGINT, floor division for the damping and the
+out-degree split). Every intermediate is exact, so Spark and DuckDB
+agree bit-for-bit regardless of partitioning or summation order; the
+single float appears in the final projection.
+
+Scale posture (100 TB): the transition-edge build is one window over
+(user, ts) — the same shuffle the sessionizer already pays — followed
+by a hash aggregate onto the (src, dst) key whose domain is bounded by
+the category-bucket vocabulary, not the event count. PageRank then
+iterates on the AGGREGATED edge list (|buckets|^2 rows at most), with
+the rank vector broadcast — no per-event work inside the loop. The
+co-view pair build for triangles is bounded the same way: per-user
+distinct buckets ≤ the bucket vocabulary, so the per-user pair fan-out
+is a constant, never n^2 in events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from google_cloud_ecommerce_spark.catalog import load_table
+
+N_BUCKETS = 10  # category vocabulary: k % 10, as in conversion_rate
+PR_SCALE = 10**12  # fixed-point scale for integer PageRank
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+COVIEW_MIN_USERS = 3  # co-view edge support threshold
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _bucket_col() -> F.Column:
+    return (
+        F.get_json_object(F.col("props"), "$.k").cast("long") % N_BUCKETS
+    ).alias("bucket")
+
+
+def _transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted directed edges: consecutive per-user category-bucket
+    transitions (self-loops dropped), aggregated to (src, dst, w)."""
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "event_id", _bucket_col())
+        .filter(F.col("bucket").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("src", F.lag("bucket").over(w))
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("bucket")))
+        .groupBy("src", F.col("bucket").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def pagerank_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round weighted PageRank over the category transition graph.
+
+    Integer fixed-point arithmetic (see module docstring): per-edge
+    contribution = (rank_src * w) DIV out_w_src, damping applied as
+    (85 * in_mass) DIV 100 + (15 * SCALE) DIV (100 * N). Dangling-node
+    mass is dropped (documented; identical in the oracle).
+    """
+    edges = _transition_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # node/rank vectors are O(N_BUCKETS) rows — broadcast everywhere.
+    # The node count enters as a lazy 1-row aggregate cross-joined in
+    # (never a driver-side action: query builders must stay lazy so the
+    # bench times the whole plan).
+    consts = nodes.agg(
+        F.expr(
+            f"(({PR_DAMP_DEN - PR_DAMP_NUM}) * CAST({PR_SCALE} AS BIGINT))"
+            f" DIV ({PR_DAMP_DEN} * count(*))"
+        ).alias("tp"),
+        F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV count(*)").alias("r0"),
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    wedges = edges.join(F.broadcast(out_w), "src")
+
+    # ranks carries (node, rank, tp): tp rides along so each damping
+    # step is a pure column expression over the broadcast rank vector.
+    ranks = nodes.crossJoin(F.broadcast(consts)).select(
+        "node", F.col("r0").alias("rank"), "tp"
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            wedges.join(
+                F.broadcast(ranks), wedges["src"] == ranks["node"]
+            )
+            .select(
+                "dst",
+                F.expr("(rank * w) DIV out_w").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(consts))
+            .join(F.broadcast(contrib), nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.col("tp")
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(in_mass, 0)) DIV {PR_DAMP_DEN}"
+                    )
+                ).alias("rank"),
+                "tp",
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("bucket"),
+        F.round(F.col("rank") / F.lit(float(PR_SCALE)), 6).alias("pagerank"),
+        F.col("rank").alias("rank_scaled"),
+    )
+
+
+def _edges_sql() -> str:
+    return f"""
+        ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       % {N_BUCKETS} AS bucket
+            FROM events WHERE event_type = 'view'
+        ), seq AS (
+            SELECT bucket,
+                   lag(bucket) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src
+            FROM ev WHERE bucket IS NOT NULL
+        ), edges AS (
+            SELECT src, bucket AS dst, count(*) AS w
+            FROM seq WHERE src IS NOT NULL AND src <> bucket
+            GROUP BY 1, 2
+        )"""
+
+
+def _pagerank_sql() -> str:
+    damp = f"{PR_DAMP_NUM}"
+    den = f"{PR_DAMP_DEN}"
+
+    def rnd(prev: str, n: int) -> str:
+        return f"""c{n} AS (
+            SELECT e.dst, SUM((r.rank * e.w) // e.out_w) AS in_mass
+            FROM we e JOIN {prev} r ON r.node = e.src
+            GROUP BY 1
+        ), r{n} AS (
+            SELECT n.node,
+                   (SELECT tp FROM consts)
+                   + ({damp} * COALESCE(c.in_mass, 0)) // {den} AS rank
+            FROM nodes n LEFT JOIN c{n} c ON c.dst = n.node
+        )"""
+
+    return f"""
+        WITH {_edges_sql()}, nodes AS (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges
+        ), consts AS (
+            SELECT count(*) AS n,
+                   (({den} - {damp}) * {PR_SCALE}::BIGINT)
+                       // ({den} * count(*)) AS tp,
+                   {PR_SCALE}::BIGINT // count(*) AS r0
+            FROM nodes
+        ), we AS (
+            SELECT e.src, e.dst, e.w, o.out_w
+            FROM edges e
+            JOIN (SELECT src, SUM(w) AS out_w FROM edges GROUP BY 1) o
+              ON o.src = e.src
+        ), r0 AS (
+            SELECT node, (SELECT r0 FROM consts) AS rank FROM nodes
+        ), {rnd('r0', 1)}, {rnd('r1', 2)}, {rnd('r2', 3)}
+        SELECT node AS bucket,
+               ROUND(rank / {float(PR_SCALE)}, 6) AS pagerank,
+               CAST(rank AS BIGINT) AS rank_scaled
+        FROM r3
+    """
+
+
+def triangle_coview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the co-view graph.
+
+    Undirected edge (a, b), a < b, when >= COVIEW_MIN_USERS distinct
+    users viewed both buckets. Triangles are enumerated a < b < c via
+    two joins on the aggregated edge list (bounded by the bucket
+    vocabulary — the joins run on at most C(N_BUCKETS, 2) rows, never
+    on event-scale data). Per-node count = triangles touching the node.
+    """
+    ub = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", _bucket_col())
+        .filter(F.col("bucket").isNotNull())
+        .distinct()
+    )
+    pairs = (
+        ub.alias("x")
+        .join(ub.alias("y"), F.col("x.user_id") == F.col("y.user_id"))
+        .filter(F.col("x.bucket") < F.col("y.bucket"))
+        .groupBy(
+            F.col("x.bucket").alias("a"), F.col("y.bucket").alias("b")
+        )
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("n_users") >= COVIEW_MIN_USERS)
+        .select("a", "b")
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .union(tris.select(F.col("b").alias("node")))
+        .union(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node.orderBy("node")
+
+
+def _triangle_sql() -> str:
+    return f"""
+        WITH ub AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       % {N_BUCKETS} AS bucket
+            FROM events
+            WHERE event_type = 'view'
+              AND json_extract_string(props, '$.k') IS NOT NULL
+        ), pairs AS (
+            SELECT x.bucket AS a, y.bucket AS b
+            FROM ub x JOIN ub y ON x.user_id = y.user_id
+            WHERE x.bucket < y.bucket
+            GROUP BY 1, 2
+            HAVING count(*) >= {COVIEW_MIN_USERS}
+        ), tris AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM pairs e1
+            JOIN pairs e2 ON e2.a = e1.b
+            JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), nodes AS (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        )
+        SELECT node, count(*) AS n_triangles
+        FROM nodes GROUP BY 1 ORDER BY 1
+    """
+
+
+QUERIES = {
+    "pagerank_categories": pagerank_categories,
+    "triangle_coview": triangle_coview,
+}
+
+ORACLE = {
+    "pagerank_categories": _pagerank_sql(),
+    "triangle_coview": _triangle_sql(),
+}

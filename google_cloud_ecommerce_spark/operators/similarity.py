@@ -957,3 +957,199 @@ QUERIES["embedding_top_component"] = embedding_top_component
 QUERIES["embedding_projection"] = embedding_projection
 ORACLE["embedding_top_component"] = _embedding_top_component_sql()
 ORACLE["embedding_projection"] = _embedding_projection_sql()
+
+
+# ---------------------------------------------------------------------------
+# pq_encode — product quantization (Jégou et al., PAMI 2011): split each
+# vector into M subspaces, learn a tiny per-subspace codebook with one
+# Lloyd round (seeded from corpus rows, same decimal-exact accumulation
+# as kmeans_assign), then encode every vector as M small centroid ids
+# plus its total squared reconstruction error. PQ is the storage layout
+# behind disk-scale ANN (a 64-dim float vector compresses to M bytes;
+# distance scans read codes, not floats) — the int8 path above is the
+# scalar variant, this is the vector-codebook variant.
+#
+# Scale posture: codebooks are M*K tiny rows (broadcast); assignment is
+# map-side per-vector math; the single training round is one hash
+# aggregate onto (subspace, centroid, dim) — bounded by M*K*dim, not by
+# corpus size. Nothing here shuffles the corpus itself.
+#
+# Determinism: centroid components accumulate as ROUND(x,6) DECIMAL
+# (order-independent), all distance folds are fixed-order left-folds,
+# ties break to the lower centroid id; the oracle unrolls the round as
+# CTEs, so the iterative float algorithm stays hash-checkable.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB_DIM = EMBED_DIM // PQ_M  # 16 dims each
+PQ_K = 4  # centroids per subspace
+
+
+def _pq_subvecs(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> struct(m AS m, slice(v, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _pq_assign_step(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    scored = sub.join(F.broadcast(cents), "m").withColumn(
+        "sq_dist", F.expr(_sqdist_expr("sv", "cv"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("sq_dist"), F.asc("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", "sv", "c_id", "sq_dist")
+    )
+
+
+def _pq_update_step(assigned: DataFrame) -> DataFrame:
+    per_dim = (
+        assigned.select("m", "c_id", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "c_id", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.round("val", 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("comp")
+        )
+    )
+    return per_dim.groupBy("m", "c_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, comp))), s -> s.comp)"
+        ).alias("cv")
+    )
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    sub = _pq_subvecs(emb)
+    cents = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("c_id"), F.col("sv").alias("cv")
+    )
+    trained = _pq_update_step(_pq_assign_step(sub, cents))
+    final = _pq_assign_step(sub, trained)
+    # per-vector rollup: codes in subspace order; the error fold runs in
+    # the same m-order in both engines (sorted array left-fold, never a
+    # partition-order SUM over doubles)
+    return (
+        final.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, c_id))), s -> s.c_id)"
+            ).alias("codes"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(m, sq_dist))), "
+                "s -> s.sq_dist), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("recon_err"),
+        )
+        .select("vec_id", "codes", F.round("recon_err", 4).alias("recon_sq_err"))
+    )
+
+
+def _pq_encode_sql() -> str:
+    def assign(src_c: str, n: int) -> str:
+        return f"""a{n} AS (
+            SELECT s.vec_id, s.m, s.sv, c.c_id,
+                   {_sqdist_sql('s.sv', 'c.cv', PQ_SUB_DIM)} AS sq_dist,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_sqdist_sql('s.sv', 'c.cv', PQ_SUB_DIM)}, c.c_id
+                   ) AS rk
+            FROM sub s JOIN {src_c} c ON c.m = s.m
+        ), m{n} AS (
+            SELECT vec_id, m, sv, c_id, sq_dist FROM a{n} WHERE rk = 1
+        )"""
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sub AS (
+            SELECT vec_id, m,
+                   list_slice(v, m * {PQ_SUB_DIM} + 1, (m + 1) * {PQ_SUB_DIM}) AS sv
+            FROM e, unnest(range(0, {PQ_M})) t(m)
+        ), c0 AS (
+            SELECT m, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+        ), {assign('c0', 1)}, u1 AS (
+            SELECT m, c_id, i AS dim,
+                   CAST(SUM(CAST(ROUND(sv[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) AS comp
+            FROM m1, unnest(range(1, {PQ_SUB_DIM + 1})) t(i)
+            GROUP BY 1, 2, 3
+        ), c1 AS (
+            SELECT m, c_id, list(comp ORDER BY dim) AS cv FROM u1 GROUP BY 1, 2
+        ), {assign('c1', 2)}
+        SELECT vec_id,
+               list(c_id ORDER BY m) AS codes,
+               ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(sq_dist ORDER BY m)), (acc, x) -> acc + x), 4)
+                   AS recon_sq_err
+        FROM m2 GROUP BY vec_id
+    """
+
+
+QUERIES["pq_encode"] = pq_encode
+ORACLE["pq_encode"] = _pq_encode_sql()
+
+
+# ---------------------------------------------------------------------------
+# random_projection — Johnson–Lindenstrauss dimensionality reduction
+# onto the 8 fixed Gaussian hyperplanes (the same literals the sign-LSH
+# bucketer thresholds; here the raw projections ARE the output). The
+# k-dim sketch preserves pairwise distances within ~(1 ± eps) at
+# k = O(log n / eps^2); downstream ANN / clustering can run on 8 doubles
+# instead of 64. norm_ratio = ||proj||/(sqrt(k)*||v||) reports the
+# per-vector distortion (≈1 under JL).
+#
+# Scale: pure map-side column math over broadcast literal hyperplanes —
+# zero shuffle, whole-stage codegen, trivially linear at 100 TB.
+# Determinism: dot products and sqrt are fixed-order IEEE folds
+# (bit-exact in both engines); outputs round to 6dp for display only.
+# ---------------------------------------------------------------------------
+
+
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    proj_exprs = ", ".join(
+        dot_expr("v", spark_double_array(p)) for p in PROJECTIONS
+    )
+    projected = emb.withColumn("p", F.expr(f"array({proj_exprs})"))
+    return projected.select(
+        "vec_id",
+        F.expr("transform(p, x -> round(x, 6))").alias("proj"),
+        F.round(
+            F.expr(
+                f"sqrt({dot_expr('p', 'p')} / {N_PROJECTIONS}) / "
+                f"sqrt({dot_expr('v', 'v')})"
+            ),
+            6,
+        ).alias("norm_ratio"),
+    )
+
+
+def _random_projection_sql() -> str:
+    proj_list = ", ".join(
+        dot_sql("v", sql_double_array(p)) for p in PROJECTIONS
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), pr AS (
+            SELECT vec_id, v, [{proj_list}] AS p FROM e
+        )
+        SELECT vec_id,
+               list_transform(p, x -> round(x, 6)) AS proj,
+               ROUND(sqrt({dot_sql('p', 'p', N_PROJECTIONS)} / {N_PROJECTIONS})
+                     / sqrt({dot_sql('v', 'v')}), 6) AS norm_ratio
+        FROM pr
+    """
+
+
+QUERIES["random_projection"] = random_projection
+ORACLE["random_projection"] = _random_projection_sql()

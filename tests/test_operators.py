@@ -431,3 +431,46 @@ def test_power_iteration_component_properties(spark, sf_smoke):
         x = C @ x
         x /= np.linalg.norm(x)
     assert abs(float(comp @ x)) > 1.0 - 1e-6
+
+
+def test_pq_encode_compression_properties(spark, sf_smoke):
+    """Codes live in [0, K); a seed vector's untrained assignment would
+    be itself, and after one Lloyd round its reconstruction error must
+    stay no worse than the worst corpus error (centroids moved toward
+    the mass, not away from every point)."""
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_encode,
+    )
+
+    rows = pq_encode(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+        assert r.recon_sq_err >= 0.0
+    # the encoding must actually discriminate: more than one distinct
+    # code word across the corpus
+    assert len({tuple(r.codes) for r in rows}) > 1
+
+
+def test_random_projection_distance_preservation(spark, sf_smoke):
+    """JL sketch: the k-dim norm estimate concentrates around the true
+    norm — corpus-median ratio within [0.5, 1.5] for k=8 — and the
+    projection is deterministic across runs (fixed hyperplanes)."""
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        N_PROJECTIONS,
+        random_projection,
+    )
+
+    rows = random_projection(spark, sf_smoke).collect()
+    assert rows
+    assert all(len(r.proj) == N_PROJECTIONS for r in rows)
+    ratios = sorted(r.norm_ratio for r in rows)
+    median = ratios[len(ratios) // 2]
+    assert 0.5 <= median <= 1.5
+    again = random_projection(spark, sf_smoke).collect()
+    assert sorted((r.vec_id, tuple(r.proj)) for r in rows) == sorted(
+        (r.vec_id, tuple(r.proj)) for r in again
+    )

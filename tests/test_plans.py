@@ -437,3 +437,18 @@ def test_lm_countmin_plan_shapes(spark, sf_smoke):
     plan = plan_of(text.countmin_estimates(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vector_compression_plan_shapes(spark, sf_smoke):
+    """random_projection is pure map-side math (no exchange, no join);
+    pq_encode broadcasts the tiny per-subspace codebooks and never
+    shuffles the corpus for assignment."""
+    from google_cloud_ecommerce_spark.operators import similarity
+
+    plan = plan_of(similarity.random_projection(spark, sf_smoke))
+    assert "Exchange" not in plan and "Join" not in plan
+
+    plan = plan_of(similarity.pq_encode(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # codebooks must never merge-join

@@ -131,12 +131,95 @@ BATCH_SESSIONIZATION_SQL = f"""
 """
 
 
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build from the event changelog.
+
+    Tracks each user's event_type as the dimension attribute: consecutive
+    runs of the same value collapse into one versioned row with a
+    [valid_from, valid_to) interval (half-open; valid_to of the current
+    version is NULL) and a per-user version number. This is the batch
+    MERGE pattern a warehouse applies to CDC feeds, expressed as
+    gaps-and-islands: break where the attribute changes, integer-sum the
+    breaks into island ids, aggregate, then lead() the next island's
+    start as the exclusive end.
+
+    Scale: every window partitions by user_id — Catalyst plans ONE
+    shuffle on that key and runs all three window passes plus the island
+    aggregate co-partitioned on it. Interval bounds ship as integral
+    epoch-microseconds (process-TZ stable, exactly comparable).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("attr")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.lag("attr").over(w).isNull() | (F.lag("attr").over(w) != F.col("attr")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    islands = ev.select("user_id", "event_id", "ts", "attr", brk).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    versions = islands.groupBy("user_id", "island", "attr").agg(
+        F.min(F.unix_micros("ts")).alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("island")
+    return versions.select(
+        "user_id",
+        F.col("island").alias("version"),
+        "attr",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+        F.lead("valid_from_us").over(wv).isNull().cast("long").alias("is_current"),
+        "n_events",
+    )
+
+
+SCD2_USER_STATE_SQL = """
+    WITH d AS (
+        SELECT user_id, event_id, ts, event_type AS attr,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), i AS (
+        SELECT user_id, ts, attr,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM d
+    ), v AS (
+        SELECT user_id, island, attr,
+               min(epoch_us(ts)) AS valid_from_us,
+               count(*) AS n_events
+        FROM i GROUP BY 1, 2, 3
+    )
+    SELECT user_id,
+           CAST(island AS BIGINT) AS version,
+           attr,
+           valid_from_us,
+           lead(valid_from_us) OVER wv AS valid_to_us,
+           CAST(lead(valid_from_us) OVER wv IS NULL AS BIGINT) AS is_current,
+           n_events
+    FROM v
+    WINDOW wv AS (PARTITION BY user_id ORDER BY island)
+"""
+
+
 QUERIES = {
     "changelog_compaction": changelog_compaction,
     "batch_sessionization": batch_sessionization,
+    "scd2_user_state": scd2_user_state,
 }
 
 ORACLE = {
     "changelog_compaction": CHANGELOG_COMPACTION_SQL,
     "batch_sessionization": BATCH_SESSIONIZATION_SQL,
+    "scd2_user_state": SCD2_USER_STATE_SQL,
 }

@@ -82,3 +82,41 @@ def test_bigram_positional_construction(spark, tmp_path):
     out = {r.bigram: (r.n_occurrences, r.n_docs) for r in T.bigram_frequencies(spark, str(tmp_path)).collect()}
     # "a b a b" -> bigrams: a b, b a, a b ; doc 2 and 3 contribute none
     assert out == {"a b": (2, 1), "b a": (1, 1)}
+
+
+def test_scd2_intervals_contiguous_and_single_current(spark, sf_smoke):
+    """Per user: versions start at 1 and increment, intervals chain
+    exactly (valid_to == next valid_from), exactly one open (current)
+    version, and run-length compression conserves the event count."""
+    from collections import defaultdict
+
+    from google_cloud_ecommerce_spark.queries import cdc
+    from google_cloud_ecommerce_spark.catalog import load_table
+
+    rows = cdc.scd2_user_state(spark, sf_smoke).collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    n_events_total = 0
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r.is_current for r in vs) == 1
+        assert vs[-1].is_current == 1 and vs[-1].valid_to_us is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.attr != b.attr  # runs are maximal
+        n_events_total += sum(r.n_events for r in vs)
+    n_raw = load_table(spark, sf_smoke, "events").count()
+    assert n_events_total == n_raw
+
+
+def test_scd2_single_shuffle(spark, sf_smoke):
+    """All windows and the island aggregate run co-partitioned on
+    user_id: exactly one exchange in the whole plan."""
+    from google_cloud_ecommerce_spark.queries import cdc
+
+    df = cdc.scd2_user_state(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("+- Exchange") == 1

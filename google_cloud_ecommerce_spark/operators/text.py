@@ -1181,3 +1181,123 @@ LM_BIGRAM_SCORE_SQL = f"""
 
 QUERIES["lm_bigram_score"] = lm_bigram_score
 ORACLE["lm_bigram_score"] = LM_BIGRAM_SCORE_SQL
+
+
+# ---------------------------------------------------------------------------
+# gopher_gates — the per-rule document quality gates of Rae et al. 2021
+# ("Scaling Language Models", appendix A quality heuristics), each as
+# its own boolean flag so a pipeline can tune thresholds per rule
+# rather than consuming one opaque score (text_quality above is the
+# scored form; this is the gated form C4/Gopher/RefinedWeb-style
+# pipelines actually filter on):
+#
+#   R1 word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+#   R2 mean word length in [3, 10] characters
+#   R3 >= 80% of words contain at least one alphabetic character
+#   R4 symbol-to-word ratio ('#' or '...') <= 0.1
+#   R5 at least 2 DISTINCT English stopwords appear
+#
+# All rules are integer/boolean column math over the token array —
+# deterministic, shuffle-free, whole-stage codegen; keep = all pass.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
+    )
+    # integer counts first; every ratio divides two exact integers
+    c = toks.select(
+        "doc_id",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_words"),
+        F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").alias("n_chars"),
+        F.expr(
+            "CAST(size(filter(toks, t -> t rlike '[a-z]')) AS BIGINT)"
+        ).alias("n_alpha_words"),
+        F.expr(
+            "CAST(size(filter(toks, t -> instr(t, '#') > 0 OR instr(t, '...') > 0)) AS BIGINT)"
+        ).alias("n_symbol_words"),
+        F.expr(
+            f"CAST(size(array_distinct(filter(toks, t -> t IN ({en})))) AS BIGINT)"
+        ).alias("n_distinct_stop"),
+    )
+    r1 = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    mean_len = F.col("n_chars") / F.col("n_words")
+    r2 = (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
+    r3 = (F.col("n_alpha_words") / F.col("n_words")) >= GOPHER_MIN_ALPHA_FRAC
+    r4 = (F.col("n_symbol_words") / F.col("n_words")) <= GOPHER_MAX_SYMBOL_RATIO
+    r5 = F.col("n_distinct_stop") >= GOPHER_MIN_STOPWORDS
+    flags = [x.cast("long") for x in (r1, r2, r3, r4, r5)]
+    return c.select(
+        "doc_id",
+        "n_words",
+        flags[0].alias("pass_word_count"),
+        flags[1].alias("pass_mean_word_len"),
+        flags[2].alias("pass_alpha_frac"),
+        flags[3].alias("pass_symbol_ratio"),
+        flags[4].alias("pass_stopwords"),
+        sum(flags[1:], flags[0]).alias("n_rules_passed"),
+        (r1 & r2 & r3 & r4 & r5).cast("long").alias("keep"),
+    )
+
+
+def _gopher_gates_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(toks, t -> length(t)))
+                        AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                        AS BIGINT) AS n_alpha_words,
+                   CAST(len(list_filter(toks,
+                        t -> instr(t, '#') > 0 OR instr(t, '...') > 0))
+                        AS BIGINT) AS n_symbol_words,
+                   CAST(len(list_distinct(list_filter(toks, t -> t IN ({en}))))
+                        AS BIGINT) AS n_distinct_stop
+            FROM t
+        ), f AS (
+            SELECT doc_id, n_words,
+                   CAST(n_words >= {GOPHER_MIN_WORDS}
+                        AND n_words <= {GOPHER_MAX_WORDS} AS BIGINT) AS pass_word_count,
+                   -- explicit DOUBLE division: Spark divides BIGINTs as
+                   -- IEEE doubles; DuckDB's  x * 1.0  would go DECIMAL and
+                   -- could break a threshold tie differently
+                   CAST(CAST(n_chars AS DOUBLE) / n_words >= {GOPHER_MIN_MEAN_LEN}
+                        AND CAST(n_chars AS DOUBLE) / n_words <= {GOPHER_MAX_MEAN_LEN}
+                        AS BIGINT) AS pass_mean_word_len,
+                   CAST(CAST(n_alpha_words AS DOUBLE) / n_words >= {GOPHER_MIN_ALPHA_FRAC}
+                        AS BIGINT) AS pass_alpha_frac,
+                   CAST(CAST(n_symbol_words AS DOUBLE) / n_words <= {GOPHER_MAX_SYMBOL_RATIO}
+                        AS BIGINT) AS pass_symbol_ratio,
+                   CAST(n_distinct_stop >= {GOPHER_MIN_STOPWORDS}
+                        AS BIGINT) AS pass_stopwords
+            FROM c
+        )
+        SELECT doc_id, n_words,
+               pass_word_count, pass_mean_word_len, pass_alpha_frac,
+               pass_symbol_ratio, pass_stopwords,
+               pass_word_count + pass_mean_word_len + pass_alpha_frac
+                   + pass_symbol_ratio + pass_stopwords AS n_rules_passed,
+               pass_word_count * pass_mean_word_len * pass_alpha_frac
+                   * pass_symbol_ratio * pass_stopwords AS keep
+        FROM f
+    """
+
+
+QUERIES["gopher_gates"] = gopher_gates
+ORACLE["gopher_gates"] = _gopher_gates_sql()

@@ -474,3 +474,39 @@ def test_random_projection_distance_preservation(spark, sf_smoke):
     assert sorted((r.vec_id, tuple(r.proj)) for r in rows) == sorted(
         (r.vec_id, tuple(r.proj)) for r in again
     )
+
+
+def test_gopher_gates_rule_semantics(spark, sf_smoke, tmp_path):
+    """keep == AND of all five flags; a synthetic doc violating one
+    specific rule fails exactly that flag."""
+    from google_cloud_ecommerce_spark.operators.text import gopher_gates
+
+    rows = gopher_gates(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        flags = (
+            r.pass_word_count,
+            r.pass_mean_word_len,
+            r.pass_alpha_frac,
+            r.pass_symbol_ratio,
+            r.pass_stopwords,
+        )
+        assert r.n_rules_passed == sum(flags)
+        assert r.keep == int(all(flags))
+
+    # targeted violations on a synthetic corpus
+    good = "the and of " + " ".join(f"word{i}" for i in range(60))
+    short = "the a tiny doc"  # violates word count
+    nums = "the a of " + " ".join(str(i) for i in range(80))  # alpha frac
+    hashy = "the a of " + " ".join("#" for _ in range(60))  # symbol ratio
+    df = spark.createDataFrame(
+        [(1, good, "en", "s", len(good)), (2, short, "en", "s", len(short)),
+         (3, nums, "en", "s", len(nums)), (4, hashy, "en", "s", len(hashy))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in gopher_gates(spark, str(tmp_path)).collect()}
+    assert out[1].keep == 1
+    assert out[2].pass_word_count == 0
+    assert out[3].pass_alpha_frac == 0
+    assert out[4].pass_symbol_ratio == 0 and out[4].pass_alpha_frac == 0

@@ -71,6 +71,11 @@ HEADLINE = [
     "media_wav_decode",  # the one deliberate Python/Arrow path in the bench
     "rfm_segments",
     "corpus_to_training_batches",
+    "pagerank_categories",
+    "pq_encode",
+    "random_projection",
+    "scd2_user_state",
+    "gopher_gates",
 ]
 
 

@@ -88,9 +88,10 @@ PRIORITY: tuple[str, ...] = (
     "asof_purchase_view",
     "purchase_attribution",
     "nation_party_balance_full_outer",
-    # cdc / sessionization
+    # cdc / sessionization (+ SCD Type-2 dimension build)
     "changelog_compaction",
     "batch_sessionization",
+    "scd2_user_state",
     # data quality
     "data_quality_report",
     # scale patterns (salting, cardinality, bitmap rollup)
@@ -108,20 +109,21 @@ PRIORITY: tuple[str, ...] = (
     # parity)
     "bm25_search",
     "kmeans_assign",
-    # dedup family
+    # graph analytics (iterative integer-exact PageRank)
+    "pagerank_categories",
+    # dedup family (simhash/incremental variants rotate to the local
+    # replica: exact+minhash+clusters keep the family driver-checked)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
-    "incremental_dedup",
-    # similarity / ANN family
+    # similarity / ANN family (+ product-quantization storage layout)
     "similarity_topk",
     "similarity_index_topk",
     "similarity_ivf_topk",
-    # text analysis family
+    "pq_encode",
+    # text analysis family (lang-id rotates out; quality/counts stay)
     "text_quality",
     "token_counts",
-    "text_lang_id",
     # multimodal plumbing
     # real WAV parse in executors, analytical oracle — stronger driver
     # evidence than the metadata-only manifest it replaced

@@ -193,3 +193,195 @@ DAILY_VALUE_GAPFILL_SQL = """
 
 QUERIES["daily_value_gapfill"] = daily_value_gapfill
 ORACLE["daily_value_gapfill"] = DAILY_VALUE_GAPFILL_SQL
+
+
+# ---------------------------------------------------------------------------
+# rolling_median_daily_value — exact rolling median (7-day ROWS window)
+# of the daily revenue series per event_type. Exact percentile as a
+# WINDOW aggregate is the vocabulary item the trailing-sum window can't
+# cover (a median can't partially aggregate); inputs are the
+# decimal-exact daily sums, and the interpolated midpoint rounds to 4dp
+# (interpolation formulas differ in the last ulp across engines — the
+# ROUND is load-bearing, same policy as value_percentiles).
+# Scale: one shuffle onto event_type (5 partitions of ~day-count rows
+# each); the window sorts day numbers within each tiny partition.
+# ---------------------------------------------------------------------------
+
+
+def rolling_median_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("rev"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("rev", 4).alias("day_revenue"),
+        F.round(F.expr("percentile(rev, 0.5)").over(w), 4).alias("rolling_median_7d"),
+    )
+
+
+ROLLING_MEDIAN_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           ROUND(rev, 4) AS day_revenue,
+           ROUND(median(rev) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+               AS rolling_median_7d
+    FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_value — per-user time-weighted average event value: each
+# event's value is held until the next event, weighted by the integral
+# microsecond gap (the irregular-time-series mean; an unweighted AVG
+# over-counts burst periods). value is 2-decimal quantized, so
+# value × gap_us accumulates exactly in DECIMAL(38,4); one double
+# division at the end. The last event has no successor and carries zero
+# weight — documented, identical in the oracle.
+# Scale: one window pass + one aggregate, both partitioned on user_id —
+# a single shuffle, same key the sessionizer uses.
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    gapped = ev.withColumn(
+        "gap_us", F.lead("t_us").over(w) - F.col("t_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gapped.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("gap_us").alias("span_us"),
+        # the wide-decimal numerator's DECIMAL->DOUBLE conversion is
+        # engine-dependent in the last ulp (DuckDB converts int128 then
+        # scales; Spark scales in decimal) -> ROUND is load-bearing
+        F.round(
+            F.sum(F.col("v") * F.col("gap_us")).cast("double")
+            / F.sum("gap_us").cast("double"),
+            6,
+        ).alias("tw_avg_value"),
+    )
+
+
+TIME_WEIGHTED_VALUE_SQL = """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) AS t_us,
+               CAST(value AS DECIMAL(18,4)) AS v,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id)
+                   - epoch_us(ts) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(SUM(gap_us) AS BIGINT) AS span_us,
+           ROUND(CAST(SUM(v * gap_us) AS DOUBLE) / CAST(SUM(gap_us) AS DOUBLE), 6)
+               AS tw_avg_value
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# weekday_eventtype_chisq — Pearson chi-square independence test between
+# weekday and event_type, from the exact contingency table. Observed
+# counts and marginals are integers; each cell's (o - e)^2 / e is the
+# same IEEE expression in both engines, and the cell terms fold in a
+# FIXED (weekday, event_type) order via a sorted collected array — never
+# a partition-order SUM over doubles. Output: one row (chi2, dof, n).
+# Scale: the contingency table is |weekdays| x |event types| rows no
+# matter the input size — everything after the first hash aggregate is
+# constant-sized.
+# ---------------------------------------------------------------------------
+
+
+def weekday_eventtype_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("wd"), "event_type"
+    ).agg(F.count("*").alias("o"))
+    wr = Window.partitionBy("wd")
+    wc = Window.partitionBy("event_type")
+    wall = Window.partitionBy()
+    terms = cells.select(
+        "wd",
+        "event_type",
+        "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+        F.sum("o").over(wall).alias("n"),
+    ).select(
+        "wd",
+        "event_type",
+        "n",
+        F.expr(
+            "pow(o - CAST(row_tot AS DOUBLE) * col_tot / n, 2)"
+            " / (CAST(row_tot AS DOUBLE) * col_tot / n)"
+        ).alias("term"),
+    )
+    return terms.groupBy("n").agg(
+        F.round(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(wd, event_type, term))),"
+                " s -> s.term), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ),
+            6,
+        ).alias("chi2"),
+        (
+            (F.count_distinct("wd") - F.lit(1))
+            * (F.count_distinct("event_type") - F.lit(1))
+        ).alias("dof"),
+    ).select(F.col("n").alias("n_events"), "chi2", "dof")
+
+
+WEEKDAY_CHISQ_SQL = """
+    WITH cells AS (
+        SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS wd, event_type,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT wd, event_type, o,
+               SUM(o) OVER (PARTITION BY wd) AS row_tot,
+               SUM(o) OVER (PARTITION BY event_type) AS col_tot,
+               SUM(o) OVER () AS n
+        FROM cells
+    ), t AS (
+        SELECT wd, event_type, CAST(n AS BIGINT) AS n,
+               pow(o - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+                   / (CAST(row_tot AS DOUBLE) * col_tot / n) AS term
+        FROM m
+    )
+    SELECT n AS n_events,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(term ORDER BY wd, event_type)), (acc, x) -> acc + x), 6)
+               AS chi2,
+           CAST((COUNT(DISTINCT wd) - 1) * (COUNT(DISTINCT event_type) - 1)
+                AS BIGINT) AS dof
+    FROM t GROUP BY 1
+"""
+
+
+QUERIES["rolling_median_daily_value"] = rolling_median_daily_value
+ORACLE["rolling_median_daily_value"] = ROLLING_MEDIAN_SQL
+QUERIES["time_weighted_value"] = time_weighted_value
+ORACLE["time_weighted_value"] = TIME_WEIGHTED_VALUE_SQL
+QUERIES["weekday_eventtype_chisq"] = weekday_eventtype_chisq
+ORACLE["weekday_eventtype_chisq"] = WEEKDAY_CHISQ_SQL

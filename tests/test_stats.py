@@ -74,3 +74,81 @@ def test_gapfill_locf_on_crafted_gaps(spark, tmp_path):
     # cart has a single day: nothing to fill
     assert out[("cart", "2024-01-02")].is_filled == 0
     assert len([k for k in out if k[0] == "cart"]) == 1
+
+
+def test_rolling_median_window_semantics(spark, sf_smoke):
+    """The 7-row rolling median must sit within [min, max] of its
+    window, and equal the day's own revenue on each partition's first
+    row (window of one)."""
+    from collections import defaultdict
+
+    from google_cloud_ecommerce_spark.queries import stats
+
+    rows = stats.rolling_median_daily_value(spark, sf_smoke).collect()
+    assert rows
+    series = defaultdict(list)
+    for r in rows:
+        series[r.event_type].append(r)
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r.day)
+        assert rs[0].rolling_median_7d == rs[0].day_revenue
+        for i, r in enumerate(rs):
+            window = [x.day_revenue for x in rs[max(0, i - 6): i + 1]]
+            assert min(window) - 1e-6 <= r.rolling_median_7d <= max(window) + 1e-6
+
+
+def test_time_weighted_vs_plain_average(spark, sf_smoke):
+    """Crafted series: value 100 held for 9 time units then 0 held for
+    1 unit -> tw avg 90, while the plain mean of emitted values is 50."""
+    import datetime as dt
+
+    from google_cloud_ecommerce_spark.queries import stats
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base, 7, "view", 100.0, "{}"),
+            (2, base + dt.timedelta(seconds=9), 7, "view", 0.0, "{}"),
+            (3, base + dt.timedelta(seconds=10), 7, "view", 55.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = stats.time_weighted_value(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_intervals == 2
+    assert r.span_us == 10_000_000
+    assert abs(r.tw_avg_value - 90.0) < 1e-9
+
+
+def test_chisq_uniform_is_near_zero(spark, tmp_path):
+    """A perfectly independent contingency (all cells equal) must give
+    chi2 == 0; dof = (rows-1)(cols-1)."""
+    import datetime as dt
+
+    from google_cloud_ecommerce_spark.queries import stats
+
+    rows = []
+    eid = 0
+    for day in range(1, 8):  # one full week, 2024-01-01 is a Monday
+        for et in ("view", "cart"):
+            for _ in range(5):
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 12), eid, et, 1.0, "{}")
+                )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    out = stats.weekday_eventtype_chisq(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].chi2 == 0.0
+    assert out[0].dof == 6
+    assert out[0].n_events == 70

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from google_cloud_ecommerce_spark.catalog import load_table
 
@@ -363,3 +364,89 @@ def zorder_write(df: DataFrame, path: str, n_files: int = 16) -> None:
 
 QUERIES["zorder_curve"] = zorder_curve
 ORACLE["zorder_curve"] = ZORDER_CURVE_SQL
+
+
+# ---------------------------------------------------------------------------
+# kmv_user_cardinality — K-Minimum-Values distinct-count sketch
+# (Bar-Yossef et al. 2002): hash every key to (0, 1), keep the k
+# smallest hashes per group, estimate distinct = (k - 1) / h_(k).
+# Unlike engine-native HLL (user_cardinality_approx above, rows-only),
+# the KMV sketch built on the md5-derived hash is bit-deterministic in
+# BOTH engines — the estimate itself is oracle-checkable, and the
+# sketch is mergeable (union of two groups' sketches = k smallest of
+# the concatenation), which is what makes it a rollup-friendly
+# distinct-count at 100 TB.
+# Scale: distinct (group, key) first (one hash aggregate, map-side
+# partials), then a per-group top-k — the ranking window runs on the
+# DISTINCT key set, grouped into |event_type| partitions. When a group
+# still holds billions of distinct keys, the two-phase form (slice
+# per-partition k-minima, merge) drops in without changing the result:
+# min-k is associative — that is the point of the sketch.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_HASH_SPACE = float(1 << 60)  # 15 hex chars of md5
+
+
+def kmv_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    per_group = topk.groupBy("event_type").agg(
+        F.count("*").alias("k_kept"),
+        F.max("h").alias("h_k"),
+        F.count_distinct("user_id").alias("n_exact_in_sketch"),
+    )
+    # estimate only valid when the sketch filled (k_kept == k); smaller
+    # groups report their exact size (the sketch IS the distinct set)
+    est = F.when(
+        F.col("k_kept") < KMV_K, F.col("k_kept").cast("double")
+    ).otherwise(
+        (F.lit(float(KMV_K - 1))) / (F.col("h_k").cast("double") / F.lit(KMV_HASH_SPACE))
+    )
+    return per_group.select(
+        "event_type",
+        "k_kept",
+        "h_k",
+        F.round(est, 4).alias("kmv_estimate"),
+    )
+
+
+KMV_USER_CARDINALITY_SQL = f"""
+    WITH d AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), h AS (
+        SELECT event_type, user_id,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+        FROM d
+    ), r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ), s AS (
+        SELECT event_type, count(*) AS k_kept, max(h) AS h_k
+        FROM r WHERE rn <= {KMV_K} GROUP BY 1
+    )
+    SELECT event_type, k_kept, h_k,
+           ROUND(CASE WHEN k_kept < {KMV_K} THEN CAST(k_kept AS DOUBLE)
+                      ELSE {float(KMV_K - 1)!r}
+                           / (CAST(h_k AS DOUBLE) / {KMV_HASH_SPACE!r})
+                 END, 4) AS kmv_estimate
+    FROM s
+"""
+
+
+QUERIES["kmv_user_cardinality"] = kmv_user_cardinality
+ORACLE["kmv_user_cardinality"] = KMV_USER_CARDINALITY_SQL

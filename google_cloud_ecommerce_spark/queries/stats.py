@@ -385,3 +385,62 @@ QUERIES["time_weighted_value"] = time_weighted_value
 ORACLE["time_weighted_value"] = TIME_WEIGHTED_VALUE_SQL
 QUERIES["weekday_eventtype_chisq"] = weekday_eventtype_chisq
 ORACLE["weekday_eventtype_chisq"] = WEEKDAY_CHISQ_SQL
+
+
+# ---------------------------------------------------------------------------
+# ewma_daily_value — exponential smoothing of the daily revenue series
+# per event_type (alpha = 1/2): s_1 = x_1, s_t = (x_t + s_{t-1}) / 2.
+# The level after the last day IS the one-step-ahead forecast — the
+# simplest real time-series model a lakehouse serves. A sequential
+# recurrence can't be a window aggregate, so the fold runs over the
+# per-group day-ordered array; halving and addition are exact IEEE ops
+# applied in the same order in both engines, so even this inherently
+# sequential float state is bit-identical. Per-group series stay small
+# (days, not events) after the daily pre-aggregate — the heavy
+# reduction happened in the scalable hash aggregate before collect.
+# ---------------------------------------------------------------------------
+
+
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("rev")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, rev))), s -> s.rev)"
+        ).alias("xs")
+    )
+    return series.select(
+        "event_type",
+        F.expr("CAST(size(xs) AS BIGINT)").alias("n_days"),
+        F.round(
+            F.expr(
+                "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), "
+                "(acc, x) -> (acc + x) / 2)"
+            ),
+            4,
+        ).alias("ewma_level"),
+        F.round(F.expr("element_at(xs, size(xs))"), 4).alias("last_day_revenue"),
+    )
+
+
+EWMA_DAILY_VALUE_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM events GROUP BY 1, 2
+    ), series AS (
+        SELECT event_type, list(rev ORDER BY day) AS xs
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(len(xs) AS BIGINT) AS n_days,
+           ROUND(list_reduce(xs, (acc, x) -> (acc + x) / 2), 4) AS ewma_level,
+           ROUND(xs[len(xs)], 4) AS last_day_revenue
+    FROM series
+"""
+
+
+QUERIES["ewma_daily_value"] = ewma_daily_value
+ORACLE["ewma_daily_value"] = EWMA_DAILY_VALUE_SQL

@@ -1,0 +1,43 @@
+
+
+def test_kmv_sketch_accuracy_and_merge(spark, sf_smoke):
+    """KMV estimate within 3/sqrt(k) relative error of the exact count
+    when the sketch fills; exact when it doesn't. Merging two halves'
+    sketches (k smallest of the union) reproduces the full sketch —
+    the mergeability that makes KMV a rollup sketch."""
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.queries.scale import (
+        KMV_K,
+        kmv_user_cardinality,
+    )
+
+    exact = {
+        r.event_type: r.n_users
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"]).count_distinct("user_id").alias("n_users"))
+        .collect()
+    }
+    rows = kmv_user_cardinality(spark, sf_smoke).collect()
+    assert rows
+    tol = 3.0 / (KMV_K ** 0.5)
+    for r in rows:
+        true = exact[r.event_type]
+        if r.k_kept < KMV_K:
+            assert r.kmv_estimate == float(r.k_kept) == float(true)
+        else:
+            assert abs(r.kmv_estimate - true) / true <= tol
+
+    # mergeability on raw hashes, driver-side: k-min of union == k-min of
+    # (k-min(half A) ∪ k-min(half B))
+    import hashlib
+
+    users = sorted(
+        {u.user_id for u in load_table(spark, sf_smoke, "events").select("user_id").distinct().collect()}
+    )
+    def h(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+    hashes = sorted(h(u) for u in users)
+    a = sorted(h(u) for u in users if u % 2 == 0)[:KMV_K]
+    b = sorted(h(u) for u in users if u % 2 == 1)[:KMV_K]
+    assert sorted(a + b)[:KMV_K] == hashes[:KMV_K]

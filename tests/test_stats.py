@@ -152,3 +152,32 @@ def test_chisq_uniform_is_near_zero(spark, tmp_path):
     assert out[0].chi2 == 0.0
     assert out[0].dof == 6
     assert out[0].n_events == 70
+
+
+def test_ewma_recurrence_exact(spark, sf_smoke):
+    """The operator's fold must equal the literal recurrence computed
+    driver-side from the same daily series."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.queries import stats
+
+    daily = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("rev"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.day, r.rev))
+    out = {r.event_type: r for r in stats.ewma_daily_value(spark, sf_smoke).collect()}
+    for et, pts in series.items():
+        pts.sort()
+        s = pts[0][1]
+        for _, x in pts[1:]:
+            s = (s + x) / 2
+        assert out[et].n_days == len(pts)
+        assert abs(out[et].ewma_level - round(s, 4)) < 1e-9

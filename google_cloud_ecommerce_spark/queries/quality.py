@@ -227,3 +227,73 @@ FUNCTIONAL_DEPENDENCIES_SQL = " UNION ALL ".join(
 
 QUERIES["functional_dependencies"] = functional_dependencies
 ORACLE["functional_dependencies"] = FUNCTIONAL_DEPENDENCIES_SQL
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_name_matches — blocked entity resolution over the part-name
+# vocabulary: candidate pairs whose edit distance is within
+# FUZZY_MAX_DIST, found WITHOUT an n^2 scan. Two scale levers:
+#   1. ER runs on the DISTINCT name vocabulary (one hash aggregate
+#      first) — matching work scales with vocabulary size, never with
+#      fact rows;
+#   2. length blocking: levenshtein(a, b) >= |len(a) - len(b)|, so a
+#      name only needs to meet names within FUZZY_MAX_DIST of its own
+#      length. Each left name fans out to the 2d+1 candidate lengths
+#      (an equi-join key), which bounds the candidate space by
+#      same-length-band bucket products.
+# Each surviving pair carries how many part rows each spelling covers —
+# the payload a dedup/merge step consumes. Edit distance is the
+# standard integer DP in both engines: exactly comparable, no float.
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    vocab = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count("*").alias("n_parts")
+    )
+    left = vocab.select(
+        F.col("name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.explode(
+            F.expr(
+                f"sequence(length(name) - {FUZZY_MAX_DIST}, "
+                f"length(name) + {FUZZY_MAX_DIST})"
+            )
+        ).alias("len_key"),
+    )
+    right = vocab.select(
+        F.col("name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.length("name").alias("len_key"),
+    )
+    return (
+        left.join(right, "len_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+    )
+
+
+FUZZY_NAME_MATCHES_SQL = f"""
+    WITH vocab AS (
+        SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY 1
+    ), lkeys AS (
+        SELECT name AS name_a, n_parts AS n_parts_a, len_key
+        FROM vocab, unnest(range(length(name) - {FUZZY_MAX_DIST},
+                                 length(name) + {FUZZY_MAX_DIST} + 1)) t(len_key)
+    )
+    SELECT l.name_a, r.name AS name_b,
+           CAST(levenshtein(l.name_a, r.name) AS INTEGER) AS edit_dist,
+           l.n_parts_a, r.n_parts AS n_parts_b
+    FROM lkeys l JOIN vocab r ON r.name > l.name_a
+                             AND length(r.name) = l.len_key
+    WHERE levenshtein(l.name_a, r.name) <= {FUZZY_MAX_DIST}
+"""
+
+
+QUERIES["fuzzy_name_matches"] = fuzzy_name_matches
+ORACLE["fuzzy_name_matches"] = FUZZY_NAME_MATCHES_SQL

@@ -115,3 +115,45 @@ def test_functional_dependencies_semantics(spark, sf_smoke):
     assert rows[("event_type", "user_id")].holds == 0
     for r in rows.values():  # n_distinct(A) <= n_distinct(A,B) always
         assert r.n_distinct_a <= r.n_distinct_ab
+
+
+def test_fuzzy_matches_blocking_is_lossless(spark, sf_smoke):
+    """Length blocking must not lose pairs: the blocked result equals a
+    brute-force all-pairs scan over the vocabulary. Every reported pair
+    respects the distance bound and the canonical (a < b) ordering."""
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.queries.quality import (
+        FUZZY_MAX_DIST,
+        fuzzy_name_matches,
+    )
+
+    got = {
+        (r.name_a, r.name_b): r.edit_dist
+        for r in fuzzy_name_matches(spark, sf_smoke).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = [
+        r.p_name
+        for r in load_table(spark, sf_smoke, "part").select("p_name").distinct().collect()
+    ]
+    want = {}
+    for a, b in itertools.combinations(sorted(names), 2):
+        d = lev(a, b)
+        if d <= FUZZY_MAX_DIST:
+            want[(a, b)] = d
+    assert got == want
+    assert all(a < b for (a, b) in got)

@@ -1065,3 +1065,103 @@ def _streaming_corpus_prep_sql() -> str:
 
 
 ORACLE["streaming_corpus_prep"] = _streaming_corpus_prep_sql()
+
+
+# ---------------------------------------------------------------------------
+# streaming_kmv_sketch — the K-Minimum-Values distinct-count sketch of
+# queries/scale.py maintained INCREMENTALLY across micro-batches: each
+# batch contributes its per-group k smallest key hashes, foreachBatch
+# merges them into the persisted sketch (k smallest of the union), and
+# the final estimate is read off the converged state. KMV's merge is
+# associative and duplicate-insensitive (same key -> same md5 hash, so
+# at-least-once redelivery across batches collapses in the distinct),
+# which is exactly why the STREAMING sketch lands bit-identical to the
+# BATCH sketch — the oracle IS the batch KMV SQL. This is the streaming
+# distinct-count rollup a 100 TB pipeline runs instead of re-scanning
+# history: per-batch state is k rows per group, not the key universe.
+# ---------------------------------------------------------------------------
+
+
+def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from google_cloud_ecommerce_spark.queries.scale import KMV_HASH_SPACE, KMV_K
+
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    state_root = tempfile.mkdtemp(prefix="kmv_state_")
+    checkpoint = tempfile.mkdtemp(prefix="kmv_ckpt_")
+    latest: dict[str, str] = {}
+
+    def _topk(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy("h")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_K)
+            .select("event_type", "h")
+        )
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        part = _topk(
+            batch_df.select("event_type", "user_id")
+            .distinct()
+            .withColumn(
+                "h",
+                F.expr(
+                    "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+                ),
+            )
+            .select("event_type", "h")
+        )
+        if "dir" in latest:
+            merged = _topk(
+                s.read.parquet(latest["dir"]).unionByName(part).distinct()
+            )
+        else:
+            merged = part
+        out = os.path.join(state_root, f"v{epoch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        latest["dir"] = out
+
+    try:
+        q = (
+            read_replay_stream(spark, replay)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sketch = spark.read.parquet(latest["dir"])
+        per_group = sketch.groupBy("event_type").agg(
+            F.count("*").alias("k_kept"), F.max("h").alias("h_k")
+        )
+        est = F.when(
+            F.col("k_kept") < KMV_K, F.col("k_kept").cast("double")
+        ).otherwise(
+            F.lit(float(KMV_K - 1))
+            / (F.col("h_k").cast("double") / F.lit(KMV_HASH_SPACE))
+        )
+        final = per_group.select(
+            "event_type", "k_kept", "h_k", F.round(est, 4).alias("kmv_estimate")
+        )
+        # |event_type| rows: pin driver-side so the state dirs can go
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+QUERIES["streaming_kmv_sketch"] = streaming_kmv_sketch
+
+
+def _streaming_kmv_oracle() -> str:
+    from google_cloud_ecommerce_spark.queries.scale import KMV_USER_CARDINALITY_SQL
+
+    return KMV_USER_CARDINALITY_SQL
+
+
+ORACLE["streaming_kmv_sketch"] = _streaming_kmv_oracle()

@@ -102,3 +102,20 @@ def test_streaming_query_listener_sees_progress(spark, sf_smoke):
     finally:
         spark.streams.removeListener(listener)
         shutil.rmtree(replay, ignore_errors=True)
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, sf_smoke):
+    """The incrementally merged streaming sketch must be bit-identical
+    to the one-shot batch sketch — KMV merge associativity in action."""
+    from google_cloud_ecommerce_spark.queries.scale import kmv_user_cardinality
+    from google_cloud_ecommerce_spark.streaming.jobs import streaming_kmv_sketch
+
+    batch = {
+        r.event_type: (r.k_kept, r.h_k, r.kmv_estimate)
+        for r in kmv_user_cardinality(spark, sf_smoke).collect()
+    }
+    stream = {
+        r.event_type: (r.k_kept, r.h_k, r.kmv_estimate)
+        for r in streaming_kmv_sketch(spark, sf_smoke).collect()
+    }
+    assert stream == batch

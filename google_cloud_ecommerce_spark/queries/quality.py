@@ -297,3 +297,58 @@ FUZZY_NAME_MATCHES_SQL = f"""
 
 QUERIES["fuzzy_name_matches"] = fuzzy_name_matches
 ORACLE["fuzzy_name_matches"] = FUZZY_NAME_MATCHES_SQL
+
+
+# ---------------------------------------------------------------------------
+# props_schema_discovery — schema-on-read profiling of the open JSON
+# props column: which keys exist, how often, their inferred type
+# (numeric vs string), and value cardinality. The reference stringified
+# this dict and never looked inside (write_session_batch.py:18-20);
+# a lakehouse needs the key inventory before it can promote fields to
+# columns. Fully generic: the Spark side explodes the document as
+# map<string,string> (no schema assumed), so new keys appear in the
+# report without code changes.
+# Scale: explode + one hash aggregate keyed by the KEY VOCABULARY —
+# output rows scale with distinct keys, not events; distinct-value
+# counting rides the same aggregate.
+# ---------------------------------------------------------------------------
+
+
+def props_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val")
+    )
+    return kv.groupBy("key").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("val").isNotNull().cast("long")).alias("n_nonnull"),
+        F.sum(
+            F.expr("try_cast(val AS DOUBLE) IS NOT NULL").cast("long")
+        ).alias("n_numeric"),
+        F.count_distinct("val").alias("n_distinct_values"),
+        F.min("val").alias("min_value"),
+        F.max("val").alias("max_value"),
+    )
+
+
+PROPS_SCHEMA_DISCOVERY_SQL = """
+    WITH kv AS (
+        SELECT unnest(json_keys(props)) AS key, props FROM events
+    ), v AS (
+        SELECT key, json_extract_string(props, '$.' || key) AS val FROM kv
+    )
+    SELECT key,
+           count(*) AS n_rows,
+           CAST(SUM(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonnull,
+           CAST(SUM(CASE WHEN try_cast(val AS DOUBLE) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+           COUNT(DISTINCT val) AS n_distinct_values,
+           min(val) AS min_value,
+           max(val) AS max_value
+    FROM v GROUP BY 1
+"""
+
+
+QUERIES["props_schema_discovery"] = props_schema_discovery
+ORACLE["props_schema_discovery"] = PROPS_SCHEMA_DISCOVERY_SQL

@@ -450,3 +450,79 @@ KMV_USER_CARDINALITY_SQL = f"""
 
 QUERIES["kmv_user_cardinality"] = kmv_user_cardinality
 ORACLE["kmv_user_cardinality"] = KMV_USER_CARDINALITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# part_skyline — 2-D skyline (Pareto frontier): the parts no other part
+# dominates on (p_retailprice, p_size), both minimized. The classic
+# spelling is a quadratic NOT EXISTS self-join; the sort-based identity
+# (after sorting by price, a point is on the skyline iff its size beats
+# the running minimum of everything cheaper) gives O(n log n) — but a
+# single global sort-window is the record_id anti-pattern. So the plan
+# is the two-level distributed skyline:
+#   1. local frontiers inside price BANDS (window partitioned by band —
+#      parallel, skew-splittable);
+#   2. cross-band prune with the running min of preceding bands' best
+#      size (a band-count-sized table, broadcast back).
+# Frontier of local frontiers == global frontier (dominance within a
+# band is decided locally; dominance across bands only needs each
+# preceding band's minimum). The oracle is the quadratic NOT EXISTS —
+# proving the distributed decomposition against the naive definition.
+# ---------------------------------------------------------------------------
+
+SKYLINE_BAND_WIDTH = 25  # price units per band
+
+
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_retailprice").alias("price"), F.col("p_size").alias("size"))
+        .distinct()
+        .withColumn("band", F.expr(f"CAST(floor(price / {SKYLINE_BAND_WIDTH}) AS BIGINT)"))
+    )
+    wloc = (
+        Window.partitionBy("band")
+        .orderBy(F.asc("price"), F.asc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = pts.withColumn("prev_min", F.min("size").over(wloc)).filter(
+        F.col("prev_min").isNull() | (F.col("size") < F.col("prev_min"))
+    )
+    # running min across preceding bands via the triangular broadcast
+    # join (house pattern, see record_id): the band table is tiny and an
+    # unpartitioned window would serialize on one task
+    band_min = pts.groupBy("band").agg(F.min("size").alias("band_min"))
+    earlier = band_min.select(
+        F.col("band").alias("e_band"), F.col("band_min").alias("e_min")
+    )
+    prev_bands = (
+        band_min.join(F.broadcast(earlier), F.col("e_band") < F.col("band"), "left")
+        .groupBy("band")
+        .agg(F.min("e_min").alias("prev_band_min"))
+    )
+    return (
+        local.join(F.broadcast(prev_bands), "band")
+        .filter(
+            F.col("prev_band_min").isNull()
+            | (F.col("size") < F.col("prev_band_min"))
+        )
+        .select("price", "size")
+    )
+
+
+PART_SKYLINE_SQL = """
+    WITH pts AS (
+        SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part
+    )
+    SELECT price, size
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price <= p.price AND q.size <= p.size
+          AND (q.price < p.price OR q.size < p.size)
+    )
+"""
+
+
+QUERIES["part_skyline"] = part_skyline
+ORACLE["part_skyline"] = PART_SKYLINE_SQL

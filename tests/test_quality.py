@@ -157,3 +157,54 @@ def test_fuzzy_matches_blocking_is_lossless(spark, sf_smoke):
             want[(a, b)] = d
     assert got == want
     assert all(a < b for (a, b) in got)
+
+
+def test_skyline_dominance_definition(spark, sf_smoke):
+    """No returned point is dominated by any input point, and every
+    excluded point is dominated by some skyline point (2-D min-min)."""
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.queries.scale import part_skyline
+
+    pts = {
+        (r.p_retailprice, r.p_size)
+        for r in load_table(spark, sf_smoke, "part")
+        .select("p_retailprice", "p_size")
+        .distinct()
+        .collect()
+    }
+    sky = {(r.price, r.size) for r in part_skyline(spark, sf_smoke).collect()}
+    assert sky <= pts
+
+    def dominates(q, p):
+        return q[0] <= p[0] and q[1] <= p[1] and q != p
+
+    for p in sky:
+        assert not any(dominates(q, p) for q in pts)
+    for p in pts - sky:
+        assert any(dominates(q, p) for q in sky)
+
+
+def test_props_schema_discovery_new_keys_appear(spark, tmp_path):
+    """A key added to only some rows shows up with correct counts and
+    type inference — no code change, no declared schema."""
+    import datetime as dt
+
+    from google_cloud_ecommerce_spark.queries.quality import props_schema_discovery
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "view", 1.0, '{"k": 3, "tag": "red"}'),
+        (2, dt.datetime(2024, 1, 1), 2, "view", 1.0, '{"k": 4}'),
+        (3, dt.datetime(2024, 1, 1), 3, "view", 1.0, '{"tag": "blue", "z": "9"}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    out = {r.key: r for r in props_schema_discovery(spark, str(tmp_path)).collect()}
+    assert set(out) == {"k", "tag", "z"}
+    assert out["k"].n_rows == 2 and out["k"].n_numeric == 2
+    assert out["tag"].n_rows == 2 and out["tag"].n_numeric == 0
+    assert out["z"].n_numeric == 1
+    assert out["tag"].n_distinct_values == 2

@@ -76,6 +76,12 @@ HEADLINE = [
     "random_projection",
     "scd2_user_state",
     "gopher_gates",
+    "kmv_user_cardinality",
+    "fuzzy_name_matches",
+    "part_skyline",
+    "ewma_daily_value",
+    "time_weighted_value",
+    "props_schema_discovery",
 ]
 
 

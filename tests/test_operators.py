@@ -510,3 +510,28 @@ def test_gopher_gates_rule_semantics(spark, sf_smoke, tmp_path):
     assert out[2].pass_word_count == 0
     assert out[3].pass_alpha_frac == 0
     assert out[4].pass_symbol_ratio == 0 and out[4].pass_alpha_frac == 0
+
+
+def test_prefix_filter_finds_crafted_near_dup(spark, tmp_path):
+    """A doc differing from its twin by one word in ~40 (shingle Jaccard
+    >= 0.8) must be found; unrelated docs must not pair. The prefix
+    index must be strictly smaller than the full shingle index."""
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.operators.dedup import dedup_prefix_filter
+
+    words = [f"tok{i}" for i in range(40)]
+    a = " ".join(words)
+    twin = " ".join(words[:-1] + ["changed"])
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, twin, "en", "s", len(twin)),
+         (3, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup_prefix_filter(spark, str(tmp_path)).collect()}
+    assert set(pairs) == {(1, 2)}
+    # 38 shingles each; only the final shingle covers the changed last
+    # word -> 37 shared, union 39
+    assert abs(pairs[(1, 2)] - 37 / 39) < 1e-6

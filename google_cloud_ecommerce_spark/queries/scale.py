@@ -526,3 +526,117 @@ PART_SKYLINE_SQL = """
 
 QUERIES["part_skyline"] = part_skyline
 ORACLE["part_skyline"] = PART_SKYLINE_SQL
+
+
+# ---------------------------------------------------------------------------
+# key_skew_report — the pre-flight diagnosis for every shuffle key this
+# engine salts or AQE-splits: per candidate key column, the exact key
+# count, Gini coefficient of the per-key load distribution, the load
+# share of the heaviest key, and the p99/median key-load ratio. Gini
+# comes from the closed form over rank-ordered integer counts
+#     G = 2·Σ(i·x_i) / (n·Σx) - (n+1)/n
+# — every term an exact integer (ranks from a per-column window over
+# the AGGREGATED key table, never raw rows), so the statistic is
+# engine-exact. A key distribution with G near 0 shuffles evenly;
+# G near 1 says salt it (event_type_stats_salted is the remedy this
+# report justifies).
+# ---------------------------------------------------------------------------
+
+
+_SKEW_MID_MASK = (1 << 33) - 1
+
+
+def _ranked_by_load(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """Global 1-based rank over (x, key) WITHOUT an unpartitioned
+    window: range-partition + in-partition sort + per-partition counts
+    -> broadcast prefix offsets (the record_id / distributed-ntile
+    pattern; localCheckpoint pins the sampled range boundaries)."""
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ordered = (
+        counts.repartitionByRange(n_parts, "x", "key")
+        .sortWithinPartitions("x", "key")
+        .withColumn("mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    with_pid = ordered.withColumn("pid", F.shiftright("mid", 33))
+    pcounts = with_pid.groupBy("pid").agg(F.count("*").alias("n"))
+    earlier = pcounts.select(F.col("pid").alias("e_pid"), F.col("n").alias("e_n"))
+    offsets = (
+        pcounts.join(F.broadcast(earlier), F.col("e_pid") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("e_n"), F.lit(0)).alias("offset"))
+    )
+    return with_pid.join(F.broadcast(offsets), "pid").withColumn(
+        "i",
+        (
+            F.col("offset") + F.col("mid").bitwiseAND(F.lit(_SKEW_MID_MASK)) + 1
+        ).cast("long"),
+    )
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    reports = []
+    for keycol in ("user_id", "event_type"):
+        counts = ev.groupBy(F.col(keycol).cast("string").alias("key")).agg(
+            F.count("*").alias("x")
+        )
+        ranked = _ranked_by_load(spark, counts)
+        agg = ranked.agg(
+            F.count("*").alias("n_keys"),
+            F.sum("x").alias("total"),
+            F.sum(F.col("i") * F.col("x")).alias("iweighted"),
+            F.max("x").alias("max_load"),
+            F.expr("percentile(x, 0.99)").alias("p99"),
+            F.expr("percentile(x, 0.5)").alias("p50"),
+        )
+        reports.append(
+            agg.select(
+                F.lit(keycol).alias("key_column"),
+                "n_keys",
+                "total",
+                F.round(
+                    F.lit(2.0) * F.col("iweighted")
+                    / (F.col("n_keys") * F.col("total"))
+                    - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"),
+                    6,
+                ).alias("gini"),
+                F.round(F.col("max_load") / F.col("total").cast("double"), 6).alias(
+                    "max_key_share"
+                ),
+                F.round(F.col("p99") / F.col("p50"), 4).alias("p99_over_median"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+KEY_SKEW_REPORT_SQL = """
+    WITH ranked AS (
+        SELECT key_column, x,
+               row_number() OVER (PARTITION BY key_column ORDER BY x, key)
+                   AS i
+        FROM (
+            SELECT 'user_id' AS key_column, CAST(user_id AS VARCHAR) AS key,
+                   count(*) AS x
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'event_type', event_type, count(*) FROM events GROUP BY 2
+        )
+    )
+    SELECT key_column,
+           count(*) AS n_keys,
+           CAST(SUM(x) AS BIGINT) AS total,
+           ROUND(2.0 * SUM(i * x) / (count(*) * SUM(x))
+                 - (count(*) + 1.0) / count(*), 6) AS gini,
+           ROUND(CAST(max(x) AS DOUBLE) / SUM(x), 6) AS max_key_share,
+           ROUND(quantile_cont(x, 0.99) / quantile_cont(x, 0.5), 4)
+               AS p99_over_median
+    FROM ranked GROUP BY 1
+"""
+
+
+QUERIES["key_skew_report"] = key_skew_report
+ORACLE["key_skew_report"] = KEY_SKEW_REPORT_SQL

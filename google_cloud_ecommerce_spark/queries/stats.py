@@ -444,3 +444,120 @@ EWMA_DAILY_VALUE_SQL = """
 
 QUERIES["ewma_daily_value"] = ewma_daily_value
 ORACLE["ewma_daily_value"] = EWMA_DAILY_VALUE_SQL
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoints — CUSUM changepoint detection on the daily revenue
+# series per event_type. The textbook form is the nonlinear recurrence
+# C+_t = max(0, C+_{t-1} + (x_t - mu)), which no window function can
+# express — but the classic identity
+#     C+_t = S_t - min_{j<=t} S_j,   S_t = running sum of (x_t - mu)
+# turns it into two PARTITIONED window aggregates (running sum, running
+# min). Exactness: deviations are kept as n*x_t - total (decimal-exact
+# scaled integers — no division by n inside the fold), so both running
+# aggregates are order-independent decimals; the single division and
+# the sigma threshold (from decimal moments, as value_zscore_outliers)
+# happen once at the end in identical IEEE doubles.
+# Scale: everything after the daily pre-aggregate is per-event_type
+# windows over day-count rows.
+# ---------------------------------------------------------------------------
+
+CUSUM_SIGMA_MULT = 3.0
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("rev")
+    )
+    wstat = Window.partitionBy("event_type")
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "rev",
+        F.count("*").over(wstat).alias("n"),
+        F.sum("rev").over(wstat).alias("s1"),
+        F.sum(F.expr("CAST(rev * rev AS DECIMAL(38,8))")).over(wstat).alias("s2"),
+    )
+    # scaled deviation: n*x - total (exact decimal); running sum + min
+    dev = stats.withColumn(
+        "d", F.expr("CAST(n * rev - s1 AS DECIMAL(38,4))")
+    ).withColumn("s", F.sum("d").over(wrun)).withColumn(
+        "smin", F.min("s").over(wrun)
+    )
+    scored = dev.select(
+        "event_type",
+        "day",
+        "n",
+        # back to per-day units: divide the exact scaled CUSUM by n once
+        (F.col("s").cast("double") - F.col("smin").cast("double")).alias("c_scaled"),
+        (
+            F.sqrt(
+                F.col("s2").cast("double") / F.col("n")
+                - (F.col("s1").cast("double") / F.col("n"))
+                * (F.col("s1").cast("double") / F.col("n"))
+            )
+        ).alias("sigma"),
+    ).withColumn("cusum", F.col("c_scaled") / F.col("n"))
+    alarmed = scored.withColumn(
+        "is_alarm",
+        (F.col("cusum") > F.lit(CUSUM_SIGMA_MULT) * F.col("sigma")).cast("long"),
+    )
+    return alarmed.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        F.round(F.max("cusum"), 4).alias("max_cusum"),
+        F.sum("is_alarm").alias("n_alarm_days"),
+        F.min(
+            F.when(F.col("is_alarm") == 1, F.date_format("day", "yyyy-MM-dd"))
+        ).alias("first_alarm_day"),
+    )
+
+
+CUSUM_CHANGEPOINTS_SQL = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS rev
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, day, rev,
+               count(*) OVER w AS n,
+               SUM(rev) OVER w AS s1,
+               SUM(CAST(rev * rev AS DECIMAL(38,8))) OVER w AS s2
+        FROM daily WINDOW w AS (PARTITION BY event_type)
+    ), run AS (
+        SELECT event_type, day, n, s1, s2,
+               SUM(CAST(n * rev - s1 AS DECIMAL(38,4))) OVER wr AS s
+        FROM stats
+        WINDOW wr AS (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING)
+    ), dev AS (
+        SELECT event_type, day, n, s1, s2, s,
+               MIN(s) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS smin
+        FROM run
+    ), scored AS (
+        SELECT event_type, day, n,
+               (CAST(s AS DOUBLE) - CAST(smin AS DOUBLE)) / n AS cusum,
+               sqrt(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                   AS sigma
+        FROM dev
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_days,
+           ROUND(max(cusum), 4) AS max_cusum,
+           CAST(SUM(CASE WHEN cusum > {CUSUM_SIGMA_MULT} * sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+           min(CASE WHEN cusum > {CUSUM_SIGMA_MULT} * sigma
+                    THEN strftime(day, '%Y-%m-%d') END) AS first_alarm_day
+    FROM scored GROUP BY 1
+"""
+
+
+QUERIES["cusum_changepoints"] = cusum_changepoints
+ORACLE["cusum_changepoints"] = CUSUM_CHANGEPOINTS_SQL

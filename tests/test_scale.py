@@ -41,3 +41,34 @@ def test_kmv_sketch_accuracy_and_merge(spark, sf_smoke):
     a = sorted(h(u) for u in users if u % 2 == 0)[:KMV_K]
     b = sorted(h(u) for u in users if u % 2 == 1)[:KMV_K]
     assert sorted(a + b)[:KMV_K] == hashes[:KMV_K]
+
+
+def test_key_skew_report_gini_semantics(spark, tmp_path):
+    """Uniform key loads -> Gini 0; one dominant key -> Gini near 1 and
+    max_key_share reflecting the domination."""
+    import datetime as dt
+
+    from google_cloud_ecommerce_spark.queries.scale import key_skew_report
+
+    rows = []
+    eid = 0
+    # user_id: perfectly uniform (10 users x 10 events)
+    # event_type: 91 'hot' + 9 singletons... keep vocabulary small:
+    # 'hot' 92 times, 'a' 4, 'b' 4
+    types = ["hot"] * 92 + ["a"] * 4 + ["b"] * 4
+    for i in range(100):
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 1, 1 + i % 5, 12), i % 10, types[i], 1.0, "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    out = {r.key_column: r for r in key_skew_report(spark, str(tmp_path)).collect()}
+    assert abs(out["user_id"].gini) < 1e-9
+    assert out["user_id"].max_key_share == 0.1
+    assert out["event_type"].gini > 0.5
+    assert out["event_type"].max_key_share == 0.92

@@ -181,3 +181,32 @@ def test_ewma_recurrence_exact(spark, sf_smoke):
             s = (s + x) / 2
         assert out[et].n_days == len(pts)
         assert abs(out[et].ewma_level - round(s, 4)) < 1e-9
+
+
+def test_cusum_detects_level_shift(spark, tmp_path):
+    """A series that jumps from level 10 to level 100 on day 11 must
+    alarm at/after the shift and never before; a flat series never
+    alarms (sigma 0 edge: cusum 0 is not > 0)."""
+    import datetime as dt
+
+    from google_cloud_ecommerce_spark.queries import stats
+
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        level = 10.0 if day <= 10 else 100.0
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, day, 12), eid, "view", level, "{}"))
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, day, 13), eid, "cart", 5.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    out = {r.event_type: r for r in stats.cusum_changepoints(spark, str(tmp_path)).collect()}
+    v = out["view"]
+    assert v.n_alarm_days > 0
+    assert v.first_alarm_day >= "2024-01-11"
+    assert out["cart"].n_alarm_days == 0

@@ -293,3 +293,56 @@ ORACLE = {
     "pagerank_categories": _pagerank_sql(),
     "triangle_coview": _triangle_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# event_path_mining — top-k most-travelled 3-step event-type paths
+# (sequence mining over the per-user event stream, the 3-gram
+# generalization of the funnel's 2-step transitions). One window pass
+# builds (lag2, lag1, current) per user; the path vocabulary is at most
+# |event_types|^3, so the aggregate output is constant-sized and the
+# top-k is a TakeOrderedAndProject (per-partition heap, no global
+# sort). Ties break on the path string so the LIMIT is deterministic.
+# ---------------------------------------------------------------------------
+
+PATH_TOP_K = 20
+
+
+def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("p1", F.lag("event_type", 1).over(w))
+        .withColumn("p2", F.lag("event_type", 2).over(w))
+        .filter(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_walks"))
+        .orderBy(F.desc("n_walks"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+EVENT_PATH_MINING_SQL = f"""
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path,
+           count(*) AS n_walks
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_walks DESC, path ASC
+    LIMIT {PATH_TOP_K}
+"""
+
+
+QUERIES["event_path_mining"] = event_path_mining
+ORACLE["event_path_mining"] = EVENT_PATH_MINING_SQL

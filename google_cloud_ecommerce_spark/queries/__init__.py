@@ -83,7 +83,10 @@ PRIORITY: tuple[str, ...] = (
     "nation_revenue",
     "order_status_pivot",
     "first_shipment_per_order",
-    "monthly_revenue_running",
+    # deterministic mergeable sketch (KMV — value-checkable, unlike HLL);
+    # running-window shapes stay covered by conversion_rate + the local
+    # replica's monthly_revenue_running
+    "kmv_user_cardinality",
     # join vocabulary (as-of, attribution, full outer)
     "asof_purchase_view",
     "purchase_attribution",
@@ -101,7 +104,9 @@ PRIORITY: tuple[str, ...] = (
     # tpch decorrelation / semi-structured
     "props_json_stats",
     "national_market_share",
-    "ship_delay_priority",
+    # lossless prefix-filtered exact Jaccard (the CASE-sum Q12 shape of
+    # ship_delay_priority stays in the local replica)
+    "dedup_prefix_filter",
     # ranked retrieval + iterative ML (the sole driver-checked
     # representatives of their shapes; product_type_profit and
     # min_cost_part_suppliers rotated out — their decorrelation

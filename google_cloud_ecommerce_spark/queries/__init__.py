@@ -97,15 +97,15 @@ PRIORITY: tuple[str, ...] = (
     "scd2_user_state",
     # data quality
     "data_quality_report",
-    # scale patterns (salting, cardinality, bitmap rollup)
+    # scale patterns (salting, cardinality; the bitmap rollup rotates to
+    # the local replica in favor of the prefix-filter dedup below)
     "event_type_stats_salted",
     "user_cardinality",
-    "user_activity_bitmap",
     # tpch decorrelation / semi-structured
     "props_json_stats",
     "national_market_share",
-    # lossless prefix-filtered exact Jaccard (the CASE-sum Q12 shape of
-    # ship_delay_priority stays in the local replica)
+    "ship_delay_priority",
+    # lossless prefix-filtered exact Jaccard
     "dedup_prefix_filter",
     # ranked retrieval + iterative ML (the sole driver-checked
     # representatives of their shapes; product_type_profit and

@@ -640,3 +640,164 @@ KEY_SKEW_REPORT_SQL = """
 
 QUERIES["key_skew_report"] = key_skew_report
 ORACLE["key_skew_report"] = KEY_SKEW_REPORT_SQL
+
+
+# ---------------------------------------------------------------------------
+# bloom_membership — a Bloom filter BUILT AS DATA: per event_type, a
+# 256-bit filter over the distinct purchasing/viewing users (8 words of
+# 32 bits — 32-bit words keep every value positive in BIGINT, no
+# sign-bit portability trap), 3 md5-derived probe positions per key.
+# The build is one explode + bit_or hash aggregate; the filter is then
+# joined back (8-word arrays, broadcast) and EVERY user probes every
+# type's filter: reported false-positive rates are measured against the
+# exact membership anti-join, so the classic space/error trade-off is
+# itself an oracle-checked output. Spark's runtime bloom join prunes
+# with an engine-internal filter (test_joins.py); this operator is the
+# portable, engine-exact counterpart a pipeline can persist and ship.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 256
+BLOOM_WORD_BITS = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+BLOOM_HASHES = 3
+
+
+def _bloom_positions_expr(key: str) -> str:
+    """3 independent 16-bit slices of md5(key), each mod BLOOM_BITS."""
+    return (
+        "array("
+        + ", ".join(
+            f"CAST(conv(substr(md5(CAST({key} AS STRING)), {1 + 4 * i}, 4), 16, 10) AS BIGINT)"
+            f" % {BLOOM_BITS}"
+            for i in range(BLOOM_HASHES)
+        )
+        + ")"
+    )
+
+
+def _bloom_positions_sql(key: str) -> str:
+    return (
+        "["
+        + ", ".join(
+            f"(('0x' || substr(md5(CAST({key} AS VARCHAR)), {1 + 4 * i}, 4))::BIGINT)"
+            f" % {BLOOM_BITS}"
+            for i in range(BLOOM_HASHES)
+        )
+        + "]"
+    )
+
+
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    members = ev.select("event_type", "user_id").distinct()
+    posed = members.select(
+        "event_type",
+        "user_id",
+        F.explode(F.expr(_bloom_positions_expr("user_id"))).alias("pos"),
+    )
+    words = (
+        posed.groupBy(
+            "event_type", F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("widx")
+        )
+        .agg(
+            F.expr(f"bit_or(shiftleft(1L, CAST(pos % {BLOOM_WORD_BITS} AS INT)))").alias(
+                "word"
+            )
+        )
+    )
+    filters = (
+        words.groupBy("event_type")
+        .agg(
+            F.expr("map_from_entries(collect_list(struct(widx, word)))").alias("m"),
+            F.expr("CAST(SUM(bit_count(word)) AS BIGINT)").alias("n_bits_set"),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"transform(sequence(0, {BLOOM_WORDS - 1}), "
+                "i -> coalesce(element_at(m, i), 0L))"
+            ).alias("w"),
+            "n_bits_set",
+        )
+    )
+    all_users = ev.select("user_id").distinct()
+    probes = all_users.crossJoin(F.broadcast(filters)).withColumn(
+        "hit",
+        F.expr(
+            f"aggregate({_bloom_positions_expr('user_id')}, true, (acc, p) -> acc AND "
+            f"((shiftright(element_at(w, CAST(p DIV {BLOOM_WORD_BITS} AS INT) + 1), "
+            f"CAST(p % {BLOOM_WORD_BITS} AS INT)) & 1) = 1))"
+        ).cast("long"),
+    )
+    exact = members.withColumn("is_member", F.lit(1))
+    scored = probes.join(exact, ["event_type", "user_id"], "left").select(
+        "event_type",
+        "n_bits_set",
+        "hit",
+        F.coalesce("is_member", F.lit(0)).alias("is_member"),
+    )
+    return scored.groupBy("event_type", "n_bits_set").agg(
+        F.sum("is_member").alias("n_members"),
+        (F.count("*") - F.sum("is_member")).alias("n_non_members"),
+        F.sum(F.expr("CAST(hit = 1 AND is_member = 0 AS LONG)")).alias(
+            "n_false_positives"
+        ),
+        F.sum(F.expr("CAST(hit = 0 AND is_member = 1 AS LONG)")).alias(
+            "n_false_negatives"  # MUST be 0 — bloom filters never miss
+        ),
+    )
+
+
+BLOOM_MEMBERSHIP_SQL = f"""
+    WITH members AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), posed AS (
+        SELECT event_type, user_id, unnest({_bloom_positions_sql('user_id')}) AS pos
+        FROM members
+    ), words AS (
+        SELECT event_type, pos // {BLOOM_WORD_BITS} AS widx,
+               bit_or((1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INTEGER)))
+                   AS word
+        FROM posed GROUP BY 1, 2
+    ), packed AS (
+        SELECT event_type,
+               list(widx ORDER BY widx) AS idx,
+               list(word ORDER BY widx) AS ws,
+               CAST(SUM(bit_count(word)) AS BIGINT) AS n_bits_set
+        FROM words GROUP BY 1
+    ), filters AS (
+        SELECT event_type,
+               list_transform(range(0, {BLOOM_WORDS}),
+                   i -> coalesce(ws[list_position(idx, i)], 0::BIGINT)) AS w,
+               n_bits_set
+        FROM packed
+    ), all_users AS (
+        SELECT DISTINCT user_id FROM events
+    ), probes AS (
+        SELECT f.event_type, f.n_bits_set, u.user_id,
+               CAST(list_reduce(list_prepend(true,
+                   list_transform({_bloom_positions_sql('u.user_id')},
+                       p -> ((f.w[(p // {BLOOM_WORD_BITS}) + 1]
+                              >> CAST(p % {BLOOM_WORD_BITS} AS INTEGER)) & 1) = 1)),
+                   (acc, x) -> acc AND x) AS BIGINT) AS hit
+        FROM all_users u CROSS JOIN filters f
+    ), scored AS (
+        SELECT p.event_type, p.n_bits_set, p.hit,
+               CASE WHEN m.user_id IS NULL THEN 0 ELSE 1 END AS is_member
+        FROM probes p
+        LEFT JOIN members m
+          ON m.event_type = p.event_type AND m.user_id = p.user_id
+    )
+    SELECT event_type, n_bits_set,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(count(*) - SUM(is_member) AS BIGINT) AS n_non_members,
+           CAST(SUM(CASE WHEN hit = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN hit = 0 AND is_member = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negatives
+    FROM scored GROUP BY 1, 2
+"""
+
+
+QUERIES["bloom_membership"] = bloom_membership
+ORACLE["bloom_membership"] = BLOOM_MEMBERSHIP_SQL

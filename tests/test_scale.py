@@ -72,3 +72,26 @@ def test_key_skew_report_gini_semantics(spark, tmp_path):
     assert out["user_id"].max_key_share == 0.1
     assert out["event_type"].gini > 0.5
     assert out["event_type"].max_key_share == 0.92
+
+
+def test_bloom_filter_never_false_negative(spark, sf_smoke):
+    """Bloom invariants: zero false negatives everywhere; measured FP
+    rate bounded by a loose multiple of the theoretical (1-e^{-kn/m})^k;
+    bit counts within [1, BLOOM_BITS]."""
+    import math
+
+    from google_cloud_ecommerce_spark.queries.scale import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        bloom_membership,
+    )
+
+    rows = bloom_membership(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.n_false_negatives == 0
+        assert 1 <= r.n_bits_set <= BLOOM_BITS
+        if r.n_non_members:
+            fp = r.n_false_positives / r.n_non_members
+            theory = (1 - math.exp(-BLOOM_HASHES * r.n_members / BLOOM_BITS)) ** BLOOM_HASHES
+            assert fp <= max(0.05, 3 * theory)

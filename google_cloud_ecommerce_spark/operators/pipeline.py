@@ -34,7 +34,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from google_cloud_ecommerce_spark.catalog import load_table
-from google_cloud_ecommerce_spark.operators._common import tokens_expr, tokens_sql
+from google_cloud_ecommerce_spark.operators._common import (
+    token_hash_expr,
+    token_hash_sql,
+    tokens_expr,
+    tokens_sql,
+)
 
 CHUNK_SIZE = 120  # chars per chunk
 CHUNK_STRIDE = 100  # start-to-start distance => 20-char overlap
@@ -724,3 +729,213 @@ CORPUS_TO_TRAINING_BATCHES_SQL = f"""
 
 QUERIES["corpus_to_training_batches"] = corpus_to_training_batches
 ORACLE["corpus_to_training_batches"] = CORPUS_TO_TRAINING_BATCHES_SQL
+
+
+# ---------------------------------------------------------------------------
+# feature_hash_vectors — the hashing-trick vectorizer (Weinberger et
+# al., ICML 2009): each document becomes a fixed FEATURE_DIM-wide count
+# vector, token -> bucket via the shared md5 hash, collisions folded by
+# addition. The fixed width is what makes the features join-able and
+# train-ready regardless of vocabulary growth — the standard bridge
+# from text to numeric models at corpus scale. One explode + one hash
+# aggregate; densification to the array is a per-doc projection.
+# l2_norm uses sqrt over an exact integer sum — bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+FEATURE_DIM = 64
+
+
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(tokens_expr("lower(text)"))).alias("t")
+    )
+    bucketed = toks.select(
+        "doc_id", F.expr(f"({token_hash_expr('t')}) % {FEATURE_DIM}").alias("b")
+    )
+    counts = bucketed.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.expr("map_from_entries(collect_list(struct(b, c)))").alias("m"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {FEATURE_DIM - 1}), "
+                "i -> coalesce(element_at(m, CAST(i AS BIGINT)), 0L))"
+            ).alias("features"),
+        )
+        .select(
+            "doc_id",
+            "features",
+            F.expr(
+                "CAST(aggregate(features, 0L, (a, x) -> a + x) AS BIGINT)"
+            ).alias("total_count"),
+            F.expr(
+                "sqrt(CAST(aggregate(features, 0L, (a, x) -> a + x * x) AS DOUBLE))"
+            ).alias("l2_norm"),
+        )
+    )
+
+
+def _feature_hash_vectors_sql() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({tokens_sql('lower(text)')}) AS t
+            FROM documents
+        ), bucketed AS (
+            SELECT doc_id, ({token_hash_sql('t')}) % {FEATURE_DIM} AS b FROM toks
+        ), counts AS (
+            SELECT doc_id, b, count(*) AS c FROM bucketed GROUP BY 1, 2
+        ), packed AS (
+            SELECT doc_id,
+                   list(b ORDER BY b) AS idx,
+                   list(c ORDER BY b) AS cs
+            FROM counts GROUP BY 1
+        )
+        SELECT doc_id,
+               list_transform(range(0, {FEATURE_DIM}),
+                   i -> coalesce(cs[list_position(idx, i)], 0::BIGINT))
+                   AS features,
+               CAST(list_sum(list_transform(range(0, {FEATURE_DIM}),
+                   i -> coalesce(cs[list_position(idx, i)], 0::BIGINT)))
+                   AS BIGINT) AS total_count,
+               sqrt(CAST(list_sum(list_transform(range(0, {FEATURE_DIM}),
+                   i -> coalesce(cs[list_position(idx, i)], 0::BIGINT) ^ 2))
+                   AS DOUBLE)) AS l2_norm
+        FROM packed
+    """
+
+
+QUERIES["feature_hash_vectors"] = feature_hash_vectors
+ORACLE["feature_hash_vectors"] = _feature_hash_vectors_sql()
+
+
+# ---------------------------------------------------------------------------
+# target_encoding — smoothed mean-target encoding of the category
+# bucket (the standard high-cardinality categorical feature for tabular
+# models): enc(cat) = (sum_cat + m * prior) / (n_cat + m), prior = the
+# global mean, m = the smoothing pseudo-count that shrinks rare
+# categories toward the prior (prevents target leakage from tiny
+# groups). Sums accumulate as exact decimals; the prior and the final
+# blend are the same IEEE expression in both engines. Two hash
+# aggregates + a 1-row broadcast — nothing scales with cardinality but
+# the (small) category vocabulary.
+#
+# negative_samples — deterministic negative sampling for recommender /
+# contrastive training: for every user, the NEGATIVE_K category buckets
+# the user never purchased, chosen by smallest md5(user:bucket) so the
+# sample is reproducible on any cluster, any engine, any day. The
+# candidate space is users x bucket-vocabulary (a broadcast of the tiny
+# bucket table), pruned by an anti-join on the seen pairs.
+# ---------------------------------------------------------------------------
+
+TARGET_SMOOTHING_M = 20
+NEGATIVE_K = 2
+
+
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bucketed = ev.select(
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("bucket"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    ).filter(F.col("bucket").isNotNull())
+    per_cat = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    glob = bucketed.agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("prior")
+    )
+    m = TARGET_SMOOTHING_M
+    return per_cat.crossJoin(F.broadcast(glob)).select(
+        "bucket",
+        "n",
+        F.col("s").cast("double").alias("sum_value"),
+        "prior",
+        (
+            (F.col("s").cast("double") + F.lit(float(m)) * F.col("prior"))
+            / (F.col("n") + F.lit(m))
+        ).alias("encoded"),
+    )
+
+
+TARGET_ENCODING_SQL = f"""
+    WITH b AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
+               CAST(value AS DECIMAL(18,4)) AS v
+        FROM events
+        WHERE event_type = 'purchase'
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ), per_cat AS (
+        SELECT bucket, count(*) AS n, SUM(v) AS s FROM b GROUP BY 1
+    ), gstats AS (
+        SELECT CAST(SUM(v) AS DOUBLE) / count(*) AS prior FROM b
+    )
+    SELECT bucket, n,
+           CAST(s AS DOUBLE) AS sum_value,
+           prior,
+           (CAST(s AS DOUBLE) + {TARGET_SMOOTHING_M}.0 * prior)
+               / (n + {TARGET_SMOOTHING_M}) AS encoded
+    FROM per_cat CROSS JOIN gstats
+"""
+
+
+def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    seen = ev.select(
+        "user_id",
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull()).distinct()
+    users = seen.select("user_id").distinct()
+    buckets = seen.select("bucket").distinct()
+    cands = users.crossJoin(F.broadcast(buckets)).join(
+        seen, ["user_id", "bucket"], "left_anti"
+    )
+    w = _W.partitionBy("user_id").orderBy(
+        F.md5(F.concat_ws(":", "user_id", "bucket")), F.asc("bucket")
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NEGATIVE_K)
+        .select("user_id", F.col("bucket").alias("negative_bucket"), "rn")
+    )
+
+
+NEGATIVE_SAMPLES_SQL = f"""
+    WITH seen AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket
+        FROM events
+        WHERE event_type = 'purchase'
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ), users AS (SELECT DISTINCT user_id FROM seen),
+    buckets AS (SELECT DISTINCT bucket FROM seen),
+    cands AS (
+        SELECT u.user_id, b.bucket
+        FROM users u CROSS JOIN buckets b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM seen s
+            WHERE s.user_id = u.user_id AND s.bucket = b.bucket
+        )
+    ), ranked AS (
+        SELECT user_id, bucket,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY md5(CAST(user_id AS VARCHAR) || ':'
+                                || CAST(bucket AS VARCHAR)), bucket
+               ) AS rn
+        FROM cands
+    )
+    SELECT user_id, bucket AS negative_bucket, rn
+    FROM ranked WHERE rn <= {NEGATIVE_K}
+"""
+
+
+QUERIES["target_encoding"] = target_encoding
+ORACLE["target_encoding"] = TARGET_ENCODING_SQL
+QUERIES["negative_samples"] = negative_samples
+ORACLE["negative_samples"] = NEGATIVE_SAMPLES_SQL

@@ -174,3 +174,74 @@ def test_bm25_ranks_matching_docs(spark, sf_smoke):
     for r in rows:  # every hit matches at least one query term
         assert sum(r[f"tf_{t}"] for t in BM25_TERMS) > 0
         assert r.score > 0
+
+
+def test_feature_hash_vector_conservation(spark, sf_smoke):
+    """Bucket counts conserve the token count; vector width is fixed."""
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.operators._common import tokens_expr
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        FEATURE_DIM,
+        feature_hash_vectors,
+    )
+
+    rows = feature_hash_vectors(spark, sf_smoke).collect()
+    assert rows and all(len(r.features) == FEATURE_DIM for r in rows)
+    tok_counts = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_smoke, "documents")
+        .select("doc_id", F.expr(f"size({tokens_expr('lower(text)')})").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.total_count == tok_counts[r.doc_id] == sum(r.features)
+        assert abs(r.l2_norm ** 2 - sum(c * c for c in r.features)) < 1e-6
+
+
+def test_target_encoding_shrinks_toward_prior(spark, sf_smoke):
+    """Every encoding sits strictly between the raw category mean and
+    the prior (or equals both when they coincide); heavier categories
+    sit closer to their raw mean."""
+    from google_cloud_ecommerce_spark.operators.pipeline import target_encoding
+
+    rows = target_encoding(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        raw_mean = r.sum_value / r.n
+        lo, hi = sorted((raw_mean, r.prior))
+        assert lo - 1e-9 <= r.encoded <= hi + 1e-9
+
+
+def test_negative_samples_never_seen_and_deterministic(spark, sf_smoke):
+    """No sampled (user, bucket) was ever purchased; exactly <=K per
+    user; a second run reproduces the identical sample."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        NEGATIVE_K,
+        negative_samples,
+    )
+
+    out = negative_samples(spark, sf_smoke).collect()
+    assert out
+    seen = {
+        (r.user_id, r.bucket)
+        for r in load_table(spark, sf_smoke, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("bucket"),
+        )
+        .distinct()
+        .collect()
+    }
+    per_user = Counter(r.user_id for r in out)
+    assert all((r.user_id, r.negative_bucket) not in seen for r in out)
+    assert all(c <= NEGATIVE_K for c in per_user.values())
+    again = negative_samples(spark, sf_smoke).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

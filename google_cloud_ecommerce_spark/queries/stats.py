@@ -561,3 +561,101 @@ CUSUM_CHANGEPOINTS_SQL = f"""
 
 QUERIES["cusum_changepoints"] = cusum_changepoints
 ORACLE["cusum_changepoints"] = CUSUM_CHANGEPOINTS_SQL
+
+
+# ---------------------------------------------------------------------------
+# ab_test_report — two-proportion z-test over a deterministic hash
+# split: users land in arm A/B by user_id parity (in production the
+# bucketing hash), conversion = at least one purchase. Counts are exact
+# integers; p1, p2, the pooled rate, and the z statistic are the same
+# closed-form IEEE expression in both engines, so even the test
+# statistic is oracle-checked. One distinct-aggregate over (user, arm,
+# converted) then a 2-row reduction — nothing scales with events after
+# the first aggregate.
+# ---------------------------------------------------------------------------
+
+AB_Z_CRITICAL = 1.959963984540054  # two-sided 95%
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # "converted" = the user's FIRST event is a product view (struct-min
+    # argmin, one aggregate). Every user in this corpus purchases
+    # eventually, so an any-purchase definition is degenerate (p = 1 in
+    # both arms -> zero-variance z); first-touch is non-degenerate at
+    # every scale factor.
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.min(F.struct("ts", "event_id", "event_type"))["event_type"]
+            == "view"
+        )
+        .cast("long")
+        .alias("converted")
+    )
+    arms = per_user.select(
+        F.pmod("user_id", F.lit(2)).alias("arm"), "converted"
+    ).groupBy("arm").agg(
+        F.count("*").alias("n_users"), F.sum("converted").alias("n_converted")
+    )
+    wide = arms.groupBy().pivot("arm", [0, 1]).sum("n_users", "n_converted")
+    n1 = F.col("0_sum(n_users)")
+    c1 = F.col("0_sum(n_converted)")
+    n2 = F.col("1_sum(n_users)")
+    c2 = F.col("1_sum(n_converted)")
+    p1 = c1 / n1
+    p2 = c2 / n2
+    pp = (c1 + c2) / (n1 + n2)
+    denom = F.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    z = (p1 - p2) / F.nullif(denom, F.lit(0.0))
+    return wide.select(
+        n1.alias("n_a"),
+        c1.alias("conv_a"),
+        n2.alias("n_b"),
+        c2.alias("conv_b"),
+        p1.alias("rate_a"),
+        p2.alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > AB_Z_CRITICAL).cast("long").alias("significant_95"),
+    )
+
+
+AB_TEST_REPORT_SQL = f"""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), per_user AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS converted
+        FROM ranked WHERE rn = 1
+    ), arms AS (
+        SELECT user_id % 2 AS arm, count(*) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM per_user GROUP BY 1
+    ), wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 0 THEN n_users END) AS n_a,
+            MAX(CASE WHEN arm = 0 THEN n_converted END) AS conv_a,
+            MAX(CASE WHEN arm = 1 THEN n_users END) AS n_b,
+            MAX(CASE WHEN arm = 1 THEN n_converted END) AS conv_b
+        FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z_stat,
+           CAST(abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 0.0)) > {AB_Z_CRITICAL!r}
+                AS BIGINT) AS significant_95
+    FROM wide
+"""
+
+
+QUERIES["ab_test_report"] = ab_test_report
+ORACLE["ab_test_report"] = AB_TEST_REPORT_SQL

@@ -210,3 +210,25 @@ def test_cusum_detects_level_shift(spark, tmp_path):
     assert v.n_alarm_days > 0
     assert v.first_alarm_day >= "2024-01-11"
     assert out["cart"].n_alarm_days == 0
+
+
+def test_ab_test_z_matches_closed_form(spark, sf_smoke):
+    """Recompute the two-proportion z driver-side from the report's own
+    counts; significance flag must agree with the critical value."""
+    import math
+
+    from google_cloud_ecommerce_spark.queries.stats import (
+        AB_Z_CRITICAL,
+        ab_test_report,
+    )
+
+    r = ab_test_report(spark, sf_smoke).collect()[0]
+    assert r.n_a + r.n_b > 0 and r.conv_a <= r.n_a and r.conv_b <= r.n_b
+    p1, p2 = r.conv_a / r.n_a, r.conv_b / r.n_b
+    pp = (r.conv_a + r.conv_b) / (r.n_a + r.n_b)
+    denom = math.sqrt(pp * (1 - pp) * (1 / r.n_a + 1 / r.n_b))
+    if denom:
+        assert abs(r.z_stat - round((p1 - p2) / denom, 6)) < 1e-9
+        assert r.significant_95 == int(abs((p1 - p2) / denom) > AB_Z_CRITICAL)
+    else:
+        assert r.z_stat is None

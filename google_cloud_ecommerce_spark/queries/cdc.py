@@ -223,3 +223,83 @@ ORACLE = {
     "batch_sessionization": BATCH_SESSIONIZATION_SQL,
     "scd2_user_state": SCD2_USER_STATE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — row-level diff between two corpus snapshots: the CDC
+# derivation a lakehouse runs when a source can only hand over full
+# dumps (diff two loads -> insert/update/delete feed). Snapshot B is
+# derived deterministically from A (modular delete/update/insert rules
+# inlined in both engines) so the operator is self-contained; the diff
+# itself is ONE full outer join on the key with md5 content digests
+# compared — at 100 TB both sides shuffle once on the join key and
+# the digest comparison never moves the payload twice.
+# ---------------------------------------------------------------------------
+
+DIFF_DELETE_MOD = 17  # doc_id % 17 == 0 rows vanish in snapshot B
+DIFF_UPDATE_MOD = 13  # doc_id % 13 == 0 rows change content
+DIFF_INSERT_MOD = 19  # doc_id % 19 == 0 rows spawn a new +1e6 row
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select("doc_id", F.md5("text").alias("digest_a"))
+    surviving = docs.filter(F.col("doc_id") % DIFF_DELETE_MOD != 0)
+    changed = surviving.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DIFF_UPDATE_MOD == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    inserted = docs.filter(F.col("doc_id") % DIFF_INSERT_MOD == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    b = changed.unionByName(inserted).select(
+        "doc_id", F.md5("text").alias("digest_b")
+    )
+    joined = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("digest_a").isNull(), "added")
+        .when(F.col("digest_b").isNull(), "removed")
+        .when(F.col("digest_a") != F.col("digest_b"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return joined.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+    WITH a AS (
+        SELECT doc_id, md5(text) AS digest_a FROM documents
+    ), b AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % {DIFF_UPDATE_MOD} = 0
+                        THEN text || ' v2' ELSE text END) AS digest_b
+        FROM documents WHERE doc_id % {DIFF_DELETE_MOD} <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, md5('new ' || text)
+        FROM documents WHERE doc_id % {DIFF_INSERT_MOD} = 0
+    ), joined AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.digest_a IS NULL THEN 'added'
+                    WHEN b.digest_b IS NULL THEN 'removed'
+                    WHEN a.digest_a <> b.digest_b THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT status, count(*) AS n_rows,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM joined GROUP BY 1
+"""
+
+
+QUERIES["snapshot_diff"] = snapshot_diff
+ORACLE["snapshot_diff"] = SNAPSHOT_DIFF_SQL

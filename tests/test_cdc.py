@@ -120,3 +120,31 @@ def test_scd2_single_shuffle(spark, sf_smoke):
     df = cdc.scd2_user_state(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("+- Exchange") == 1
+
+
+def test_snapshot_diff_counts_match_rules(spark, sf_smoke):
+    """Status counts must equal what the modular derivation rules imply
+    for the actual doc_id population."""
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.queries.cdc import (
+        DIFF_DELETE_MOD,
+        DIFF_INSERT_MOD,
+        DIFF_UPDATE_MOD,
+        snapshot_diff,
+    )
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_smoke, "documents").select("doc_id").collect()
+    ]
+    removed = sum(1 for i in ids if i % DIFF_DELETE_MOD == 0)
+    changed = sum(
+        1 for i in ids if i % DIFF_DELETE_MOD != 0 and i % DIFF_UPDATE_MOD == 0
+    )
+    added = sum(1 for i in ids if i % DIFF_INSERT_MOD == 0)
+    unchanged = len(ids) - removed - changed
+    out = {r.status: r.n_rows for r in snapshot_diff(spark, sf_smoke).collect()}
+    assert out.get("removed", 0) == removed
+    assert out.get("changed", 0) == changed
+    assert out.get("added", 0) == added
+    assert out.get("unchanged", 0) == unchanged

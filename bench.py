@@ -82,6 +82,14 @@ HEADLINE = [
     "ewma_daily_value",
     "time_weighted_value",
     "props_schema_discovery",
+    "dedup_prefix_filter",
+    "bloom_membership",
+    "cusum_changepoints",
+    "key_skew_report",
+    "event_path_mining",
+    "text_index_search",
+    "ab_test_report",
+    "snapshot_diff",
 ]
 
 

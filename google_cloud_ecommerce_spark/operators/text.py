@@ -1301,3 +1301,119 @@ def _gopher_gates_sql() -> str:
 
 QUERIES["gopher_gates"] = gopher_gates
 ORACLE["gopher_gates"] = _gopher_gates_sql()
+
+
+# ---------------------------------------------------------------------------
+# Materialized text inverted index — the keyword-search counterpart of
+# the persisted ANN layouts (operators/similarity.py): posting lists
+# (token, doc_id, tf) written ONCE, partitioned by a md5-derived token
+# bucket, then probed by search. Because a query's term buckets are
+# compile-time literals, the probe's partition filter is STATIC — the
+# scan touches |terms| of the TEXT_INDEX_BUCKETS partitions and never
+# reads the rest, which at 100 TB is the difference between a full
+# corpus scan per query and touching ~terms/buckets of the postings.
+# text_index_search returns byte-identical results to keyword_search
+# (same oracle) — only the plan differs.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import os as _os
+from pathlib import Path as _Path
+
+TEXT_INDEX_BUCKETS = 32
+_TEXT_INDEX_ROOT = (
+    _Path(__file__).resolve().parents[2] / "spark-warehouse" / "text_index"
+)
+
+
+def _text_source_fingerprint(sf_dir: str) -> str:
+    src = _Path(sf_dir) / "documents.parquet"
+    if src.is_dir():
+        stats = sorted(
+            (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+            for p in src.rglob("*")
+            if p.is_file()
+        )
+        return repr(stats)
+    st = src.stat()
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def _py_token_bucket(tok: str) -> int:
+    """Python twin of token_hash_expr % TEXT_INDEX_BUCKETS — used to turn
+    query terms into LITERAL partition keys at plan time."""
+    h = int(_hashlib.md5(tok.encode()).hexdigest()[:15], 16) % MERSENNE31
+    return h % TEXT_INDEX_BUCKETS
+
+
+def build_text_index(
+    spark: SparkSession, sf_dir: str, *, force: bool = False
+) -> str:
+    """Materialize the posting-list layout; lazy on a source fingerprint."""
+    idx_dir = _TEXT_INDEX_ROOT / _os.path.basename(_os.path.normpath(sf_dir))
+    marker = idx_dir / "_SOURCE"
+    fp = _text_source_fingerprint(sf_dir)
+    if force or not marker.exists() or marker.read_text() != fp:
+        postings = (
+            _docs(spark, sf_dir)
+            .select("doc_id", F.explode(F.expr(tokens_expr("text"))).alias("token"))
+            .groupBy("token", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .withColumn(
+                "bucket",
+                F.expr(f"({token_hash_expr('token')}) % {TEXT_INDEX_BUCKETS}"),
+            )
+        )
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(str(idx_dir))
+        marker.write_text(fp)
+    return str(idx_dir)
+
+
+def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = build_text_index(spark, sf_dir)
+    idx = spark.read.parquet(path)
+    term_buckets = sorted({_py_token_bucket(t) for t in QUERY_TERMS})
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    postings = idx.filter(
+        F.col("bucket").isin(term_buckets) & F.expr(f"token IN ({terms})")
+    )
+    tf = (
+        postings.groupBy("doc_id")
+        .pivot("token", list(QUERY_TERMS))
+        .sum("tf")
+        .select(
+            "doc_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"tf_{t}")
+                for t in QUERY_TERMS
+            ],
+        )
+    )
+    # corpus size: a footer-count over the source table (1-row broadcast);
+    # df per term comes from the pruned postings themselves
+    n_docs = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    dfs = postings.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ]
+    )
+    score = None
+    for t in QUERY_TERMS:
+        term_score = F.col(f"tf_{t}") * (
+            F.col("n_docs").cast("double") / F.col(f"df_{t}")
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        tf.crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(dfs))
+        .withColumn("score", score)
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(SEARCH_TOP_K)
+        .select("doc_id", *[f"tf_{t}" for t in QUERY_TERMS], "score")
+    )
+
+
+QUERIES["text_index_search"] = text_index_search
+ORACLE["text_index_search"] = ORACLE["keyword_search"]

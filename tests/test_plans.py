@@ -452,3 +452,21 @@ def test_vector_compression_plan_shapes(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # codebooks must never merge-join
+
+
+def test_text_index_scan_partition_prunes(spark, sf_smoke):
+    """The probe must read only the query terms' literal bucket
+    partitions — PartitionFilters on the index scan, no full postings
+    read — and return byte-identical rows to the recomputing form."""
+    from google_cloud_ecommerce_spark.operators import text
+
+    import re
+
+    df = text.text_index_search(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # static literal pruning on the index scan AND the token pushdown
+    assert re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan)
+    assert "PushedFilters: [In(token" in plan
+    got = [tuple(r) for r in df.collect()]
+    want = [tuple(r) for r in text.keyword_search(spark, sf_smoke).collect()]
+    assert got == want

@@ -352,3 +352,47 @@ PROPS_SCHEMA_DISCOVERY_SQL = """
 
 QUERIES["props_schema_discovery"] = props_schema_discovery
 ORACLE["props_schema_discovery"] = PROPS_SCHEMA_DISCOVERY_SQL
+
+
+# ---------------------------------------------------------------------------
+# catalog_report — the lakehouse catalog summary: one row per managed
+# table with row count and column count (column counts come from the
+# live schema on the Spark side, so a schema change shows up without a
+# code change; the oracle pins the known testdata schemas). This is the
+# table-inventory surface every warehouse exposes (information_schema /
+# SHOW TABLE EXTENDED); planners read it for broadcast decisions, ops
+# read it for growth tracking. Each count is a footer-level scan.
+# ---------------------------------------------------------------------------
+
+_CATALOG_TABLES = ("region", "nation", "customer", "orders", "events", "documents")
+
+
+def catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t in _CATALOG_TABLES:
+        df = load_table(spark, sf_dir, t)
+        n_cols = len(df.columns)
+        row = df.agg(
+            F.lit(t).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.lit(n_cols).cast("long").alias("n_cols"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# column counts are read from each table's actual schema on the Spark
+# side; the oracle pins the known testdata schemas (2/3/5/6/6/5)
+CATALOG_REPORT_SQL = """
+    SELECT 'region' AS table_name, count(*) AS n_rows,
+           CAST(2 AS BIGINT) AS n_cols FROM region
+    UNION ALL SELECT 'nation', count(*), 3 FROM nation
+    UNION ALL SELECT 'customer', count(*), 5 FROM customer
+    UNION ALL SELECT 'orders', count(*), 6 FROM orders
+    UNION ALL SELECT 'events', count(*), 6 FROM events
+    UNION ALL SELECT 'documents', count(*), 5 FROM documents
+"""
+
+
+QUERIES["catalog_report"] = catalog_report
+ORACLE["catalog_report"] = CATALOG_REPORT_SQL

@@ -659,3 +659,72 @@ AB_TEST_REPORT_SQL = f"""
 
 QUERIES["ab_test_report"] = ab_test_report
 ORACLE["ab_test_report"] = AB_TEST_REPORT_SQL
+
+
+# ---------------------------------------------------------------------------
+# holt_daily_forecast — Holt linear-trend smoothing (level + trend,
+# alpha = beta = 1/2) over the daily series, the step up from
+# ewma_daily_value when the series drifts. Two-component sequential
+# state folds over the day-ordered array: Spark carries [level, trend]
+# as an array<double> accumulator; DuckDB's list_reduce requires the
+# accumulator to share the ELEMENT type, so the oracle folds over
+# [x, 0] pairs with the first pair as the seed — same arithmetic, same
+# order, bit-identical state. forecast_next = level + trend.
+# ---------------------------------------------------------------------------
+
+
+def holt_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("rev")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, rev))), s -> s.rev)"
+        ).alias("xs")
+    )
+    # s' = (x + s + b) / 2 ; b' = (s' - s) / 2 + b / 2
+    fold = (
+        "aggregate(slice(xs, 2, size(xs) - 1), "
+        "array(element_at(xs, 1), CAST(0.0 AS DOUBLE)), "
+        "(acc, x) -> array((x + acc[0] + acc[1]) / 2, "
+        "((x + acc[0] + acc[1]) / 2 - acc[0]) / 2 + acc[1] / 2))"
+    )
+    return series.select(
+        "event_type",
+        F.expr("CAST(size(xs) AS BIGINT)").alias("n_days"),
+        F.round(F.expr(f"{fold}[0]"), 4).alias("level"),
+        F.round(F.expr(f"{fold}[1]"), 4).alias("trend"),
+        F.round(F.expr(f"{fold}[0] + {fold}[1]"), 4).alias("forecast_next"),
+    )
+
+
+HOLT_DAILY_FORECAST_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM events GROUP BY 1, 2
+    ), series AS (
+        SELECT event_type,
+               list_transform(list(rev ORDER BY day), x -> [x, 0.0]) AS pairs
+        FROM daily GROUP BY 1
+    ), folded AS (
+        SELECT event_type,
+               len(pairs) AS n_days,
+               list_reduce(pairs,
+                   (acc, x) -> [(x[1] + acc[1] + acc[2]) / 2,
+                                ((x[1] + acc[1] + acc[2]) / 2 - acc[1]) / 2
+                                    + acc[2] / 2]) AS st
+        FROM series
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(st[1], 4) AS level,
+           ROUND(st[2], 4) AS trend,
+           ROUND(st[1] + st[2], 4) AS forecast_next
+    FROM folded
+"""
+
+
+QUERIES["holt_daily_forecast"] = holt_daily_forecast
+ORACLE["holt_daily_forecast"] = HOLT_DAILY_FORECAST_SQL

@@ -232,3 +232,36 @@ def test_ab_test_z_matches_closed_form(spark, sf_smoke):
         assert r.significant_95 == int(abs((p1 - p2) / denom) > AB_Z_CRITICAL)
     else:
         assert r.z_stat is None
+
+
+def test_holt_matches_driver_side_recurrence(spark, sf_smoke):
+    """The two-state fold must equal the literal Holt recurrence, and
+    on a perfectly linear series the one-step forecast converges toward
+    the true next point."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.queries import stats
+
+    daily = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("rev"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.day, r.rev))
+    out = {r.event_type: r for r in stats.holt_daily_forecast(spark, sf_smoke).collect()}
+    for et, pts in series.items():
+        pts.sort()
+        s, b = pts[0][1], 0.0
+        for _, x in pts[1:]:
+            s_new = (x + s + b) / 2
+            b = (s_new - s) / 2 + b / 2
+            s = s_new
+        assert abs(out[et].level - round(s, 4)) < 1e-9
+        assert abs(out[et].trend - round(b, 4)) < 1e-9
+        assert abs(out[et].forecast_next - round(s + b, 4)) < 1e-7

@@ -728,3 +728,82 @@ HOLT_DAILY_FORECAST_SQL = """
 
 QUERIES["holt_daily_forecast"] = holt_daily_forecast
 ORACLE["holt_daily_forecast"] = HOLT_DAILY_FORECAST_SQL
+
+
+# ---------------------------------------------------------------------------
+# series_similarity — pairwise similarity between the event types'
+# daily revenue series (day-aligned inner join, et_a < et_b): Pearson r
+# and RMSE per pair — the all-pairs similarity matrix a time-series
+# search system builds over aligned streams (EDBT 2019's streaming
+# series-similarity setting, batch form). Determinism follows the
+# value_hour_correlation recipe: the five cross-moments and the
+# squared-difference sum accumulate as exact decimals, the closed forms
+# evaluate in identical IEEE doubles. The pair space is
+# |event_types|^2 — constant-sized after the daily pre-aggregate.
+# ---------------------------------------------------------------------------
+
+
+def series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("rev")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, "day").filter(F.col("a.event_type") < F.col("b.event_type"))
+    m = pairs.groupBy(
+        F.col("a.event_type").alias("series_a"),
+        F.col("b.event_type").alias("series_b"),
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("a.rev")).cast("double").alias("sx"),
+        F.sum(F.col("b.rev")).cast("double").alias("sy"),
+        F.sum(F.expr("CAST(a.rev * a.rev AS DECIMAL(38,8))")).cast("double").alias("sxx"),
+        F.sum(F.expr("CAST(b.rev * b.rev AS DECIMAL(38,8))")).cast("double").alias("syy"),
+        F.sum(F.expr("CAST(a.rev * b.rev AS DECIMAL(38,8))")).cast("double").alias("sxy"),
+        F.sum(
+            F.expr("CAST((a.rev - b.rev) * (a.rev - b.rev) AS DECIMAL(38,8))")
+        ).cast("double").alias("sdd"),
+    )
+    n = F.col("n_days").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "series_a",
+        "series_b",
+        "n_days",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("pearson_r"),
+        F.round(F.sqrt(F.col("sdd") / n), 4).alias("rmse"),
+    )
+
+
+SERIES_SIMILARITY_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS rev
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT a.event_type AS series_a, b.event_type AS series_b,
+               count(*) AS n_days,
+               CAST(SUM(a.rev) AS DOUBLE) AS sx,
+               CAST(SUM(b.rev) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(a.rev * a.rev AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(b.rev * b.rev AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(a.rev * b.rev AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST((a.rev - b.rev) * (a.rev - b.rev)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS sdd
+        FROM daily a JOIN daily b USING (day)
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT series_a, series_b, n_days,
+           ROUND((n_days * sxy - sx * sy)
+                 / sqrt((n_days * sxx - sx * sx) * (n_days * syy - sy * sy)), 6)
+               AS pearson_r,
+           ROUND(sqrt(sdd / n_days), 4) AS rmse
+    FROM m
+"""
+
+
+QUERIES["series_similarity"] = series_similarity
+ORACLE["series_similarity"] = SERIES_SIMILARITY_SQL

@@ -265,3 +265,35 @@ def test_holt_matches_driver_side_recurrence(spark, sf_smoke):
         assert abs(out[et].level - round(s, 4)) < 1e-9
         assert abs(out[et].trend - round(b, 4)) < 1e-9
         assert abs(out[et].forecast_next - round(s + b, 4)) < 1e-7
+
+
+def test_series_similarity_bounds_and_self_consistency(spark, sf_smoke):
+    """Pearson in [-1, 1]; RMSE >= 0; pair count = C(|types present|, 2)
+    for fully-aligned series; identical series -> r = 1, rmse = 0 on a
+    crafted corpus."""
+    import datetime as dt
+
+    from google_cloud_ecommerce_spark.queries.stats import series_similarity
+
+    rows = series_similarity(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.pearson_r is None or -1.0 - 1e-9 <= r.pearson_r <= 1.0 + 1e-9
+        assert r.rmse >= 0
+
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    recs = []
+    eid = 0
+    for day in range(1, 6):
+        for et in ("view", "cart"):
+            eid += 1
+            recs.append((eid, dt.datetime(2024, 1, day, 12), eid, et, float(day * 10), "{}"))
+    spark.createDataFrame(
+        recs,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    out = series_similarity(spark, d).collect()
+    assert len(out) == 1
+    assert out[0].pearson_r == 1.0 and out[0].rmse == 0.0

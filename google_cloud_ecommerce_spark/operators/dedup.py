@@ -914,6 +914,31 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # AllPairs length filter: J >= t forces t*|a| <= |b| (intersection
+    # <= min size), so size-mismatched candidates die BEFORE the
+    # verification join — exact integer cross-multiplication, no output
+    # change (the pruned pairs cannot pass the final threshold).
+    cands = (
+        cands.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("la"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("lb"))
+            ),
+            "doc_b",
+        )
+        .filter(
+            (F.lit(PREFIX_JACCARD_DEN) * F.col("lb")
+             >= F.lit(PREFIX_JACCARD_NUM) * F.col("la"))
+            & (F.lit(PREFIX_JACCARD_DEN) * F.col("la")
+               >= F.lit(PREFIX_JACCARD_NUM) * F.col("lb"))
+        )
+        .select("doc_a", "doc_b")
+    )
     inter = (
         cands.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(

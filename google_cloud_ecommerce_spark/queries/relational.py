@@ -888,3 +888,44 @@ ORDER_VALUE_DISTRIBUTION_SQL = """
 
 QUERIES["order_value_distribution"] = order_value_distribution
 ORACLE["order_value_distribution"] = ORDER_VALUE_DISTRIBUTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# grouping_id_report — the grouping() / grouping_id() bitmask surface:
+# one result over three grouping sets where each row self-describes its
+# aggregation level. Consumers (reporting layers, incremental rollup
+# caches) dispatch on the bitmask instead of sniffing NULLs — the NULL
+# "ALL" marker is ambiguous when the grouped column itself is nullable.
+# ---------------------------------------------------------------------------
+
+
+def grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_items"),
+            _dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_items", "total_price")
+    )
+
+
+GROUPING_ID_REPORT_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+QUERIES["grouping_id_report"] = grouping_id_report
+ORACLE["grouping_id_report"] = GROUPING_ID_REPORT_SQL

@@ -801,3 +801,54 @@ BLOOM_MEMBERSHIP_SQL = f"""
 
 QUERIES["bloom_membership"] = bloom_membership
 ORACLE["bloom_membership"] = BLOOM_MEMBERSHIP_SQL
+
+
+# ---------------------------------------------------------------------------
+# event_rate_limit — per-key throttling as a batch operator: keep the
+# FIRST RATE_LIMIT_N events per (user, hour) in arrival order and
+# account for the overflow — the dedup/abuse-control gate in front of a
+# billing or training pipeline (at-least-once upstreams love to burst).
+# One ranking window partitioned by (user, hour) — co-partitioned with
+# the sessionizer's shuffle key family; the report aggregates kept vs
+# dropped per event type so the output stays tiny.
+# ---------------------------------------------------------------------------
+
+RATE_LIMIT_N = 5
+
+
+def event_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).orderBy("ts", "event_id")
+    flagged = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "kept", (F.col("rn") <= RATE_LIMIT_N).cast("long")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum("kept").alias("n_kept"),
+        (F.count("*") - F.sum("kept")).alias("n_dropped"),
+        F.max("rn").alias("max_burst"),
+    )
+
+
+EVENT_RATE_LIMIT_SQL = f"""
+    WITH flagged AS (
+        SELECT event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN rn <= {RATE_LIMIT_N} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > {RATE_LIMIT_N} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(max(rn) AS BIGINT) AS max_burst
+    FROM flagged GROUP BY 1
+"""
+
+
+QUERIES["event_rate_limit"] = event_rate_limit
+ORACLE["event_rate_limit"] = EVENT_RATE_LIMIT_SQL

@@ -852,3 +852,80 @@ EVENT_RATE_LIMIT_SQL = f"""
 
 QUERIES["event_rate_limit"] = event_rate_limit
 ORACLE["event_rate_limit"] = EVENT_RATE_LIMIT_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_cube_rollup — the materialized-aggregate (summary cube)
+# pattern: partial aggregates (count + exact decimal sum) persisted
+# ONCE per (day, event_type, category bucket), then every rollup query
+# REAGGREGATES the cube instead of scanning raw events — at 100 TB the
+# difference between reading days x types x buckets rows and reading
+# the fact table. Additive measures only (counts/sums reaggregate;
+# distincts deliberately excluded — that is what the KMV/HLL sketch
+# rollups are for). The cube is fingerprint-cached like the ANN / text
+# index layouts; the oracle aggregates the BASE table, proving
+# cube-derived results identical to first-principles results.
+# streaming_incremental_mv maintains the same shape incrementally.
+# ---------------------------------------------------------------------------
+
+import os as _cube_os
+from pathlib import Path as _CubePath
+
+_CUBE_ROOT = _CubePath(__file__).resolve().parents[2] / "spark-warehouse" / "events_cube"
+
+
+def _cube_fingerprint(sf_dir: str) -> str:
+    src = _CubePath(sf_dir) / "events.parquet"
+    if src.is_dir():
+        stats = sorted(
+            (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+            for p in src.rglob("*")
+            if p.is_file()
+        )
+        return repr(stats)
+    st = src.stat()
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def build_events_cube(spark: SparkSession, sf_dir: str, *, force: bool = False) -> str:
+    cube_dir = _CUBE_ROOT / _cube_os.path.basename(_cube_os.path.normpath(sf_dir))
+    marker = cube_dir / "_SOURCE"
+    fp = _cube_fingerprint(sf_dir)
+    if force or not marker.exists() or marker.read_text() != fp:
+        ev = load_table(spark, sf_dir, "events")
+        cube = ev.groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("bucket"),
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value_dec"),
+        )
+        cube.write.mode("overwrite").partitionBy("day").parquet(str(cube_dir))
+        marker.write_text(fp)
+    return str(cube_dir)
+
+
+def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cube = spark.read.parquet(build_events_cube(spark, sf_dir))
+    return cube.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        F.count_distinct("day").alias("n_active_days"),
+        F.count_distinct("bucket").alias("n_buckets"),
+    )
+
+
+EVENTS_CUBE_ROLLUP_SQL = """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)
+               AS n_buckets
+    FROM events GROUP BY 1
+"""
+
+
+QUERIES["events_cube_rollup"] = events_cube_rollup
+ORACLE["events_cube_rollup"] = EVENTS_CUBE_ROLLUP_SQL

@@ -303,3 +303,103 @@ SNAPSHOT_DIFF_SQL = f"""
 
 QUERIES["snapshot_diff"] = snapshot_diff
 ORACLE["snapshot_diff"] = SNAPSHOT_DIFF_SQL
+
+
+# ---------------------------------------------------------------------------
+# session_promo_overlap — interval algebra over sessions: how much of
+# each user's session time falls inside the daily promo window
+# (12:00-13:00 UTC). Sessions come from the SAME session_window
+# operator as batch_sessionization; each session interval [min_ts,
+# max_ts] is clipped against the promo interval of every day it spans
+# (a generator explode over the 1-2 day span, not a join against a
+# calendar table) with greatest/least interval intersection on integral
+# microseconds — exact in both engines. The per-user rollup counts each
+# session's duration once (on its first spanned day).
+# ---------------------------------------------------------------------------
+
+PROMO_START_US = 12 * 3600 * 1_000_000  # 12:00 UTC
+PROMO_END_US = 13 * 3600 * 1_000_000  # 13:00 UTC
+
+
+def session_promo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    iv = sessions.select(
+        "user_id",
+        F.unix_micros("mn").alias("s_us"),
+        F.unix_micros("mx").alias("e_us"),
+        F.to_date("mn").alias("d0"),
+        F.to_date("mx").alias("d1"),
+    )
+    spanned = iv.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        "d0",
+        F.explode(F.expr("sequence(d0, d1)")).alias("day"),
+    )
+    day_us = F.unix_micros(F.to_timestamp("day"))
+    ov = F.greatest(
+        F.lit(0),
+        F.least(F.col("e_us"), day_us + F.lit(PROMO_END_US))
+        - F.greatest(F.col("s_us"), day_us + F.lit(PROMO_START_US)),
+    )
+    return (
+        spanned.withColumn("ov_us", ov)
+        .withColumn(
+            "dur_once",
+            F.when(F.col("day") == F.col("d0"), F.col("e_us") - F.col("s_us")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct("s_us").alias("n_sessions"),
+            F.sum("dur_once").alias("total_session_us"),
+            F.sum("ov_us").alias("promo_overlap_us"),
+        )
+    )
+
+
+SESSION_PROMO_OVERLAP_SQL = f"""
+    WITH d AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d
+    ), sess AS (
+        SELECT user_id, sid,
+               epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us,
+               CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM s GROUP BY 1, 2
+    ), spanned AS (
+        SELECT user_id, s_us, e_us, d0, unnest(generate_series(d0, d1,
+                   INTERVAL 1 DAY))::DATE AS day
+        FROM sess
+    ), clipped AS (
+        SELECT user_id, s_us, e_us, d0, day,
+               GREATEST(0, LEAST(e_us, epoch_us(day::TIMESTAMP) + {PROMO_END_US})
+                           - GREATEST(s_us, epoch_us(day::TIMESTAMP)
+                                            + {PROMO_START_US})) AS ov_us,
+               CASE WHEN day = d0 THEN e_us - s_us ELSE 0 END AS dur_once
+        FROM spanned
+    )
+    SELECT user_id,
+           COUNT(DISTINCT s_us) AS n_sessions,
+           CAST(SUM(dur_once) AS BIGINT) AS total_session_us,
+           CAST(SUM(ov_us) AS BIGINT) AS promo_overlap_us
+    FROM clipped GROUP BY 1
+"""
+
+
+QUERIES["session_promo_overlap"] = session_promo_overlap
+ORACLE["session_promo_overlap"] = SESSION_PROMO_OVERLAP_SQL

@@ -148,3 +148,37 @@ def test_snapshot_diff_counts_match_rules(spark, sf_smoke):
     assert out.get("changed", 0) == changed
     assert out.get("added", 0) == added
     assert out.get("unchanged", 0) == unchanged
+
+
+def test_session_promo_overlap_clipping(spark, tmp_path):
+    """Crafted sessions: one fully inside the promo hour, one straddling
+    its start, one outside — overlap must clip exactly."""
+    import datetime as dt
+
+    from google_cloud_ecommerce_spark.queries.cdc import session_promo_overlap
+
+    base = dt.datetime(2024, 1, 5)
+    rows = [
+        # user 1: 12:10 -> 12:40 (inside promo; 30 min overlap)
+        (1, base + dt.timedelta(hours=12, minutes=10), 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=12, minutes=40), 1, "view", 1.0, "{}"),
+        # user 2: 11:50 -> 12:20 (10 min before + 20 inside)
+        (3, base + dt.timedelta(hours=11, minutes=50), 2, "view", 1.0, "{}"),
+        (4, base + dt.timedelta(hours=12, minutes=20), 2, "view", 1.0, "{}"),
+        # user 3: 15:00 -> 15:10 (no overlap)
+        (5, base + dt.timedelta(hours=15), 3, "view", 1.0, "{}"),
+        (6, base + dt.timedelta(hours=15, minutes=10), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    out = {r.user_id: r for r in session_promo_overlap(spark, str(tmp_path)).collect()}
+    m = 60 * 1_000_000
+    assert out[1].promo_overlap_us == 30 * m
+    assert out[1].total_session_us == 30 * m
+    assert out[2].promo_overlap_us == 20 * m
+    assert out[3].promo_overlap_us == 0
+    assert all(r.n_sessions == 1 for r in out.values())

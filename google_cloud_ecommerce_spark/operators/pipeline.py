@@ -939,3 +939,86 @@ QUERIES["target_encoding"] = target_encoding
 ORACLE["target_encoding"] = TARGET_ENCODING_SQL
 QUERIES["negative_samples"] = negative_samples
 ORACLE["negative_samples"] = NEGATIVE_SAMPLES_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_dashboard — the per-(source, lang) health report a data
+# curator watches (the reference's whole analytics layer is dashboards;
+# this is that spirit pointed at corpus curation): document counts,
+# exact-duplicate rate, Gopher-gate pass rate, mean quality score, and
+# the train-ready count (keep AND not duplicate). Composed from the
+# SAME operator functions exposed individually (gopher_gates,
+# text_quality, md5 digest dedup) — one Catalyst plan, three hash
+# joins on doc_id, output bounded by |sources| x |langs|.
+# ---------------------------------------------------------------------------
+
+
+def corpus_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    from google_cloud_ecommerce_spark.operators.text import (
+        gopher_gates,
+        text_quality,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang", "text")
+    dup = (
+        docs.withColumn("digest", F.md5("text"))
+        .withColumn("n_copies", F.count("*").over(_W.partitionBy("digest")))
+        .select("doc_id", (F.col("n_copies") > 1).cast("long").alias("is_dup"))
+    )
+    gates = gopher_gates(spark, sf_dir).select("doc_id", "keep")
+    quality = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    joined = (
+        docs.select("doc_id", "source", "lang")
+        .join(dup, "doc_id")
+        .join(gates, "doc_id")
+        .join(quality, "doc_id")
+    )
+    return joined.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").alias("n_exact_dups"),
+        F.sum("keep").alias("n_keep"),
+        F.round(
+            F.sum(F.round("quality_score", 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_quality"),
+        F.sum(
+            (F.col("keep") * (F.lit(1) - F.col("is_dup")))
+        ).alias("n_train_ready"),
+    )
+
+
+def _corpus_quality_dashboard_sql() -> str:
+    from google_cloud_ecommerce_spark.operators.text import (
+        _gopher_gates_sql,
+        _text_quality_sql,
+    )
+
+    return f"""
+        WITH gates AS ({_gopher_gates_sql()}),
+        quality AS ({_text_quality_sql()}),
+        dup AS (
+            SELECT doc_id,
+                   CAST(count(*) OVER (PARTITION BY md5(text)) > 1 AS BIGINT)
+                       AS is_dup
+            FROM documents
+        )
+        SELECT d.source, d.lang,
+               count(*) AS n_docs,
+               CAST(SUM(p.is_dup) AS BIGINT) AS n_exact_dups,
+               CAST(SUM(g.keep) AS BIGINT) AS n_keep,
+               ROUND(CAST(SUM(CAST(ROUND(q.quality_score, 6) AS DECIMAL(18,6)))
+                          AS DOUBLE) / count(*), 6) AS mean_quality,
+               CAST(SUM(g.keep * (1 - p.is_dup)) AS BIGINT) AS n_train_ready
+        FROM documents d
+        JOIN dup p USING (doc_id)
+        JOIN gates g USING (doc_id)
+        JOIN quality q USING (doc_id)
+        GROUP BY 1, 2
+    """
+
+
+QUERIES["corpus_quality_dashboard"] = corpus_quality_dashboard
+ORACLE["corpus_quality_dashboard"] = _corpus_quality_dashboard_sql()

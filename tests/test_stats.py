@@ -297,3 +297,42 @@ def test_series_similarity_bounds_and_self_consistency(spark, sf_smoke):
     out = series_similarity(spark, d).collect()
     assert len(out) == 1
     assert out[0].pearson_r == 1.0 and out[0].rmse == 0.0
+
+
+def test_cuped_reduces_variance_when_correlated(spark, sf_smoke):
+    """theta and the variance-reduction ratio must match the driver-side
+    closed forms; reduction equals the squared pre/post correlation and
+    is within [0, 1]."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.queries.stats import ab_test_cuped
+
+    rows = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.dayofmonth("ts") <= 15, F.col("value").cast("decimal(18,4)"))),
+                F.lit(0).cast("decimal(18,4)"),
+            ).cast("double").alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.dayofmonth("ts") >= 16, F.col("value").cast("decimal(18,4)"))),
+                F.lit(0).cast("decimal(18,4)"),
+            ).cast("double").alias("y"),
+        )
+        .collect()
+    )
+    n = len(rows)
+    sx = sum(r.x for r in rows); sy = sum(r.y for r in rows)
+    var_x = sum(r.x * r.x for r in rows) / n - (sx / n) ** 2
+    var_y = sum(r.y * r.y for r in rows) / n - (sy / n) ** 2
+    cov = sum(r.x * r.y for r in rows) / n - (sx / n) * (sy / n)
+    out = ab_test_cuped(spark, sf_smoke).collect()[0]
+    assert out.n_users == n
+    assert abs(out.theta - round(cov / var_x, 6)) < 1e-4
+    rho2 = cov * cov / (var_x * var_y)
+    assert abs(out.var_reduction - rho2) < 1e-3
+    assert -1e-9 <= out.var_reduction <= 1.0

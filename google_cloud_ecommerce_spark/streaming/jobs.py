@@ -1165,3 +1165,83 @@ def _streaming_kmv_oracle() -> str:
 
 
 ORACLE["streaming_kmv_sketch"] = _streaming_kmv_oracle()
+
+
+# ---------------------------------------------------------------------------
+# streaming_rate_limit — the per-(user, hour) first-N throttle of
+# queries/scale.event_rate_limit as a STATEFUL streaming operator:
+# applyInPandasWithState keyed by user carries (current hour, count)
+# across micro-batches, decides keep/drop per event as it arrives, and
+# the per-type accounting aggregates the emitted decisions. The replay
+# is totally ordered by (ts, event_id), so per-user arrival order
+# equals the batch window order and the streaming decisions are
+# BIT-IDENTICAL to the batch operator — the oracle is the batch SQL.
+# State is two integers per live user, the smallest possible footprint
+# for this semantics (contrast: the batch form needs the full window).
+# ---------------------------------------------------------------------------
+
+_RL_STATE_SCHEMA = "hour_us bigint, n bigint, max_burst bigint"
+_RL_OUTPUT_SCHEMA = "event_type string, kept bigint, rn bigint"
+_HOUR_US = 3600 * 1_000_000
+
+
+def _rate_limit_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from google_cloud_ecommerce_spark.queries.scale import RATE_LIMIT_N
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
+    hour_us, n, max_burst = state.get if state.exists else (-1, 0, 0)
+    out_type: list[str] = []
+    out_kept: list[int] = []
+    out_rn: list[int] = []
+    for us, etype in zip(rows["us"], rows["event_type"]):
+        h = int(us) // _HOUR_US * _HOUR_US
+        if h != hour_us:
+            hour_us, n = h, 0
+        n += 1
+        max_burst = max(max_burst, n)
+        out_type.append(etype)
+        out_kept.append(1 if n <= RATE_LIMIT_N else 0)
+        out_rn.append(n)
+    state.update((hour_us, n, max_burst))
+    yield pd.DataFrame({"event_type": out_type, "kept": out_kept, "rn": out_rn})
+
+
+def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    try:
+        stream = read_replay_stream(spark, replay).select(
+            "user_id", "event_id", F.unix_micros("ts").alias("us"), "event_type"
+        )
+        decided = stream.groupBy("user_id").applyInPandasWithState(
+            _rate_limit_state_fn,
+            outputStructType=_RL_OUTPUT_SCHEMA,
+            stateStructType=_RL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        per_event = _run_to_memory(decided, "append")
+        # final accounting is a tiny batch aggregate over the drained
+        # decision log (chaining an agg after the stateful op would not
+        # finalize in append mode)
+        final = per_event.groupBy("event_type").agg(
+            F.sum("kept").alias("n_kept"),
+            (F.count("*") - F.sum("kept")).alias("n_dropped"),
+            F.max("rn").alias("max_burst"),
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
+QUERIES["streaming_rate_limit"] = streaming_rate_limit
+
+
+def _streaming_rate_limit_oracle() -> str:
+    from google_cloud_ecommerce_spark.queries.scale import EVENT_RATE_LIMIT_SQL
+
+    return EVENT_RATE_LIMIT_SQL
+
+
+ORACLE["streaming_rate_limit"] = _streaming_rate_limit_oracle()

@@ -119,3 +119,20 @@ def test_streaming_kmv_equals_batch_sketch(spark, sf_smoke):
         for r in streaming_kmv_sketch(spark, sf_smoke).collect()
     }
     assert stream == batch
+
+
+def test_streaming_rate_limit_equals_batch(spark, sf_smoke):
+    """Stateful streaming throttle decisions must be bit-identical to
+    the batch window operator (replay is (ts, event_id)-ordered)."""
+    from google_cloud_ecommerce_spark.queries.scale import event_rate_limit
+    from google_cloud_ecommerce_spark.streaming.jobs import streaming_rate_limit
+
+    batch = {
+        r.event_type: (r.n_kept, r.n_dropped, r.max_burst)
+        for r in event_rate_limit(spark, sf_smoke).collect()
+    }
+    stream = {
+        r.event_type: (r.n_kept, r.n_dropped, r.max_burst)
+        for r in streaming_rate_limit(spark, sf_smoke).collect()
+    }
+    assert stream == batch

@@ -90,6 +90,14 @@ HEADLINE = [
     "text_index_search",
     "ab_test_report",
     "snapshot_diff",
+    "series_similarity",
+    "events_cube_rollup",
+    "session_promo_overlap",
+    "corpus_quality_dashboard",
+    "ab_test_cuped",
+    "grouping_id_report",
+    "event_rate_limit",
+    "holt_daily_forecast",
 ]
 
 

@@ -896,23 +896,56 @@ ORACLE["order_value_distribution"] = ORDER_VALUE_DISTRIBUTION_SQL
 # aggregation level. Consumers (reporting layers, incremental rollup
 # caches) dispatch on the bitmask instead of sniffing NULLs — the NULL
 # "ALL" marker is ambiguous when the grouped column itself is nullable.
+#
+# Plan: NOT the Expand operator (which replays every input row once per
+# grouping set — 3x the scan here, Nx at a deep cube). The fact scans
+# ONCE into the finest-level partials; the coarser sets REAGGREGATE
+# those few rows (counts and decimal sums are additive — same principle
+# as events_cube_rollup). The bitmask literals match Spark's
+# grouping_id() numbering, and the oracle runs the classic GROUPING
+# SETS spelling, proving the scan-once rewrite value-identical.
 # ---------------------------------------------------------------------------
 
 
 def grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # lazy checkpoint: the 6-row partial table feeds all three grouping
+    # sets; without truncation each set re-plans the full scan
+    base = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("tp_dec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    finest = base.select(
+        "l_returnflag", "l_linestatus", F.lit(0).cast("long").alias("gid"),
+        "n_items", "tp_dec",
+    )
+    by_flag = base.groupBy("l_returnflag").agg(
+        F.sum("n_items").alias("n_items"), F.sum("tp_dec").alias("tp_dec")
+    ).select(
+        "l_returnflag", F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(1).cast("long").alias("gid"), "n_items", "tp_dec",
+    )
+    grand = base.groupBy().agg(
+        F.sum("n_items").alias("n_items"), F.sum("tp_dec").alias("tp_dec")
+    ).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(3).cast("long").alias("gid"), "n_items", "tp_dec",
+    )
     return (
-        li.groupingSets(
-            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        finest.unionByName(by_flag)
+        .unionByName(grand)
+        .select(
             "l_returnflag",
             "l_linestatus",
+            "gid",
+            "n_items",
+            F.col("tp_dec").cast("double").alias("total_price"),
         )
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.count("*").alias("n_items"),
-            _dsum(F.col("l_extendedprice")).alias("total_price"),
-        )
-        .select("l_returnflag", "l_linestatus", "gid", "n_items", "total_price")
     )
 
 

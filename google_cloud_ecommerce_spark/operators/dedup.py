@@ -881,10 +881,15 @@ PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN = 4, 5  # t = 0.8 as an exact ratio
 
 
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lazy checkpoint: the exploded posting list feeds the df table, the
+    # per-doc sizes, the prefix ranking, AND both sides of the verify
+    # join — five references that would each re-run the shingle
+    # generation without truncation
     sh = (
         _docs(spark, sf_dir)
         .select("doc_id", F.expr(tokens_expr("text")).alias("toks"))
         .select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle"))
+        .localCheckpoint(eager=False)
     )
     df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = sh.join(df_tbl, "shingle")

@@ -1029,7 +1029,10 @@ def _pq_update_step(assigned: DataFrame) -> DataFrame:
 
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "v")
-    sub = _pq_subvecs(emb)
+    # lazy checkpoint: the subvector table feeds the seed selection, the
+    # training round, and the final assignment — re-derived per
+    # reference otherwise
+    sub = _pq_subvecs(emb).localCheckpoint(eager=False)
     cents = sub.filter(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").alias("c_id"), F.col("sv").alias("cv")
     )

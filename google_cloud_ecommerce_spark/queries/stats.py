@@ -945,3 +945,82 @@ AB_TEST_CUPED_SQL = """
 
 QUERIES["ab_test_cuped"] = ab_test_cuped
 ORACLE["ab_test_cuped"] = AB_TEST_CUPED_SQL
+
+
+# ---------------------------------------------------------------------------
+# decile_lift_chart — the marketing gains table: users ranked into
+# spend deciles (top spenders = decile 1), each decile's share and
+# CUMULATIVE share of total purchase revenue. A concentrated curve
+# (top decile holding most of the revenue) is what justifies targeting
+# — the classic lift/gains analysis. Deciles use a global ntile window
+# over the PER-USER AGGREGATE (orders of magnitude below event count;
+# fine while the user dimension fits one sort — beyond that, the
+# window-free range-partition ntile of lineitem_quartiles_distributed
+# drops in unchanged). The cumulative share over the 10-row decile
+# table uses the triangular broadcast join (house rule: no
+# unpartitioned running window on data-sized tables).
+# ---------------------------------------------------------------------------
+
+
+def decile_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("user_id"))
+    deciles = per_user.withColumn("decile", F.ntile(10).over(w))
+    agg = deciles.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.sum("spend").alias("spend_dec"),
+    )
+    total = agg.agg(F.sum("spend_dec").alias("grand_dec"))
+    earlier = agg.select(
+        F.col("decile").alias("e_decile"), F.col("spend_dec").alias("e_spend")
+    )
+    cum = (
+        agg.join(F.broadcast(earlier), F.col("e_decile") <= F.col("decile"))
+        .groupBy("decile", "n_users", "spend_dec")
+        .agg(F.sum("e_spend").alias("cum_dec"))
+    )
+    return cum.crossJoin(F.broadcast(total)).select(
+        "decile",
+        "n_users",
+        F.col("spend_dec").cast("double").alias("decile_spend"),
+        (F.col("spend_dec").cast("double") / F.col("grand_dec").cast("double")).alias(
+            "share"
+        ),
+        (F.col("cum_dec").cast("double") / F.col("grand_dec").cast("double")).alias(
+            "cum_share"
+        ),
+    )
+
+
+DECILE_LIFT_CHART_SQL = """
+    WITH per_user AS (
+        SELECT user_id, SUM(CAST(value AS DECIMAL(18,4))) AS spend
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), deciles AS (
+        SELECT spend,
+               ntile(10) OVER (ORDER BY spend DESC, user_id ASC) AS decile
+        FROM per_user
+    ), agg AS (
+        SELECT decile, count(*) AS n_users, SUM(spend) AS spend_dec
+        FROM deciles GROUP BY 1
+    ), t AS (SELECT SUM(spend_dec) AS grand_dec FROM agg),
+    cum AS (
+        SELECT a.decile, a.n_users, a.spend_dec, SUM(e.spend_dec) AS cum_dec
+        FROM agg a JOIN agg e ON e.decile <= a.decile
+        GROUP BY 1, 2, 3
+    )
+    SELECT decile, n_users,
+           CAST(spend_dec AS DOUBLE) AS decile_spend,
+           CAST(spend_dec AS DOUBLE) / CAST(grand_dec AS DOUBLE) AS share,
+           CAST(cum_dec AS DOUBLE) / CAST(grand_dec AS DOUBLE) AS cum_share
+    FROM cum CROSS JOIN t
+"""
+
+
+QUERIES["decile_lift_chart"] = decile_lift_chart
+ORACLE["decile_lift_chart"] = DECILE_LIFT_CHART_SQL

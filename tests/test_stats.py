@@ -336,3 +336,17 @@ def test_cuped_reduces_variance_when_correlated(spark, sf_smoke):
     rho2 = cov * cov / (var_x * var_y)
     assert abs(out.var_reduction - rho2) < 1e-3
     assert -1e-9 <= out.var_reduction <= 1.0
+
+
+def test_decile_lift_chart_invariants(spark, sf_smoke):
+    """Shares sum to 1, cumulative share is monotone and ends at 1,
+    decile 1 (top spenders) has the largest share of revenue."""
+    from google_cloud_ecommerce_spark.queries.stats import decile_lift_chart
+
+    rows = sorted(decile_lift_chart(spark, sf_smoke).collect(), key=lambda r: r.decile)
+    assert rows and rows[0].decile == 1
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    assert abs(rows[-1].cum_share - 1.0) < 1e-9
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_share >= a.cum_share - 1e-12
+    assert rows[0].share == max(r.share for r in rows)

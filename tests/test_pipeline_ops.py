@@ -188,7 +188,8 @@ def test_feature_hash_vector_conservation(spark, sf_smoke):
     )
 
     rows = feature_hash_vectors(spark, sf_smoke).collect()
-    assert rows and all(len(r.features) == FEATURE_DIM for r in rows)
+    feats = {r.doc_id: [int(c) for c in r.features.split(",")] for r in rows}
+    assert rows and all(len(fv) == FEATURE_DIM for fv in feats.values())
     tok_counts = {
         r.doc_id: r.n
         for r in load_table(spark, sf_smoke, "documents")
@@ -196,8 +197,9 @@ def test_feature_hash_vector_conservation(spark, sf_smoke):
         .collect()
     }
     for r in rows:
-        assert r.total_count == tok_counts[r.doc_id] == sum(r.features)
-        assert abs(r.l2_norm ** 2 - sum(c * c for c in r.features)) < 1e-6
+        fv = feats[r.doc_id]
+        assert r.total_count == tok_counts[r.doc_id] == sum(fv)
+        assert abs(r.l2_norm ** 2 - sum(c * c for c in fv)) < 1e-6
 
 
 def test_target_encoding_shrinks_toward_prior(spark, sf_smoke):

@@ -59,3 +59,39 @@ def test_every_family_has_an_anchor_in_window():
 
 def test_no_duplicate_priority_entries():
     assert len(PRIORITY) == len(set(PRIORITY))
+
+
+def test_oracle_dtypes_survive_driver_canonicalizer():
+    """DuckDB-side lint: no oracle may emit HUGEINT, non-scalar
+    (LIST/STRUCT/MAP), tz-aware timestamp, or NaN/Inf doubles — every
+    one of those crashes or silently diverges in the driver's pandas
+    ``sort_values`` canonicalizer (pq_encode was driver-red in round 2
+    for exactly this)."""
+    from tests.conftest import SF_SMOKE
+    from tests.tools.oracle_dtype_lint import lint_oracles
+
+    problems = lint_oracles(SF_SMOKE)
+    assert not problems, f"oracle dtype lint flagged: {problems}"
+
+
+def test_spark_outputs_scalar_for_oracle_backed_queries(spark, sf_smoke):
+    """Spark-side twin of the dtype lint: no oracle-backed query may
+    return array/map/struct columns (schema-only check — analysis, no
+    execution, so the whole registry costs seconds). Streaming entries
+    are exercised by parity instead: calling them runs a full replay."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    oracles = all_oracles()
+    offenders: dict[str, list[str]] = {}
+    for name, fn in all_queries().items():
+        if name not in oracles or name.startswith("streaming_"):
+            continue
+        schema = fn(spark, sf_smoke).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-scalar output columns: {offenders}"

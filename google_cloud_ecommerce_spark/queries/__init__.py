@@ -61,93 +61,67 @@ def _modules():
     )
 
 
-# The correctness driver oracle-checks the FIRST 50 registry entries only,
-# so the merged dict leads with one oracle-backed representative slate that
-# spans every operator family (reference, relational, joins, cdc, quality,
-# scale, tpch decorrelation, dedup, similarity, text, multimodal, pandas,
-# pipeline, wire, sql-udf, streaming); redundant variants of already-covered
-# shapes follow in module order. Exactly 50 names, all with oracles.
+# The correctness driver oracle-checks the FIRST 50 registry entries only.
+# Round-3 rotation policy: keep ONE driver-green anchor per operator
+# family (verified in CORRECTNESS_r01/r02), re-admit the three queries
+# reshaped this round (scalar output columns), and fill the remaining
+# slots with entries never yet driver-checked — growing the union of
+# driver-verified names across rounds while every family keeps a green
+# representative in-window. Exactly 50 names, all with oracles.
 PRIORITY: tuple[str, ...] = (
-    # reference e-commerce core (Q1-Q6 + the retyped/reworked entries)
-    "daily_events",
-    "top_categories",
-    "hour_event_value",
-    "weekday_conversion_volume",
-    "conversion_rate",
-    "purchase_funnel",
-    "value_zscore_outliers",
-    "record_id",
-    # relational / TPC-H core
-    "tpch_q1_pricing_summary",
-    "shipping_priority",
-    "nation_revenue",
-    "order_status_pivot",
-    "first_shipment_per_order",
-    # deterministic mergeable sketch (KMV — value-checkable, unlike HLL);
-    # running-window shapes stay covered by conversion_rate + the local
-    # replica's monthly_revenue_running
-    "kmv_user_cardinality",
-    # join vocabulary (as-of, attribution, full outer)
-    "asof_purchase_view",
-    "purchase_attribution",
-    "nation_party_balance_full_outer",
-    # cdc / sessionization (+ SCD Type-2 dimension build)
-    "changelog_compaction",
-    "batch_sessionization",
-    "scd2_user_state",
-    # data quality
-    "data_quality_report",
-    # scale patterns (salting, cardinality; the bitmap rollup rotates to
-    # the local replica in favor of the prefix-filter dedup below)
-    "event_type_stats_salted",
-    "user_cardinality",
-    # tpch decorrelation / semi-structured
-    "props_json_stats",
-    "national_market_share",
-    "ship_delay_priority",
-    # lossless prefix-filtered exact Jaccard
-    "dedup_prefix_filter",
-    # ranked retrieval + iterative ML (the sole driver-checked
-    # representatives of their shapes; product_type_profit and
-    # min_cost_part_suppliers rotated out — their decorrelation
-    # patterns stay covered by the three tpch entries above + local
-    # parity)
-    "bm25_search",
-    "kmeans_assign",
-    # graph analytics (iterative integer-exact PageRank)
-    "pagerank_categories",
-    # dedup family (simhash/incremental variants rotate to the local
-    # replica: exact+minhash+clusters keep the family driver-checked)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    # similarity / ANN family (+ product-quantization storage layout)
-    "similarity_topk",
-    "similarity_index_topk",
-    "similarity_ivf_topk",
+    # --- driver-green family anchors (one per family, r01/r02) ---
+    "daily_events",            # reference (also the entry() flagship)
+    "tpch_q1_pricing_summary", # relational
+    "asof_purchase_view",      # joins
+    "batch_sessionization",    # cdc / sessionization
+    "data_quality_report",     # quality
+    "event_type_stats_salted", # scale patterns
+    "props_json_stats",        # tpch_extra / semi-structured
+    "ship_delay_priority",     # tpch_extra2 decorrelation
+    "value_zscore_outliers",   # stats
+    "pagerank_categories",     # graph
+    "dedup_exact",             # dedup
+    "similarity_topk",         # similarity / ANN
+    "text_quality",            # text analysis
+    "media_wav_decode",        # multimodal
+    "session_stats_pandas",    # pandas / arrow UDF surface
+    "doc_chunking",            # LLM pipeline prep
+    "wire_format_source",      # wire-format source
+    "sql_udf_revenue_bands",   # SQL UDF
+    "streaming_daily_events",  # streaming (batch-equivalent oracle)
+    # --- reshaped to scalar outputs this round; must prove green ---
     "pq_encode",
-    # text analysis family (lang-id rotates out; quality/counts stay)
-    "text_quality",
-    "token_counts",
-    # multimodal plumbing
-    # real WAV parse in executors, analytical oracle — stronger driver
-    # evidence than the metadata-only manifest it replaced
-    "media_wav_decode",
-    # pandas / arrow UDF surface
-    "session_stats_pandas",
-    "event_type_stats_arrow",
-    # LLM pipeline prep
-    "doc_chunking",
-    "sequence_packing",
-    "contamination_check",
-    # wire-format source
-    "wire_format_source",
-    "wire_stream_counts",
-    # SQL UDF
-    "sql_udf_revenue_bands",
-    # streaming (batch-equivalent oracles)
-    "streaming_daily_events",
-    "streaming_sessionization",
+    "random_projection",
+    "feature_hash_vectors",
+    # --- never-driver-checked rotation (28) ---
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "similarity_lsh_topk",
+    "text_lang_id",
+    "tfidf_top_terms",
+    "bpe_merges",
+    "pii_redaction",
+    "triangle_coview",
+    "media_bmp_decode",
+    "weekday_eventtype_chisq",
+    "ewma_daily_value",
+    "time_weighted_value",
+    "holt_daily_forecast",
+    "snapshot_diff",
+    "event_path_mining",
+    "bloom_membership",
+    "events_cube_rollup",
+    "grouping_id_report",
+    "ab_test_cuped",
+    "fuzzy_name_matches",
+    "corpus_drift",
+    "train_eval_split",
+    "part_skyline",
+    "zorder_curve",
+    "key_skew_report",
+    "props_schema_discovery",
+    "lineitem_quartiles_distributed",
+    "streaming_hourly_window",
 )
 
 

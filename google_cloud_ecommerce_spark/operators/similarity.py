@@ -528,12 +528,14 @@ def _index_dir(sf_dir: str, layout: str) -> _Path:
 def build_similarity_index(
     spark: SparkSession, sf_dir: str, *, force: bool = False
 ) -> dict[str, str]:
-    """Materialize both ANN layouts; returns {layout: path}.
+    """Materialize the ANN layouts; returns {layout: path}.
 
     Lazy: skipped when the layout already exists for the current source
     fingerprint. The LSH layout holds every vector once (partition =
     sign bucket); the IVF layout holds every vector once under its
-    primary (c_rank == 1) cell.
+    primary (c_rank == 1) cell; the PQ layout holds per-vector
+    product-quantization codes (M small ints — the probe scans codes,
+    never floats) plus the tiny trained codebook.
     """
     paths: dict[str, str] = {}
     fp = _source_fingerprint(sf_dir)
@@ -561,6 +563,27 @@ def build_similarity_index(
         corpus.write.mode("overwrite").partitionBy("cell").parquet(str(ivf_dir))
         ivf_marker.write_text(fp)
     paths["ivf"] = str(ivf_dir)
+
+    pq_dir = _index_dir(sf_dir, "pq")
+    pq_marker = pq_dir / "_SOURCE"
+    if force or not pq_marker.exists() or pq_marker.read_text() != fp:
+        emb = _emb(spark, sf_dir).select("vec_id", "v")
+        sub = _pq_subvecs(emb).localCheckpoint(eager=False)
+        cents = sub.filter(F.col("vec_id") < PQ_K).select(
+            "m", F.col("vec_id").alias("c_id"), F.col("sv").alias("cv")
+        )
+        trained = _pq_update_step(_pq_assign_step(sub, cents))
+        final = _pq_assign_step(sub, trained)
+        codes = final.groupBy("vec_id").agg(
+            *[
+                F.max(F.when(F.col("m") == i, F.col("c_id"))).alias(f"code_{i}")
+                for i in range(PQ_M)
+            ]
+        )
+        codes.write.mode("overwrite").parquet(str(pq_dir / "codes"))
+        trained.write.mode("overwrite").parquet(str(pq_dir / "codebook"))
+        pq_marker.write_text(fp)
+    paths["pq"] = str(pq_dir)
     return paths
 
 
@@ -1061,9 +1084,8 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_encode_sql() -> str:
-    def assign(src_c: str, n: int) -> str:
-        return f"""a{n} AS (
+def _pq_assign_cte(src_c: str, n: int) -> str:
+    return f"""a{n} AS (
             SELECT s.vec_id, s.m, s.sv, c.c_id,
                    {_sqdist_sql('s.sv', 'c.cv', PQ_SUB_DIM)} AS sq_dist,
                    row_number() OVER (
@@ -1075,8 +1097,12 @@ def _pq_encode_sql() -> str:
             SELECT vec_id, m, sv, c_id, sq_dist FROM a{n} WHERE rk = 1
         )"""
 
-    return f"""
-        WITH e AS (
+
+def _pq_common_ctes() -> str:
+    """Shared oracle CTE chain: subvectors -> seed codebook -> one
+    Lloyd round -> trained codebook c1 -> final assignment m2 (every
+    vector's per-subspace code). Used by pq_encode and the ADC probe."""
+    return f"""e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ), sub AS (
             SELECT vec_id, m,
@@ -1084,7 +1110,7 @@ def _pq_encode_sql() -> str:
             FROM e, unnest(range(0, {PQ_M})) t(m)
         ), c0 AS (
             SELECT m, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < {PQ_K}
-        ), {assign('c0', 1)}, u1 AS (
+        ), {_pq_assign_cte('c0', 1)}, u1 AS (
             SELECT m, c_id, i AS dim,
                    CAST(SUM(CAST(ROUND(sv[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
                        / count(*) AS comp
@@ -1092,7 +1118,12 @@ def _pq_encode_sql() -> str:
             GROUP BY 1, 2, 3
         ), c1 AS (
             SELECT m, c_id, list(comp ORDER BY dim) AS cv FROM u1 GROUP BY 1, 2
-        ), {assign('c1', 2)}
+        ), {_pq_assign_cte('c1', 2)}"""
+
+
+def _pq_encode_sql() -> str:
+    return f"""
+        WITH {_pq_common_ctes()}
         SELECT vec_id,
                array_to_string(list(c_id ORDER BY m), ',') AS codes,
                ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1104,6 +1135,106 @@ def _pq_encode_sql() -> str:
 
 QUERIES["pq_encode"] = pq_encode
 ORACLE["pq_encode"] = _pq_encode_sql()
+
+
+# ---------------------------------------------------------------------------
+# similarity_pq_topk — asymmetric-distance (ADC) top-k over the
+# PERSISTED product-quantization layout (Jégou et al., PAMI 2011 §IV):
+# the probe scans only the codes table (M small ints per vector — a
+# 16-32x I/O reduction vs re-reading 64 doubles) plus the tiny trained
+# codebook. Per query, a LUT of squared distances from each query
+# subvector to each of the M*K codebook centroids is built (M*K*N_Q =
+# 80 rows, broadcast); a corpus vector's approximate squared distance
+# is then LUT[0][code_0] + ... + LUT[3][code_3] — M broadcast-join
+# lookups and M-1 adds per row, never a float dot product.
+#
+# Scale posture: codes scan is the only large input; all M lookup
+# joins broadcast the 80-row LUT, so the corpus never shuffles before
+# the final per-query top-k window (the same candidate-set shuffle
+# every top-k form here pays). At 100 TB the codes table is ~M bytes
+# per vector — the layout IS the reason PQ exists.
+#
+# Determinism: each LUT entry is a fixed-order 16-dim fold (pure
+# +-*, IEEE-exact both engines); the ADC sum adds the M entries in
+# subspace order on both sides (Spark: d_0+d_1+d_2+d_3 left-to-right;
+# DuckDB: ordered-list left fold seeded with 0.0 — 0.0+x == x for
+# x >= 0). Ranking uses the raw bit-exact double, ties break to the
+# lower neighbor id; only the displayed distance is rounded.
+# ---------------------------------------------------------------------------
+
+
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paths = build_similarity_index(spark, sf_dir)
+    codes = spark.read.parquet(str(_Path(paths["pq"]) / "codes"))
+    codebook = spark.read.parquet(str(_Path(paths["pq"]) / "codebook"))
+    qsub = _pq_subvecs(
+        _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERY_VECS).select("vec_id", "v")
+    ).select(F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsv"))
+    lut = (
+        qsub.join(F.broadcast(codebook), "m")
+        .withColumn("d", F.expr(_sqdist_expr("qsv", "cv")))
+        .select("q_id", "m", "c_id", "d")
+    )
+    scored = codes
+    for i in range(PQ_M):
+        lut_i = lut.filter(F.col("m") == i).select(
+            F.col("q_id").alias(f"q{i}"),
+            F.col("c_id").alias(f"c{i}"),
+            F.col("d").alias(f"d{i}"),
+        )
+        cond = codes[f"code_{i}"] == lut_i[f"c{i}"]
+        if i > 0:
+            cond = cond & (F.col("q0") == lut_i[f"q{i}"])
+        scored = scored.join(F.broadcast(lut_i), cond)
+    adc = F.col("d0")
+    for i in range(1, PQ_M):
+        adc = adc + F.col(f"d{i}")
+    scored = (
+        scored.withColumn("adc", adc)
+        .filter(F.col("vec_id") != F.col("q0"))
+        .select(F.col("q0").alias("q_id"), "vec_id", "adc")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("adc", 4).alias("adc_sq_dist"),
+        )
+    )
+
+
+def _similarity_pq_topk_sql() -> str:
+    return f"""
+        WITH {_pq_common_ctes()}, q AS (
+            SELECT vec_id AS q_id, m, sv AS qsv
+            FROM sub WHERE vec_id < {N_QUERY_VECS}
+        ), lut AS (
+            SELECT q.q_id, c.m, c.c_id,
+                   {_sqdist_sql('q.qsv', 'c.cv', PQ_SUB_DIM)} AS d
+            FROM q JOIN c1 c ON c.m = q.m
+        ), scored AS (
+            SELECT l.q_id, v.vec_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(l.d ORDER BY l.m)), (acc, x) -> acc + x) AS adc
+            FROM m2 v JOIN lut l ON l.m = v.m AND l.c_id = v.c_id
+            WHERE v.vec_id != l.q_id
+            GROUP BY 1, 2
+        )
+        SELECT q_id, vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank,
+               ROUND(adc, 4) AS adc_sq_dist
+        FROM scored
+        QUALIFY rank <= {TOP_K}
+    """
+
+
+QUERIES["similarity_pq_topk"] = similarity_pq_topk
+ORACLE["similarity_pq_topk"] = _similarity_pq_topk_sql()
 
 
 # ---------------------------------------------------------------------------

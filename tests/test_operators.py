@@ -456,6 +456,33 @@ def test_pq_encode_compression_properties(spark, sf_smoke):
     assert len({r.codes for r in rows}) > 1
 
 
+def test_similarity_pq_topk_structure(spark, sf_smoke):
+    """ADC probe: one row set per query vector with contiguous ranks,
+    non-decreasing ADC distance within each query, self excluded, and
+    deterministic across runs (the persisted layout pins the
+    codebook)."""
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        N_QUERY_VECS,
+        TOP_K,
+        similarity_pq_topk,
+    )
+
+    rows = similarity_pq_topk(spark, sf_smoke).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.neighbor_id != r.q_id
+        assert r.adc_sq_dist >= 0.0
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(N_QUERY_VECS))
+    for q_id, group in by_q.items():
+        group.sort(key=lambda r: r.rank)
+        assert [r.rank for r in group] == list(range(1, TOP_K + 1))
+        dists = [r.adc_sq_dist for r in group]
+        assert dists == sorted(dists)
+    again = similarity_pq_topk(spark, sf_smoke).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_random_projection_distance_preservation(spark, sf_smoke):
     """JL sketch: the k-dim norm estimate concentrates around the true
     norm — corpus-median ratio within [0.5, 1.5] for k=8 — and the

@@ -454,6 +454,24 @@ def test_vector_compression_plan_shapes(spark, sf_smoke):
     assert "SortMergeJoin" not in plan  # codebooks must never merge-join
 
 
+def test_pq_adc_probe_reads_codes_not_floats(spark, sf_smoke):
+    """similarity_pq_topk's large-side scan is the persisted codes
+    table: every LUT lookup joins a broadcast 80-row table, nothing
+    merge-joins, and the codes scan must not read any float/vector
+    column — reading codes instead of floats is the entire point of
+    the PQ layout."""
+    from google_cloud_ecommerce_spark.operators import similarity
+
+    plan = plan_of(similarity.similarity_pq_topk(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # every scan of the pq codes layout reads only vec_id + code cols
+    for chunk in plan.split("ReadSchema: "):
+        first = chunk.splitlines()[0] if chunk else ""
+        if "code_0" in first:
+            assert "array" not in first and "double" not in first, first
+
+
 def test_text_index_scan_partition_prunes(spark, sf_smoke):
     """The probe must read only the query terms' literal bucket
     partitions — PartitionFilters on the index scan, no full postings

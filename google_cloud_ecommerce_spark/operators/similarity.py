@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from google_cloud_ecommerce_spark.catalog import load_table
+from google_cloud_ecommerce_spark.iterative import iterate
 from google_cloud_ecommerce_spark.operators._common import (
     EMBED_DIM,
     N_PROJECTIONS,
@@ -740,9 +741,11 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
     )
-    for _ in range(KMEANS_ITERS):
-        assigned = _kmeans_assign_step(emb, cents)
-        cents = _kmeans_update_step(assigned)
+    cents = iterate(
+        cents,
+        lambda c, _rnd: _kmeans_update_step(_kmeans_assign_step(emb, c)),
+        KMEANS_ITERS,
+    )
     final = _kmeans_assign_step(emb, cents)
     return final.select(
         "vec_id",
@@ -886,7 +889,7 @@ def _power_iterate(spark: SparkSession, emb: DataFrame) -> DataFrame:
             ) + ")"
         ).alias("x")
     )
-    for _ in range(POWER_ITERS):
+    def one_round(x: DataFrame, _rnd: int) -> DataFrame:
         scored = emb.crossJoin(F.broadcast(x)).withColumn(
             "s", F.expr(dot_expr("v", "x"))
         )
@@ -899,7 +902,7 @@ def _power_iterate(spark: SparkSession, emb: DataFrame) -> DataFrame:
                 .alias("y")
             )
         )
-        x = per_dim.agg(
+        return per_dim.agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(dim, y))), t -> t.y)"
             ).alias("raw")
@@ -908,7 +911,8 @@ def _power_iterate(spark: SparkSession, emb: DataFrame) -> DataFrame:
                 f"transform(raw, e -> e / sqrt({dot_expr('raw', 'raw')}))"
             ).alias("x")
         )
-    return x
+
+    return iterate(x, one_round, POWER_ITERS)
 
 
 def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:

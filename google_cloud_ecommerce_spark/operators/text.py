@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from google_cloud_ecommerce_spark.catalog import load_table
+from google_cloud_ecommerce_spark.iterative import iterate
 from google_cloud_ecommerce_spark.operators._common import (
     FOLD_BASE,
     MERSENNE31,
@@ -760,14 +761,24 @@ _BPE_MERGE_FOLD = (
 
 
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vocab = _bpe_vocab(spark, sf_dir)
-    bests = []
-    for rnd in range(1, BPE_ROUNDS + 1):
+    def one_round(state, rnd):
+        vocab, bests = state
         best = _bpe_best_pair(vocab, rnd)
-        bests.append(best)
-        vocab = vocab.crossJoin(
+        merged = vocab.crossJoin(
             F.broadcast(best.select("ls", "rs", "merged"))
         ).select("word", "wcount", F.expr(_BPE_MERGE_FOLD).alias("syms"))
+        return merged, bests + (best,)
+
+    # composite state (vocab, per-round bests): the lineage guard pins
+    # only the growing vocab — at production round counts (~30k merges)
+    # the unrolled merge-fold lineage is what blows up, and each round's
+    # best-pair plan restarts from the last pinned vocab.
+    _, bests = iterate(
+        (_bpe_vocab(spark, sf_dir), ()),
+        one_round,
+        BPE_ROUNDS,
+        pin=lambda s: (s[0].localCheckpoint(eager=False), s[1]),
+    )
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)

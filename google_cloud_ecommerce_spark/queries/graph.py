@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from google_cloud_ecommerce_spark.catalog import load_table
+from google_cloud_ecommerce_spark.iterative import iterate
 
 N_BUCKETS = 10  # category vocabulary: k % 10, as in conversion_rate
 PR_SCALE = 10**12  # fixed-point scale for integer PageRank
@@ -110,7 +111,7 @@ def pagerank_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.crossJoin(F.broadcast(consts)).select(
         "node", F.col("r0").alias("rank"), "tp"
     )
-    for _ in range(PR_ITERS):
+    def one_round(ranks, _rnd):
         contrib = (
             wedges.join(
                 F.broadcast(ranks), wedges["src"] == ranks["node"]
@@ -122,7 +123,7 @@ def pagerank_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = (
+        return (
             nodes.crossJoin(F.broadcast(consts))
             .join(F.broadcast(contrib), nodes["node"] == contrib["dst"], "left")
             .select(
@@ -136,6 +137,8 @@ def pagerank_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tp",
             )
         )
+
+    ranks = iterate(ranks, one_round, PR_ITERS)
     return ranks.select(
         F.col("node").alias("bucket"),
         F.round(F.col("rank") / F.lit(float(PR_SCALE)), 6).alias("pagerank"),

@@ -78,6 +78,8 @@ HEADLINE = [
     "corpus_to_training_batches",
     "pagerank_categories",
     "pq_encode",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
     "random_projection",
     "scd2_user_state",
     "gopher_gates",

@@ -585,6 +585,42 @@ def build_similarity_index(
         trained.write.mode("overwrite").parquet(str(pq_dir / "codebook"))
         pq_marker.write_text(fp)
     paths["pq"] = str(pq_dir)
+
+    # IVF-PQ (FAISS IVFADC layout): cell-partitioned RESIDUAL codes —
+    # the probe prunes to N_PROBE cells, then scans M-byte codes.
+    ivfpq_dir = _index_dir(sf_dir, "ivfpq")
+    ivfpq_marker = ivfpq_dir / "_SOURCE"
+    if force or not ivfpq_marker.exists() or ivfpq_marker.read_text() != fp:
+        assigned = _assigned(spark, sf_dir).filter(F.col("c_rank") == 1)
+        cents = (
+            _emb(spark, sf_dir)
+            .filter((F.col("vec_id") >= CENTROID_LO) & (F.col("vec_id") < CENTROID_HI))
+            .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        )
+        resid = assigned.join(F.broadcast(cents), "c_id").select(
+            "vec_id",
+            F.col("c_id").alias("cell"),
+            F.expr("zip_with(v, cv, (a, b) -> a - b)").alias("v"),
+        )
+        sub = _pq_subvecs(resid.select("vec_id", "v")).localCheckpoint(eager=False)
+        seeds = sub.filter(F.col("vec_id") < PQ_K).select(
+            "m", F.col("vec_id").alias("c_id"), F.col("sv").alias("cv")
+        )
+        trained = _pq_update_step(_pq_assign_step(sub, seeds))
+        final = _pq_assign_step(sub, trained)
+        codes = final.groupBy("vec_id").agg(
+            *[
+                F.max(F.when(F.col("m") == i, F.col("c_id"))).alias(f"code_{i}")
+                for i in range(PQ_M)
+            ]
+        )
+        codes = codes.join(resid.select("vec_id", "cell"), "vec_id")
+        codes.write.mode("overwrite").partitionBy("cell").parquet(
+            str(ivfpq_dir / "codes")
+        )
+        trained.write.mode("overwrite").parquet(str(ivfpq_dir / "codebook"))
+        ivfpq_marker.write_text(fp)
+    paths["ivfpq"] = str(ivfpq_dir)
     return paths
 
 
@@ -1102,16 +1138,16 @@ def _pq_assign_cte(src_c: str, n: int) -> str:
         )"""
 
 
-def _pq_common_ctes() -> str:
-    """Shared oracle CTE chain: subvectors -> seed codebook -> one
-    Lloyd round -> trained codebook c1 -> final assignment m2 (every
-    vector's per-subspace code). Used by pq_encode and the ADC probe."""
-    return f"""e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ), sub AS (
+def _pq_common_ctes(src: str = "e") -> str:
+    """Shared oracle CTE chain over ``src`` (vec_id, v DOUBLE[]):
+    subvectors -> seed codebook -> one Lloyd round -> trained codebook
+    c1 -> final assignment m2 (every vector's per-subspace code). Used
+    by pq_encode, the ADC probe, and the IVF-PQ residual encoder (which
+    passes its residual CTE as src)."""
+    return f"""sub AS (
             SELECT vec_id, m,
                    list_slice(v, m * {PQ_SUB_DIM} + 1, (m + 1) * {PQ_SUB_DIM}) AS sv
-            FROM e, unnest(range(0, {PQ_M})) t(m)
+            FROM {src}, unnest(range(0, {PQ_M})) t(m)
         ), c0 AS (
             SELECT m, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < {PQ_K}
         ), {_pq_assign_cte('c0', 1)}, u1 AS (
@@ -1125,9 +1161,14 @@ def _pq_common_ctes() -> str:
         ), {_pq_assign_cte('c1', 2)}"""
 
 
+_PQ_E_CTE = """e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )"""
+
+
 def _pq_encode_sql() -> str:
     return f"""
-        WITH {_pq_common_ctes()}
+        WITH {_PQ_E_CTE}, {_pq_common_ctes()}
         SELECT vec_id,
                array_to_string(list(c_id ORDER BY m), ',') AS codes,
                ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1213,7 +1254,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _similarity_pq_topk_sql() -> str:
     return f"""
-        WITH {_pq_common_ctes()}, q AS (
+        WITH {_PQ_E_CTE}, {_pq_common_ctes()}, q AS (
             SELECT vec_id AS q_id, m, sv AS qsv
             FROM sub WHERE vec_id < {N_QUERY_VECS}
         ), lut AS (
@@ -1239,6 +1280,168 @@ def _similarity_pq_topk_sql() -> str:
 
 QUERIES["similarity_pq_topk"] = similarity_pq_topk
 ORACLE["similarity_pq_topk"] = _similarity_pq_topk_sql()
+
+
+# ---------------------------------------------------------------------------
+# similarity_ivfpq_topk — IVFADC (Jégou et al., PAMI 2011 §V; the
+# FAISS IVF+PQ default): the persisted layout partitions the corpus by
+# IVF cell and stores, per vector, the PQ codes of its RESIDUAL
+# (v - cell_centroid) under one shared residual codebook. A query
+# probes its N_PROBE nearest cells; per probed cell it forms the query
+# residual rq = q - centroid, builds the tiny rq-to-codebook LUT
+# (N_Q * N_PROBE * M * K = 320 rows, broadcast), and approximates
+# ||q - x||^2 = ||rq - rx||^2 by M LUT lookups over the codes scan.
+#
+# Scale posture: the scan is pruned to N_PROBE/N_CENTROIDS of the
+# corpus by the cell partition key AND reads only M small ints per
+# vector — the two pruning axes (IVF rows, PQ bytes) compose, which is
+# why this is the standard disk-scale ANN layout. Everything joined
+# against the scan is broadcast.
+#
+# Determinism: residual subtraction, sqdist folds and the ordered ADC
+# sum are pure +-* (IEEE-exact both engines); codebook training uses
+# the same DECIMAL-accumulation Lloyd round as pq_encode, unrolled in
+# the oracle over the residual CTE.
+# ---------------------------------------------------------------------------
+
+
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paths = build_similarity_index(spark, sf_dir)
+    idx = spark.read.parquet(str(_Path(paths["ivfpq"]) / "codes"))
+    codebook = spark.read.parquet(str(_Path(paths["ivfpq"]) / "codebook"))
+    cents = (
+        _emb(spark, sf_dir)
+        .filter((F.col("vec_id") >= CENTROID_LO) & (F.col("vec_id") < CENTROID_HI))
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    )
+    probes = (
+        _assigned(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("c_id").alias("probe_cell"),
+        )
+    )
+    qresid = probes.join(
+        F.broadcast(cents), probes["probe_cell"] == cents["c_id"]
+    ).select("q_id", "probe_cell", F.expr("zip_with(qv, cv, (a, b) -> a - b)").alias("rq"))
+    qsub = qresid.select(
+        "q_id",
+        "probe_cell",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> struct(m AS m, slice(rq, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("q_id", "probe_cell", F.col("s.m").alias("m"), F.col("s.sv").alias("qsv"))
+    lut = (
+        qsub.join(F.broadcast(codebook), "m")
+        .withColumn("d", F.expr(_sqdist_expr("qsv", "cv")))
+        .select("q_id", "probe_cell", "m", "c_id", "d")
+    )
+    scored = idx
+    for i in range(PQ_M):
+        lut_i = lut.filter(F.col("m") == i).select(
+            F.col("q_id").alias(f"q{i}"),
+            F.col("probe_cell").alias(f"pc{i}"),
+            F.col("c_id").alias(f"c{i}"),
+            F.col("d").alias(f"d{i}"),
+        )
+        cond = F.col(f"code_{i}") == lut_i[f"c{i}"]
+        if i == 0:
+            cond = cond & (F.col("cell") == lut_i["pc0"])
+        else:
+            cond = (
+                cond
+                & (F.col("q0") == lut_i[f"q{i}"])
+                & (F.col("pc0") == lut_i[f"pc{i}"])
+            )
+        scored = scored.join(F.broadcast(lut_i), cond)
+    adc = F.col("d0")
+    for i in range(1, PQ_M):
+        adc = adc + F.col(f"d{i}")
+    scored = (
+        scored.withColumn("adc", adc)
+        .filter(F.col("vec_id") != F.col("q0"))
+        .select(F.col("q0").alias("q_id"), "vec_id", "adc")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("adc", 4).alias("adc_sq_dist"),
+        )
+    )
+
+
+def _similarity_ivfpq_topk_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        ), cents AS (
+            SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n
+            WHERE vec_id >= {CENTROID_LO} AND vec_id < {CENTROID_HI}
+        ), assigned AS (
+            SELECT n.vec_id, n.v, n.norm, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {dot_sql('n.v', 'c.cv')} / (n.norm * c.cnorm) DESC, c.c_id
+                   ) AS c_rank
+            FROM n CROSS JOIN cents c
+        ), resid AS (
+            SELECT a.vec_id, a.c_id AS cell,
+                   list_transform(range(1, {EMBED_DIM + 1}),
+                                  i -> a.v[i] - ct.cv[i]) AS v
+            FROM assigned a JOIN cents ct ON ct.c_id = a.c_id
+            WHERE a.c_rank = 1
+        ), {_pq_common_ctes('resid')}, probes AS (
+            SELECT vec_id AS q_id, v AS qv, c_id AS probe_cell
+            FROM assigned WHERE vec_id < {N_QUERY_VECS} AND c_rank <= {N_PROBE}
+        ), qresid AS (
+            SELECT p.q_id, p.probe_cell,
+                   list_transform(range(1, {EMBED_DIM + 1}),
+                                  i -> p.qv[i] - ct.cv[i]) AS rq
+            FROM probes p JOIN cents ct ON ct.c_id = p.probe_cell
+        ), qsub AS (
+            SELECT q_id, probe_cell, m,
+                   list_slice(rq, m * {PQ_SUB_DIM} + 1, (m + 1) * {PQ_SUB_DIM}) AS qsv
+            FROM qresid, unnest(range(0, {PQ_M})) t(m)
+        ), lut AS (
+            SELECT q.q_id, q.probe_cell, c.m, c.c_id,
+                   {_sqdist_sql('q.qsv', 'c.cv', PQ_SUB_DIM)} AS d
+            FROM qsub q JOIN c1 c ON c.m = q.m
+        ), vcell AS (
+            SELECT vec_id, cell FROM resid
+        ), scored AS (
+            SELECT l.q_id, v.vec_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(l.d ORDER BY l.m)), (acc, x) -> acc + x) AS adc
+            FROM m2 v
+            JOIN vcell vc ON vc.vec_id = v.vec_id
+            JOIN lut l ON l.probe_cell = vc.cell
+                      AND l.m = v.m AND l.c_id = v.c_id
+            WHERE v.vec_id != l.q_id
+            GROUP BY 1, 2
+        )
+        SELECT q_id, vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank,
+               ROUND(adc, 4) AS adc_sq_dist
+        FROM scored
+        QUALIFY rank <= {TOP_K}
+    """
+
+
+QUERIES["similarity_ivfpq_topk"] = similarity_ivfpq_topk
+ORACLE["similarity_ivfpq_topk"] = _similarity_ivfpq_topk_sql()
 
 
 # ---------------------------------------------------------------------------

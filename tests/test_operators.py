@@ -483,6 +483,46 @@ def test_similarity_pq_topk_structure(spark, sf_smoke):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_similarity_ivfpq_matches_pq_recall_shape(spark, sf_smoke):
+    """IVFADC structure: contiguous ranks per query, residual-ADC
+    distances non-negative and non-decreasing, and candidates only from
+    the query's probed cells (checked against the IVF assignment)."""
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        N_PROBE,
+        N_QUERY_VECS,
+        _assigned,
+        similarity_ivfpq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    rows = similarity_ivfpq_topk(spark, sf_smoke).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.neighbor_id != r.q_id and r.adc_sq_dist >= 0.0
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) <= set(range(N_QUERY_VECS))
+    assigned = _assigned(spark, sf_smoke)
+    probe_cells = {
+        r.vec_id: set()
+        for r in assigned.filter(F.col("vec_id") < N_QUERY_VECS).collect()
+    }
+    for r in assigned.filter(F.col("vec_id") < N_QUERY_VECS).collect():
+        probe_cells[r.vec_id].add(r.c_id)
+    home_cell = {
+        r.vec_id: r.c_id
+        for r in assigned.filter(F.col("c_rank") == 1).collect()
+    }
+    for q_id, group in by_q.items():
+        assert len(probe_cells[q_id]) <= N_PROBE
+        group.sort(key=lambda r: r.rank)
+        assert [r.rank for r in group] == list(range(1, len(group) + 1))
+        dists = [r.adc_sq_dist for r in group]
+        assert dists == sorted(dists)
+        for r in group:
+            assert home_cell[r.neighbor_id] in probe_cells[q_id]
+
+
 def test_random_projection_distance_preservation(spark, sf_smoke):
     """JL sketch: the k-dim norm estimate concentrates around the true
     norm — corpus-median ratio within [0.5, 1.5] for k=8 — and the

@@ -472,6 +472,26 @@ def test_pq_adc_probe_reads_codes_not_floats(spark, sf_smoke):
             assert "array" not in first and "double" not in first, first
 
 
+def test_ivfpq_probe_prunes_cells_and_reads_codes_only(spark, sf_smoke):
+    """IVFADC composes both pruning axes: the codes scan must carry the
+    dynamic cell-partition filter (touch N_PROBE/16 of the corpus) AND
+    read only the code columns (M ints, never floats); every LUT join
+    broadcasts."""
+    from google_cloud_ecommerce_spark.operators import similarity
+
+    plan = plan_of(similarity.similarity_ivfpq_topk(spark, sf_smoke))
+    assert "dynamicpruningexpression" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    saw_codes_scan = False
+    for chunk in plan.split("ReadSchema: "):
+        first = chunk.splitlines()[0] if chunk else ""
+        if "code_0" in first:
+            saw_codes_scan = True
+            assert "array" not in first and "double" not in first, first
+    assert saw_codes_scan
+
+
 def test_text_index_scan_partition_prunes(spark, sf_smoke):
     """The probe must read only the query terms' literal bucket
     partitions — PartitionFilters on the index scan, no full postings

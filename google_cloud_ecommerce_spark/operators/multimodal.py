@@ -2,12 +2,16 @@
 metadata, processed by Arrow-batched Pandas functions over
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked deterministic stub (``_fake_decode``); everything
-Spark-side — schema, binary payload handling, batch iteration, the UDF
-signature and output shape — is real and tested. Swapping the stub for
-a real decoder (PIL/torchaudio/ffmpeg) changes one function body and
-nothing in the plan.
+The container has no codec *libraries*, but WAV/PCM and BMP need none:
+every decode path here parses REAL standard file formats (RIFF/WAVE
+chunk walking, BMP headers + padded bottom-up BGR rows) with stdlib
+struct + numpy in executors. Payloads are synthesized deterministically
+per document, so each operator carries a FULL analytical oracle —
+DuckDB recomputes the expected statistics in closed form. A production
+pipeline swaps the synthesizer for real stored bytes and (for formats
+that genuinely need codecs, e.g. JPEG/H.264) the parser body for
+PIL/ffmpeg — the Spark plumbing (schema, Arrow batching, mapInPandas
+row fan-out, partitioning) is unchanged.
 
 Scale posture: payloads stay in executors end-to-end (no collect);
 ``mapInPandas`` streams Arrow batches, so peak memory is one batch of
@@ -27,12 +31,6 @@ from pyspark.sql import functions as F
 from google_cloud_ecommerce_spark.catalog import load_table
 
 CHUNK_BYTES = 256
-
-FEATURE_SCHEMA = (
-    "doc_id bigint, media_type string, n_bytes bigint, "
-    "width int, height int, mean_intensity double"
-)
-
 
 def media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed manifest over binary payloads (here: utf-8 text bytes as the
@@ -56,48 +54,6 @@ MEDIA_MANIFEST_SQL = f"""
            CAST(ceil(octet_length(encode(text)) / {CHUNK_BYTES}.0) AS BIGINT) AS n_chunks
     FROM documents
 """
-
-
-def _fake_decode(payload: bytes) -> tuple[int, int, float]:
-    """STUB decoder — deterministic fake in place of a real media codec.
-
-    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
-    this derives (width, height, mean_intensity) from the byte content so
-    the pipeline shape and determinism are testable without codecs.
-    """
-    n = len(payload)
-    width = 16 + n % 64
-    height = 16 + (n // 64) % 64
-    mean_intensity = round(sum(payload[:256]) / max(min(n, 256), 1) / 255.0, 6)
-    return width, height, mean_intensity
-
-
-def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload -> decoded feature rows via mapInPandas.
-
-    The Arrow batch iterator is the real plumbing a media pipeline needs;
-    only ``_fake_decode`` is a stand-in. No oracle (Python-side decode is
-    not SQL-expressible) — driver records the rows-only check.
-    """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": "text/plain",
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "mean_intensity": [d[2] for d in decoded],
-                }
-            )
-
-    return docs.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
 def media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,64 +95,14 @@ MEDIA_CHUNKS_SQL = f"""
 """
 
 
-FRAME_BYTES = 64
-FRAME_STRIDE = 4  # keep every 4th frame
-THUMB_W, THUMB_H = 8, 8
-
-FRAME_SAMPLE_SCHEMA = (
-    "doc_id bigint, frame_index bigint, frame_bytes bigint, "
-    "thumb_width int, thumb_height int, frame_intensity double"
-)
-
-
-def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample + resize, the video-pipeline shape: payload ->
-    fixed-size frames -> keep every FRAME_STRIDE-th -> per-frame decode +
-    thumbnail resize (STUB: deterministic byte stats in place of a real
-    codec; a real impl swaps the two marked lines for ffmpeg/PIL calls).
-
-    One output row per SAMPLED frame — mapInPandas may emit more rows
-    than its input, which is exactly what distinguishes it from a scalar
-    pandas_udf. No oracle (Python decode); rows-only check + unit tests.
-    """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-
-    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {k: [] for k in (
-                "doc_id", "frame_index", "frame_bytes",
-                "thumb_width", "thumb_height", "frame_intensity",
-            )}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
-                for i in range(0, max(len(raw), 1), FRAME_BYTES * FRAME_STRIDE):
-                    frame = raw[i : i + FRAME_BYTES]  # STUB: real codec reads a frame here
-                    intensity = round(sum(frame) / max(len(frame), 1) / 255.0, 6)  # STUB resize
-                    out["doc_id"].append(doc_id)
-                    out["frame_index"].append(i // FRAME_BYTES)
-                    out["frame_bytes"].append(len(frame))
-                    out["thumb_width"].append(THUMB_W)
-                    out["thumb_height"].append(THUMB_H)
-                    out["frame_intensity"].append(intensity)
-            yield pd.DataFrame(out)
-
-    return docs.mapInPandas(sample_batches, FRAME_SAMPLE_SCHEMA)
-
-
 QUERIES = {
     "media_manifest": media_manifest,
-    "media_features": media_features,
     "media_chunks": media_chunks,
-    "media_frame_sample": media_frame_sample,
 }
 
 ORACLE = {
     "media_manifest": MEDIA_MANIFEST_SQL,
     "media_chunks": MEDIA_CHUNKS_SQL,
-    # media_features / media_frame_sample: intentionally no oracle —
-    # Python decode stubs (driver records the rows-only check).
 }
 
 
@@ -402,6 +308,152 @@ QUERIES["media_wav_decode"] = media_wav_decode
 QUERIES["media_bmp_decode"] = media_bmp_decode
 ORACLE["media_wav_decode"] = MEDIA_WAV_DECODE_SQL
 ORACLE["media_bmp_decode"] = MEDIA_BMP_DECODE_SQL
+
+
+# ---------------------------------------------------------------------------
+# media_features — REAL audio feature extraction (replaces the round-1
+# _fake_decode stub): each document's synthesized RIFF/WAVE payload is
+# parsed by the real chunk walker, then zero-crossing count, peak
+# amplitude and mean absolute amplitude are computed from the decoded
+# PCM samples — the waveform statistics a speech/music pipeline
+# gates on. All sums are integer (no float accumulation), so the
+# closed-form oracle matches bit-for-bit; the ZCR is defined as strict
+# sign products (v[i] * v[i-1] < 0) in both engines.
+#
+# media_frame_sample — REAL windowed frame sampling: decoded samples
+# split into fixed 64-sample frames, keep every FRAME_STRIDE-th frame,
+# per-frame RMS (integer sum of squares, one sqrt). One output row per
+# SAMPLED frame — mapInPandas emits more rows than its input, which is
+# what distinguishes it from a scalar pandas_udf. Closed-form oracle
+# over (doc_id, frame_index).
+#
+# Scale posture (both): payloads never leave executors, Arrow batches
+# bound peak memory to one batch per core, and output is pure map-side
+# fan-out — no shuffle until whatever aggregation a caller adds.
+# ---------------------------------------------------------------------------
+
+FRAME_SAMPLES = 64  # samples per frame
+FRAME_STRIDE = 4  # keep every 4th frame
+
+WAV_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, zero_crossings bigint, "
+    "peak_abs bigint, mean_abs double"
+)
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_index bigint, n_samples bigint, frame_rms double"
+)
+
+
+def wav_data(payload: bytes) -> "np.ndarray":
+    """Real RIFF/WAVE chunk walker returning the PCM samples."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            return np.frombuffer(payload[pos + 8 : pos + 8 + size], dtype="<i2")
+        pos += 8 + size + (size % 2)
+    raise ValueError("missing data chunk")
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                s = wav_data(encode_wav(_wav_samples(doc_id, n_chars))).astype(
+                    np.int64
+                )
+                n = len(s)
+                zc = int(((s[1:] * s[:-1]) < 0).sum()) if n > 1 else 0
+                peak = int(np.abs(s).max()) if n else 0
+                mean_abs = float(int(np.abs(s).sum())) / n if n else 0.0
+                rows.append((doc_id, n, zc, peak, mean_abs))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "zero_crossings", "peak_abs", "mean_abs",
+                ],
+            )
+
+    return docs.mapInPandas(run, WAV_FEATURES_SCHEMA)
+
+
+MEDIA_FEATURES_SQL = f"""
+    WITH s AS (
+        SELECT doc_id,
+               unnest(range(0, 4 * least(n_chars, {WAV_MAX_CHARS}))) AS i
+        FROM documents
+    ), x AS (
+        SELECT doc_id, i, ((doc_id * 31 + 37 * i) % 65536 - 32768) AS v FROM s
+    ), lagged AS (
+        SELECT doc_id, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM x
+    )
+    SELECT doc_id, count(*) AS n_samples,
+           CAST(COALESCE(SUM(CASE WHEN v * pv < 0 THEN 1 END), 0) AS BIGINT)
+               AS zero_crossings,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+           CAST(CAST(SUM(abs(v)) AS BIGINT) AS DOUBLE) / count(*) AS mean_abs
+    FROM lagged GROUP BY 1
+"""
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_index": [], "n_samples": [], "frame_rms": [],
+            }
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                s = wav_data(encode_wav(_wav_samples(doc_id, n_chars))).astype(
+                    np.int64
+                )
+                for start in range(0, len(s), FRAME_SAMPLES * FRAME_STRIDE):
+                    frame = s[start : start + FRAME_SAMPLES]
+                    ssq = int((frame ** 2).sum())
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(start // FRAME_SAMPLES)
+                    out["n_samples"].append(len(frame))
+                    out["frame_rms"].append(
+                        float(np.sqrt(float(ssq) / len(frame)))
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+MEDIA_FRAME_SAMPLE_SQL = f"""
+    WITH s AS (
+        SELECT doc_id,
+               unnest(range(0, 4 * least(n_chars, {WAV_MAX_CHARS}))) AS i
+        FROM documents
+    ), x AS (
+        SELECT doc_id, i // {FRAME_SAMPLES} AS frame_index,
+               ((doc_id * 31 + 37 * i) % 65536 - 32768) AS v
+        FROM s
+    )
+    SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index,
+           count(*) AS n_samples,
+           sqrt(CAST(CAST(SUM(v * v) AS BIGINT) AS DOUBLE) / count(*))
+               AS frame_rms
+    FROM x
+    WHERE frame_index % {FRAME_STRIDE} = 0
+    GROUP BY 1, 2
+"""
+
+
+QUERIES["media_features"] = media_features
+QUERIES["media_frame_sample"] = media_frame_sample
+ORACLE["media_features"] = MEDIA_FEATURES_SQL
+ORACLE["media_frame_sample"] = MEDIA_FRAME_SAMPLE_SQL
 
 
 # ---------------------------------------------------------------------------

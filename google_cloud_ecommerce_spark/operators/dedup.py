@@ -1007,3 +1007,100 @@ def _dedup_prefix_filter_sql() -> str:
 
 QUERIES["dedup_prefix_filter"] = dedup_prefix_filter
 ORACLE["dedup_prefix_filter"] = _dedup_prefix_filter_sql()
+
+
+# ---------------------------------------------------------------------------
+# semdedup_clusters — semantic deduplication via cluster-then-pairwise
+# (SemDeDup, Abbas et al. 2023): k-means-cluster the embeddings, then
+# compute pairwise cosines ONLY within each cluster and flag pairs
+# above the duplicate threshold (keeper = lower vec_id — same policy
+# as the other dedup families). This is the published scale recipe for
+# embedding-level dedup of web-scale corpora: the quadratic term drops
+# from n^2 to sum over clusters of (n/k)^2, and k is the scale knob
+# (SemDeDup uses k = 11k clusters for LAION-scale data).
+#
+# Relation to the neighbors in this module: dedup_embedding_cosine
+# prunes candidates by sign-LSH bands (recall < 1 per band budget);
+# this one prunes by learned cluster locality — both avoid the all-
+# pairs scan, and the cluster variant doubles as the map of WHERE the
+# near-duplicate mass lives (cluster_id is in the output).
+#
+# Scale posture: centroid training is the same broadcast-assign /
+# decimal-exact-update rounds as kmeans_assign (corpus never shuffles
+# for assignment); the pairwise stage shuffles once on cluster_id and
+# is cluster-bounded quadratic. Determinism: assignment ties break to
+# the lower centroid id; cosine is sqrt/dot (IEEE-exact); the
+# threshold compares the ROUNDED cosine in both engines.
+# ---------------------------------------------------------------------------
+
+
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.iterative import iterate
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _emb,
+        _kmeans_assign_step,
+        _kmeans_update_step,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    cents = iterate(
+        cents,
+        lambda c, _rnd: _kmeans_update_step(_kmeans_assign_step(emb, c)),
+        KMEANS_ITERS,
+    )
+    assigned = (
+        _kmeans_assign_step(emb, cents)
+        .select("vec_id", "v", F.col("c_id").alias("cluster_id"))
+        .withColumn("norm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("a.vec_id").alias("keep_vec_id"),
+            F.col("b.vec_id").alias("drop_vec_id"),
+            F.round(
+                F.expr(f"{dot_expr('a.v', 'b.v')}")
+                / (F.col("a.norm") * F.col("b.norm")),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def _semdedup_clusters_sql() -> str:
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        _kmeans_chain_ctes,
+        dot_sql,
+    )
+
+    return f"""
+        WITH {_kmeans_chain_ctes()}, n2 AS (
+            SELECT vec_id, v, c_id AS cluster_id,
+                   sqrt({dot_sql('v', 'v')}) AS norm
+            FROM m3
+        ), pairs AS (
+            SELECT a.cluster_id, a.vec_id AS keep_vec_id,
+                   b.vec_id AS drop_vec_id,
+                   ROUND({dot_sql('a.v', 'b.v')} / (a.norm * b.norm), 4)
+                       AS cosine
+            FROM n2 a JOIN n2 b
+              ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id
+        )
+        SELECT * FROM pairs WHERE cosine >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+QUERIES["semdedup_clusters"] = semdedup_clusters
+ORACLE["semdedup_clusters"] = _semdedup_clusters_sql()

@@ -790,9 +790,8 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_assign_sql() -> str:
-    def assign(src_e: str, src_c: str, n: int) -> str:
-        return f"""a{n} AS (
+def _kmeans_assign_cte(src_e: str, src_c: str, n: int) -> str:
+    return f"""a{n} AS (
             SELECT e.vec_id, e.v, c.c_id,
                    {_sqdist_sql('e.v', 'c.cv')} AS sq_dist,
                    row_number() OVER (
@@ -804,8 +803,9 @@ def _kmeans_assign_sql() -> str:
             SELECT vec_id, v, c_id, sq_dist FROM a{n} WHERE rk = 1
         )"""
 
-    def update(src_m: str, n: int) -> str:
-        return f"""u{n} AS (
+
+def _kmeans_update_cte(src_m: str, n: int) -> str:
+    return f"""u{n} AS (
             SELECT c_id, i AS dim,
                    CAST(SUM(CAST(ROUND(v[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
                        / count(*) AS comp
@@ -815,14 +815,22 @@ def _kmeans_assign_sql() -> str:
             SELECT c_id, list(comp ORDER BY dim) AS cv FROM u{n} GROUP BY 1
         )"""
 
-    return f"""
-        WITH e AS (
+
+def _kmeans_chain_ctes() -> str:
+    """Oracle CTE chain to the final assignment m3 (vec_id, v, c_id,
+    sq_dist). Shared by kmeans_assign and the SemDeDup operator."""
+    return f"""e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ), c0 AS (
             SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {KMEANS_K}
-        ), {assign('e', 'c0', 1)}, {update('m1', 1)},
-        {assign('e', 'c1', 2)}, {update('m2', 2)},
-        {assign('e', 'c2', 3)}
+        ), {_kmeans_assign_cte('e', 'c0', 1)}, {_kmeans_update_cte('m1', 1)},
+        {_kmeans_assign_cte('e', 'c1', 2)}, {_kmeans_update_cte('m2', 2)},
+        {_kmeans_assign_cte('e', 'c2', 3)}"""
+
+
+def _kmeans_assign_sql() -> str:
+    return f"""
+        WITH {_kmeans_chain_ctes()}
         SELECT vec_id, c_id AS cluster_id, ROUND(sq_dist, 4) AS sq_dist FROM m3
     """
 

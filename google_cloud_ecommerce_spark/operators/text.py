@@ -760,22 +760,25 @@ _BPE_MERGE_FOLD = (
 )
 
 
-def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def one_round(state, rnd):
-        vocab, bests = state
-        best = _bpe_best_pair(vocab, rnd)
-        merged = vocab.crossJoin(
-            F.broadcast(best.select("ls", "rs", "merged"))
-        ).select("word", "wcount", F.expr(_BPE_MERGE_FOLD).alias("syms"))
-        return merged, bests + (best,)
+def _bpe_one_round(state, rnd):
+    """One BPE training round over composite state (vocab, bests):
+    argmax adjacent pair -> broadcast 1-row merge -> map-side fold."""
+    vocab, bests = state
+    best = _bpe_best_pair(vocab, rnd)
+    merged = vocab.crossJoin(
+        F.broadcast(best.select("ls", "rs", "merged"))
+    ).select("word", "wcount", F.expr(_BPE_MERGE_FOLD).alias("syms"))
+    return merged, bests + (best,)
 
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composite state (vocab, per-round bests): the lineage guard pins
     # only the growing vocab — at production round counts (~30k merges)
     # the unrolled merge-fold lineage is what blows up, and each round's
     # best-pair plan restarts from the last pinned vocab.
     _, bests = iterate(
         (_bpe_vocab(spark, sf_dir), ()),
-        one_round,
+        _bpe_one_round,
         BPE_ROUNDS,
         pin=lambda s: (s[0].localCheckpoint(eager=False), s[1]),
     )
@@ -791,17 +794,17 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_merges_sql() -> str:
-    fold = (
-        "list_reduce(list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])), "
-        "(acc, x) -> CASE WHEN len(acc) = 0 THEN list_append(acc, x[1]) "
-        "WHEN acc[-1] = b.ls AND x[1] = b.rs "
-        "THEN list_append(acc[:-2], b.merged) "
-        "ELSE list_append(acc, x[1]) END)"
-    )
+_BPE_SQL_FOLD = (
+    "list_reduce(list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])), "
+    "(acc, x) -> CASE WHEN len(acc) = 0 THEN list_append(acc, x[1]) "
+    "WHEN acc[-1] = b.ls AND x[1] = b.rs "
+    "THEN list_append(acc[:-2], b.merged) "
+    "ELSE list_append(acc, x[1]) END)"
+)
 
-    def pair_cte(src: str, n: int) -> str:
-        return f"""p{n} AS (
+
+def _bpe_pair_cte(src: str, n: int) -> str:
+    return f"""p{n} AS (
             SELECT pr[1] AS ls, pr[2] AS rs, CAST(SUM(wcount) AS BIGINT) AS pair_count
             FROM (
                 SELECT wcount,
@@ -815,14 +818,15 @@ def _bpe_merges_sql() -> str:
             FROM p{n} ORDER BY pair_count DESC, ls, rs LIMIT 1
         )"""
 
-    def merge_cte(src: str, n: int) -> str:
-        return f"""v{n} AS (
-            SELECT word, wcount, {fold} AS syms
+
+def _bpe_merge_cte(src: str, n: int) -> str:
+    return f"""v{n} AS (
+            SELECT word, wcount, {_BPE_SQL_FOLD} AS syms
             FROM {src}, b{n} b
         )"""
 
-    ctes = [
-        f"""v0 AS (
+
+_BPE_V0_CTE = f"""v0 AS (
             SELECT word, count(*) AS wcount,
                    list_transform(range(1, length(word) + 1),
                                   i -> substr(word, i, 1)) AS syms
@@ -830,11 +834,14 @@ def _bpe_merges_sql() -> str:
                 SELECT unnest({tokens_sql('lower(text)')}) AS word FROM documents
             ) w GROUP BY 1
         )"""
-    ]
+
+
+def _bpe_merges_sql() -> str:
+    ctes = [_BPE_V0_CTE]
     for n in range(1, BPE_ROUNDS + 1):
-        ctes.append(pair_cte(f"v{n - 1}", n))
+        ctes.append(_bpe_pair_cte(f"v{n - 1}", n))
         if n < BPE_ROUNDS:
-            ctes.append(merge_cte(f"v{n - 1}", n))
+            ctes.append(_bpe_merge_cte(f"v{n - 1}", n))
     selects = " UNION ALL ".join(
         f"SELECT round, ls AS left_sym, rs AS right_sym, merged, pair_count FROM b{n}"
         for n in range(1, BPE_ROUNDS + 1)
@@ -844,6 +851,84 @@ def _bpe_merges_sql() -> str:
 
 QUERIES["bpe_merges"] = bpe_merges
 ORACLE["bpe_merges"] = _bpe_merges_sql()
+
+
+# ---------------------------------------------------------------------------
+# bpe_tokenize — APPLY the trained merges (the other half of the
+# tokenizer loop bpe_merges trains): run the same BPE_ROUNDS rounds to
+# obtain the fully-merged word vocabulary, then tokenize the corpus by
+# joining each document's words against it. Output is the per-document
+# token accounting an LLM data pipeline actually consumes: token count,
+# tokenized chars, and the chars-per-token compression ratio.
+#
+# Scale posture: merges apply over the VOCABULARY (distinct words),
+# never the corpus — the corpus is touched twice (once to build word
+# counts, once to join doc words to the merged vocab on the word key).
+# The join shuffles on `word`; at production scale the merged vocab is
+# the small side and broadcastable. compression = integer / integer in
+# DOUBLE — bit-exact in both engines.
+# ---------------------------------------------------------------------------
+
+
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.iterative import iterate
+
+    vocab, _ = iterate(
+        (_bpe_vocab(spark, sf_dir), ()),
+        _bpe_one_round,
+        BPE_ROUNDS,
+        pin=lambda s: (s[0].localCheckpoint(eager=False), s[1]),
+    )
+    doc_words = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(tokens_expr("lower(text)"))).alias("word")
+    )
+    word_stats = vocab.select(
+        "word",
+        F.expr("size(syms)").cast("long").alias("word_tokens"),
+        F.length("word").cast("long").alias("word_chars"),
+    )
+    return (
+        doc_words.join(word_stats, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("word_tokens").cast("long").alias("n_tokens"),
+            F.sum("word_chars").cast("long").alias("n_chars_tokenized"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            "n_chars_tokenized",
+            (F.col("n_chars_tokenized").cast("double") / F.col("n_tokens")).alias(
+                "compression"
+            ),
+        )
+    )
+
+
+def _bpe_tokenize_sql() -> str:
+    ctes = [_BPE_V0_CTE]
+    for n in range(1, BPE_ROUNDS + 1):
+        ctes.append(_bpe_pair_cte(f"v{n - 1}", n))
+        ctes.append(_bpe_merge_cte(f"v{n - 1}", n))
+    body = f"""dw AS (
+            SELECT doc_id, unnest({tokens_sql('lower(text)')}) AS word
+            FROM documents
+        )
+        SELECT d.doc_id,
+               count(*) AS n_words,
+               CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(v.word)) AS BIGINT) AS n_chars_tokenized,
+               CAST(CAST(SUM(length(v.word)) AS BIGINT) AS DOUBLE)
+                   / CAST(SUM(len(v.syms)) AS BIGINT) AS compression
+        FROM dw d JOIN v{BPE_ROUNDS} v ON v.word = d.word
+        GROUP BY 1"""
+    return "WITH " + ", ".join(ctes) + ", " + body
+
+
+QUERIES["bpe_tokenize"] = bpe_tokenize
+ORACLE["bpe_tokenize"] = _bpe_tokenize_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -617,3 +617,45 @@ def test_prefix_filter_finds_crafted_near_dup(spark, tmp_path):
     # 38 shingles each; only the final shingle covers the changed last
     # word -> 37 shared, union 39
     assert abs(pairs[(1, 2)] - 37 / 39) < 1e-6
+
+
+def test_semdedup_cluster_locality_and_threshold(spark, sf_smoke):
+    """SemDeDup pairs: keeper is the lower id, rounded cosine meets the
+    threshold, and both members share the reported k-means cluster."""
+    from google_cloud_ecommerce_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        semdedup_clusters,
+    )
+    from google_cloud_ecommerce_spark.operators.similarity import kmeans_assign
+
+    rows = semdedup_clusters(spark, sf_smoke).collect()
+    cluster_of = {
+        r.vec_id: r.cluster_id for r in kmeans_assign(spark, sf_smoke).collect()
+    }
+    for r in rows:
+        assert r.keep_vec_id < r.drop_vec_id
+        assert r.cosine >= COSINE_DUP_THRESHOLD
+        assert cluster_of[r.keep_vec_id] == r.cluster_id
+        assert cluster_of[r.drop_vec_id] == r.cluster_id
+
+
+def test_bpe_tokenize_conservation(spark, sf_smoke):
+    """Token accounting: every document appears, 1 <= tokens <= chars
+    per word (merges only shrink), corpus word counts conserved, and
+    compression = chars/tokens exactly."""
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.operators._common import tokens_expr
+    from google_cloud_ecommerce_spark.operators.text import bpe_tokenize
+
+    rows = bpe_tokenize(spark, sf_smoke).collect()
+    assert rows
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.expr(f"size({tokens_expr('lower(text)')})").alias("n")
+    )
+    expect_words = {r.doc_id: r.n for r in docs.collect()}
+    for r in rows:
+        assert r.n_words == expect_words[r.doc_id]
+        assert r.n_words <= r.n_tokens <= r.n_chars_tokenized
+        assert r.compression == r.n_chars_tokenized / r.n_tokens

@@ -1024,3 +1024,88 @@ DECILE_LIFT_CHART_SQL = """
 
 QUERIES["decile_lift_chart"] = decile_lift_chart
 ORACLE["decile_lift_chart"] = DECILE_LIFT_CHART_SQL
+
+
+# ---------------------------------------------------------------------------
+# value_quantile_sketch — DETERMINISTIC approximate quantiles via a
+# bottom-k-by-hash sample, the oracle-checkable counterpart of
+# value_percentiles_approx (whose KLL sketch is engine-specific and
+# therefore rows-only). Keeping the K rows with the smallest
+# md5(event_id) per group is a min-wise uniform sample that is (a)
+# order-independent, (b) MERGEABLE — the bottom-k of a union is the
+# bottom-k of the concatenated bottom-k's, the same closure KMV uses —
+# and (c) bit-identical in any engine that can md5. Quantile estimates
+# are then exact order statistics of the sampled values at integer-
+# rational positions ceil(q*n) computed as (num*n + den - 1) DIV den —
+# no float position math anywhere.
+#
+# Scale posture: the rank<=K filter triggers Spark's WindowGroupLimit
+# (plan-asserted): each map partition pre-prunes to its local bottom-K
+# before the shuffle, so the exchange carries at most K rows per
+# partition per group — a sketch-sized shuffle at any corpus size. The
+# exact per-group count rides a separate map-side-combined aggregate
+# joined back by broadcast.
+# ---------------------------------------------------------------------------
+
+SKETCH_K = 200
+SKETCH_QUANTILES = (("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").cast("double").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    sampled = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SKETCH_K)
+        .groupBy("event_type")
+        .agg(
+            F.expr("array_sort(collect_list(v))").alias("sv"),
+            F.count("*").cast("long").alias("n_sampled"),
+        )
+    )
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return sampled.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "n_events",
+        "n_sampled",
+        *[
+            F.expr(
+                f"element_at(sv, CAST(({num} * n_sampled + {den} - 1) DIV {den} AS INT))"
+            ).alias(f"{name}_est")
+            for name, num, den in SKETCH_QUANTILES
+        ],
+    )
+
+
+VALUE_QUANTILE_SKETCH_SQL = f"""
+    WITH ev AS (
+        SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events
+    ), ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rk
+        FROM ev
+    ), sampled AS (
+        SELECT event_type, list(v ORDER BY v) AS sv,
+               CAST(count(*) AS BIGINT) AS n_sampled
+        FROM ranked WHERE rk <= {SKETCH_K} GROUP BY 1
+    ), totals AS (
+        SELECT event_type, count(*) AS n_events FROM ev GROUP BY 1
+    )
+    SELECT s.event_type, t.n_events, s.n_sampled,
+           {', '.join(
+               f"sv[CAST(({num} * n_sampled + {den} - 1) // {den} AS INT)] AS {name}_est"
+               for name, num, den in SKETCH_QUANTILES
+           )}
+    FROM sampled s JOIN totals t ON t.event_type = s.event_type
+"""
+
+
+QUERIES["value_quantile_sketch"] = value_quantile_sketch
+ORACLE["value_quantile_sketch"] = VALUE_QUANTILE_SKETCH_SQL

@@ -508,3 +508,15 @@ def test_text_index_scan_partition_prunes(spark, sf_smoke):
     got = [tuple(r) for r in df.collect()]
     want = [tuple(r) for r in text.keyword_search(spark, sf_smoke).collect()]
     assert got == want
+
+
+def test_quantile_sketch_partial_bottomk_and_broadcast(spark, sf_smoke):
+    """The bottom-k-by-hash sample must pre-prune per map partition
+    (WindowGroupLimit) so the shuffle carries at most K rows per
+    partition per group; the exact-count join must broadcast."""
+    from google_cloud_ecommerce_spark.queries.stats import value_quantile_sketch
+
+    plan = plan_of(value_quantile_sketch(spark, sf_smoke))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -350,3 +350,37 @@ def test_decile_lift_chart_invariants(spark, sf_smoke):
     for a, b in zip(rows, rows[1:]):
         assert b.cum_share >= a.cum_share - 1e-12
     assert rows[0].share == max(r.share for r in rows)
+
+
+def test_value_quantile_sketch_bounds_and_determinism(spark, sf_correct):
+    """The bottom-k-by-hash sample is a uniform sample: its median
+    estimate must land within the exact p25..p90 spread, estimates are
+    monotone across quantiles, and the sketch is bit-deterministic
+    across runs (hash order, not data order)."""
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.queries.stats import (
+        SKETCH_K,
+        value_quantile_sketch,
+    )
+
+    rows = {r.event_type: r for r in value_quantile_sketch(spark, sf_correct).collect()}
+    assert rows
+    exact = {
+        r.event_type: r
+        for r in load_table(spark, sf_correct, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.25)").alias("p25"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for et, r in rows.items():
+        assert r.n_sampled == min(r.n_events, SKETCH_K)
+        assert r.p25_est <= r.p50_est <= r.p90_est <= r.p99_est
+        assert exact[et].p25 <= r.p50_est <= exact[et].p90
+    again = {r.event_type: r for r in value_quantile_sketch(spark, sf_correct).collect()}
+    for et in rows:
+        assert tuple(rows[et]) == tuple(again[et])

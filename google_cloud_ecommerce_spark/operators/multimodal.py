@@ -189,6 +189,9 @@ def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 wav = encode_wav(_wav_samples(doc_id, n_chars))
                 sr, ch, bits, n, rms = decode_wav(wav)
+                if n == 0:
+                    continue  # a 0-char doc has no samples; the oracle's
+                    # unnest over an empty range emits no row either
                 rows.append((doc_id, sr, ch, bits, n, rms))
             yield pd.DataFrame(
                 rows,
@@ -369,9 +372,11 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.int64
                 )
                 n = len(s)
+                if n == 0:
+                    continue  # match the oracle: no samples, no row
                 zc = int(((s[1:] * s[:-1]) < 0).sum()) if n > 1 else 0
-                peak = int(np.abs(s).max()) if n else 0
-                mean_abs = float(int(np.abs(s).sum())) / n if n else 0.0
+                peak = int(np.abs(s).max())
+                mean_abs = float(int(np.abs(s).sum())) / n
                 rows.append((doc_id, n, zc, peak, mean_abs))
             yield pd.DataFrame(
                 rows,

@@ -659,3 +659,27 @@ def test_bpe_tokenize_conservation(spark, sf_smoke):
         assert r.n_words == expect_words[r.doc_id]
         assert r.n_words <= r.n_tokens <= r.n_chars_tokenized
         assert r.compression == r.n_chars_tokenized / r.n_tokens
+
+
+def test_media_ops_match_oracle_on_empty_doc(spark, tmp_path):
+    """A 0-char document decodes to zero samples: the Python side must
+    emit NO row for it (the oracle's unnest over an empty range emits
+    none), or every future rotation of a media op would hash-mismatch
+    on corpora containing empty docs."""
+    from tests.oracle_parity import compare, duckdb_connect
+
+    docs = spark.createDataFrame(
+        [(0, "", "en", "s0", 0), (1, "hello world", "en", "s1", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = duckdb_connect(str(tmp_path))
+    for name in ("media_wav_decode", "media_features", "media_frame_sample"):
+        problems = compare(
+            multimodal.QUERIES[name](spark, str(tmp_path)),
+            con,
+            multimodal.ORACLE[name],
+        )
+        assert not problems, f"{name}: {problems}"

@@ -203,3 +203,79 @@ def test_zorder_interleave_is_injective_and_bounded(spark, xy):
         x = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(ZORDER_BITS))
         y = sum(((r.z >> (2 * i)) & 1) << i for i in range(ZORDER_BITS))
         assert (x, y) == (r.x, r.y)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 primitives: pure-Python properties (no Spark jobs — cheap,
+# thousands of cases).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    n=st.integers(min_value=1, max_value=100_000),
+    q=st.sampled_from([(1, 4), (1, 2), (9, 10), (99, 100)]),
+)
+def test_sketch_quantile_position_is_valid_and_exact(n, q):
+    """The integer-rational position (num*n + den - 1) DIV den must be
+    ceil(q*n) exactly and always a valid 1-based index."""
+    import math
+
+    num, den = q
+    pos = (num * n + den - 1) // den
+    assert pos == math.ceil(num * n / den) or (num * n) % den == 0 and pos == num * n // den
+    assert 1 <= pos <= n
+
+
+@given(
+    syms=st.lists(st.sampled_from("abc"), min_size=1, max_size=12),
+    pair=st.tuples(st.sampled_from("abc"), st.sampled_from("abc")),
+)
+def test_bpe_greedy_merge_reference(syms, pair):
+    """The higher-order-fold merge (Spark/DuckDB shared semantics) must
+    equal the sequential greedy left-to-right merge: after a merge the
+    new symbol cannot immediately re-merge with the consumed left
+    context (the fold appends `merged`, then continues from the NEXT
+    input symbol)."""
+    ls, rs = pair
+    merged = ls + rs
+
+    # reference: sequential greedy scan
+    ref: list[str] = []
+    for x in syms:
+        if ref and ref[-1] == ls and x == rs:
+            ref[-1] = merged
+        else:
+            ref.append(x)
+
+    # the fold as written in _BPE_MERGE_FOLD / _BPE_SQL_FOLD
+    acc: list[str] = []
+    for x in syms:
+        if not acc:
+            acc.append(x)
+        elif acc[-1] == ls and x == rs:
+            acc = acc[:-1] + [merged]
+        else:
+            acc.append(x)
+    assert acc == ref
+    # conservation: merges only ever shrink, never below 1 symbol,
+    # and never alter the character stream
+    assert 1 <= len(acc) <= len(syms)
+    assert "".join(acc) == "".join(syms)
+
+
+@given(rounds=st.integers(min_value=0, max_value=40), every=st.integers(min_value=1, max_value=10))
+def test_iterate_pin_schedule(rounds, every):
+    """pin fires exactly on multiples of `every` strictly before the
+    final round, and the step sequence is 1..rounds in order."""
+    from google_cloud_ecommerce_spark.iterative import iterate
+
+    steps, pins = [], []
+    iterate(
+        0,
+        lambda s, i: steps.append(i) or s,
+        rounds,
+        checkpoint_every=every,
+        pin=lambda s: pins.append(len(steps)) or s,
+    )
+    assert steps == list(range(1, rounds + 1))
+    assert pins == [i for i in range(1, rounds + 1) if i % every == 0 and i < rounds]

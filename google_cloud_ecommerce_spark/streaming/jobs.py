@@ -1168,6 +1168,124 @@ ORACLE["streaming_kmv_sketch"] = _streaming_kmv_oracle()
 
 
 # ---------------------------------------------------------------------------
+# streaming_quantile_sketch — the deterministic bottom-k-by-hash
+# quantile sample of queries/stats.value_quantile_sketch maintained
+# INCREMENTALLY across micro-batches. Each batch contributes its
+# per-group bottom-K rows by md5(event_id); foreachBatch merges them
+# into the persisted sample (bottom-K of the union — the same min-wise
+# closure KMV exploits), and exact per-group counts accumulate as a
+# tiny side table. Because the sample is determined by the HASH ORDER
+# of the keys (not arrival order), the converged streaming sketch is
+# bit-identical to the batch sketch — the oracle IS the batch SQL.
+# Per-batch state is K rows + one count per group, never the corpus.
+# ---------------------------------------------------------------------------
+
+
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from google_cloud_ecommerce_spark.queries.stats import (
+        SKETCH_K,
+        SKETCH_QUANTILES,
+    )
+
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    state_root = tempfile.mkdtemp(prefix="qsketch_state_")
+    checkpoint = tempfile.mkdtemp(prefix="qsketch_ckpt_")
+    latest: dict[str, str] = {}
+
+    def _bottomk(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy("h", "event_id")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= SKETCH_K)
+            .select("event_type", "event_id", "h", "v")
+        )
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        part = _bottomk(
+            batch_df.select(
+                "event_type", "event_id", F.col("value").cast("double").alias("v")
+            ).withColumn("h", F.md5(F.col("event_id").cast("string")))
+        )
+        cnt = batch_df.groupBy("event_type").agg(F.count("*").alias("n"))
+        if "dir" in latest:
+            part = _bottomk(
+                s.read.parquet(os.path.join(latest["dir"], "sample"))
+                .unionByName(part)
+                .distinct()
+            )
+            cnt = (
+                s.read.parquet(os.path.join(latest["dir"], "counts"))
+                .unionByName(cnt)
+                .groupBy("event_type")
+                .agg(F.sum("n").alias("n"))
+            )
+        out = os.path.join(state_root, f"v{epoch_id}")
+        part.write.mode("overwrite").parquet(os.path.join(out, "sample"))
+        cnt.write.mode("overwrite").parquet(os.path.join(out, "counts"))
+        latest["dir"] = out
+
+    try:
+        q = (
+            read_replay_stream(spark, replay)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sample = spark.read.parquet(os.path.join(latest["dir"], "sample"))
+        counts = spark.read.parquet(os.path.join(latest["dir"], "counts"))
+        agg = sample.groupBy("event_type").agg(
+            F.expr("array_sort(collect_list(v))").alias("sv"),
+            F.count("*").cast("long").alias("n_sampled"),
+        )
+        final = agg.join(
+            F.broadcast(
+                counts.select(
+                    "event_type", F.col("n").cast("long").alias("n_events")
+                )
+            ),
+            "event_type",
+        ).select(
+            "event_type",
+            "n_events",
+            "n_sampled",
+            *[
+                F.expr(
+                    f"element_at(sv, CAST(({num} * n_sampled + {den} - 1)"
+                    f" DIV {den} AS INT))"
+                ).alias(f"{name}_est")
+                for name, num, den in SKETCH_QUANTILES
+            ],
+        )
+        # |event_type| rows: pin driver-side so the state dirs can go
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+QUERIES["streaming_quantile_sketch"] = streaming_quantile_sketch
+
+
+def _streaming_quantile_oracle() -> str:
+    from google_cloud_ecommerce_spark.queries.stats import (
+        VALUE_QUANTILE_SKETCH_SQL,
+    )
+
+    return VALUE_QUANTILE_SKETCH_SQL
+
+
+ORACLE["streaming_quantile_sketch"] = _streaming_quantile_oracle()
+
+
+# ---------------------------------------------------------------------------
 # streaming_rate_limit — the per-(user, hour) first-N throttle of
 # queries/scale.event_rate_limit as a STATEFUL streaming operator:
 # applyInPandasWithState keyed by user carries (current hour, count)

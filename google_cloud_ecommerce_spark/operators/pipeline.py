@@ -1027,3 +1027,108 @@ def _corpus_quality_dashboard_sql() -> str:
 
 QUERIES["corpus_quality_dashboard"] = corpus_quality_dashboard
 ORACLE["corpus_quality_dashboard"] = _corpus_quality_dashboard_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_curation_pipeline — the end-to-end curation funnel a pre-
+# training data pipeline actually runs, composed from this library's
+# own operators: (1) exact dedup (md5 keeper, min doc_id), (2) Gopher
+# quality gates (gopher_gates' keep bit), (3) MinHash near-dup removal
+# (one sweep: a doc is dropped when ANY smaller quality-surviving doc
+# is its verified near-duplicate; no transitive re-instatement — the
+# standard one-pass policy). Output is the per-source funnel report:
+# raw -> exact-unique -> quality -> final, plus the final retention
+# share. Composability is the point — each stage is the already-
+# verified operator, joined on doc_id.
+#
+# Scale posture: inherits each stage's posture (hash-aggregate dedup,
+# shuffle-free gates, banded minhash); the stage joins are all on
+# doc_id and the final report aggregates to |sources| rows. The one
+# new shuffle is the per-stage source rollup (map-side combined).
+# Determinism: keeper policy and the one-sweep drop rule are
+# order-free; counts are integers; the share is one BIGINT/BIGINT
+# division in DOUBLE.
+# ---------------------------------------------------------------------------
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.operators.dedup import dedup_minhash_lsh
+    from google_cloud_ecommerce_spark.operators.text import gopher_gates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    raw = docs.groupBy("source").agg(F.count("*").alias("n_raw"))
+    keepers = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    s1 = docs.join(keepers, "doc_id").select("doc_id", "source")
+    gates = gopher_gates(spark, sf_dir).select("doc_id", "keep")
+    s2 = s1.join(gates, "doc_id").filter(F.col("keep") == 1).select("doc_id", "source")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    dropped = (
+        pairs.join(s2.select(F.col("doc_id").alias("doc_a")), "doc_a")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(dropped, "doc_id", "left_anti")
+
+    def rollup(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count("*").alias(name))
+
+    return (
+        raw.join(rollup(s1, "c1"), "source", "left")
+        .join(rollup(s2, "c2"), "source", "left")
+        .join(rollup(s3, "c3"), "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("c1", F.lit(0)).cast("long").alias("n_exact_unique"),
+            F.coalesce("c2", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("c3", F.lit(0)).cast("long").alias("n_final"),
+            (
+                F.coalesce("c3", F.lit(0)).cast("double") / F.col("n_raw")
+            ).alias("final_share"),
+        )
+    )
+
+
+def _corpus_curation_pipeline_sql() -> str:
+    from google_cloud_ecommerce_spark.operators.dedup import _dedup_minhash_sql
+    from google_cloud_ecommerce_spark.operators.text import _gopher_gates_sql
+
+    return f"""
+        WITH raw AS (
+            SELECT source, count(*) AS n_raw FROM documents GROUP BY 1
+        ), keep1 AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), s1 AS (
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN keep1 k ON k.doc_id = d.doc_id
+        ), gates AS (
+            SELECT doc_id, keep FROM ({_gopher_gates_sql()}) g
+        ), s2 AS (
+            SELECT s1.doc_id, s1.source
+            FROM s1 JOIN gates g ON g.doc_id = s1.doc_id WHERE g.keep = 1
+        ), pairs AS (
+            SELECT doc_a, doc_b FROM ({_dedup_minhash_sql()}) p
+        ), dropped AS (
+            SELECT DISTINCT p.doc_b AS doc_id
+            FROM pairs p JOIN s2 a ON a.doc_id = p.doc_a
+        ), s3 AS (
+            SELECT s2.doc_id, s2.source FROM s2
+            LEFT JOIN dropped dr ON dr.doc_id = s2.doc_id
+            WHERE dr.doc_id IS NULL
+        ), c1 AS (SELECT source, count(*) AS n FROM s1 GROUP BY 1),
+        c2 AS (SELECT source, count(*) AS n FROM s2 GROUP BY 1),
+        c3 AS (SELECT source, count(*) AS n FROM s3 GROUP BY 1)
+        SELECT r.source, r.n_raw,
+               CAST(COALESCE(c1.n, 0) AS BIGINT) AS n_exact_unique,
+               CAST(COALESCE(c2.n, 0) AS BIGINT) AS n_quality,
+               CAST(COALESCE(c3.n, 0) AS BIGINT) AS n_final,
+               CAST(COALESCE(c3.n, 0) AS DOUBLE) / r.n_raw AS final_share
+        FROM raw r
+        LEFT JOIN c1 ON c1.source = r.source
+        LEFT JOIN c2 ON c2.source = r.source
+        LEFT JOIN c3 ON c3.source = r.source
+    """
+
+
+QUERIES["corpus_curation_pipeline"] = corpus_curation_pipeline
+ORACLE["corpus_curation_pipeline"] = _corpus_curation_pipeline_sql()

@@ -247,3 +247,26 @@ def test_negative_samples_never_seen_and_deterministic(spark, sf_smoke):
     assert all(c <= NEGATIVE_K for c in per_user.values())
     again = negative_samples(spark, sf_smoke).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_smoke):
+    """Stage counts can only shrink, sum to the corpus-level stage
+    totals, and the final share is the exact ratio."""
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.operators.dedup import dedup_exact
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        corpus_curation_pipeline,
+    )
+
+    rows = corpus_curation_pipeline(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.n_raw >= r.n_exact_unique >= r.n_quality >= r.n_final >= 0
+        assert r.final_share == r.n_final / r.n_raw
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n_raw for r in rows) == n_docs
+    assert sum(r.n_exact_unique for r in rows) == dedup_exact(
+        spark, sf_smoke
+    ).count()

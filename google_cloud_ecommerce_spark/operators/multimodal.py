@@ -361,31 +361,37 @@ def wav_data(payload: bytes) -> "np.ndarray":
     raise ValueError("missing data chunk")
 
 
+def wav_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batch decode: synthesize the WAV payload, parse it with the
+    real chunk walker, emit waveform features. Shared by the batch and
+    streaming forms (mapInPandas is stateless, so the same iterator
+    serves both)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            s = wav_data(encode_wav(_wav_samples(doc_id, n_chars))).astype(
+                np.int64
+            )
+            n = len(s)
+            if n == 0:
+                continue  # match the oracle: no samples, no row
+            zc = int(((s[1:] * s[:-1]) < 0).sum()) if n > 1 else 0
+            peak = int(np.abs(s).max())
+            mean_abs = float(int(np.abs(s).sum())) / n
+            rows.append((doc_id, n, zc, peak, mean_abs))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_samples", "zero_crossings", "peak_abs", "mean_abs",
+            ],
+        )
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                s = wav_data(encode_wav(_wav_samples(doc_id, n_chars))).astype(
-                    np.int64
-                )
-                n = len(s)
-                if n == 0:
-                    continue  # match the oracle: no samples, no row
-                zc = int(((s[1:] * s[:-1]) < 0).sum()) if n > 1 else 0
-                peak = int(np.abs(s).max())
-                mean_abs = float(int(np.abs(s).sum())) / n
-                rows.append((doc_id, n, zc, peak, mean_abs))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "n_samples", "zero_crossings", "peak_abs", "mean_abs",
-                ],
-            )
-
-    return docs.mapInPandas(run, WAV_FEATURES_SCHEMA)
+    return docs.mapInPandas(wav_feature_batches, WAV_FEATURES_SCHEMA)
 
 
 MEDIA_FEATURES_SQL = f"""

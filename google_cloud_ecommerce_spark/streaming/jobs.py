@@ -1286,6 +1286,73 @@ ORACLE["streaming_quantile_sketch"] = _streaming_quantile_oracle()
 
 
 # ---------------------------------------------------------------------------
+# streaming_media_features — Python (Arrow) decode INSIDE Structured
+# Streaming: the same real-WAV-parse mapInPandas iterator the batch
+# media_features uses, applied per micro-batch over a document replay
+# stream. mapInPandas is stateless, so stream output == batch output
+# row-for-row and the entry carries the full batch oracle. This is the
+# shape a production media-ingest stream has: decode runs where the
+# bytes land, executor-side, micro-batch by micro-batch; nothing ever
+# collects to the driver.
+# ---------------------------------------------------------------------------
+
+
+def streaming_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import tempfile
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.operators.multimodal import (
+        WAV_FEATURES_SCHEMA,
+        wav_feature_batches,
+    )
+
+    replay = tempfile.mkdtemp(prefix="spark_graft_media_")
+    docs = load_table(spark, sf_dir, "documents")
+    n_files = 4
+    n = docs.count()
+    per = -(-n // n_files)
+    for i in range(n_files):
+        chunk = docs.filter(
+            (F.col("doc_id") >= i * per) & (F.col("doc_id") < (i + 1) * per)
+        )
+        stage = os.path.join(replay, f"_stage_{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(replay, f"chunk-{i:04d}.parquet"))
+        shutil.rmtree(stage)
+
+    try:
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string, source string, n_chars bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        feats = stream.select("doc_id", "n_chars").mapInPandas(
+            wav_feature_batches, WAV_FEATURES_SCHEMA
+        )
+        return _run_to_memory(feats, "append")
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
+QUERIES["streaming_media_features"] = streaming_media_features
+
+
+def _streaming_media_features_oracle() -> str:
+    from google_cloud_ecommerce_spark.operators.multimodal import (
+        MEDIA_FEATURES_SQL,
+    )
+
+    return MEDIA_FEATURES_SQL
+
+
+ORACLE["streaming_media_features"] = _streaming_media_features_oracle()
+
+
+# ---------------------------------------------------------------------------
 # streaming_rate_limit — the per-(user, hour) first-N throttle of
 # queries/scale.event_rate_limit as a STATEFUL streaming operator:
 # applyInPandasWithState keyed by user carries (current hour, count)

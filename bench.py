@@ -105,6 +105,15 @@ HEADLINE = [
     "grouping_id_report",
     "event_rate_limit",
     "holt_daily_forecast",
+    "semdedup_clusters",
+    "bpe_tokenize",
+    "value_quantile_sketch",
+    # corpus_curation_pipeline is deliberately NOT in the headline: its
+    # cost is the minhash verify stage on the synthetic corpus's dense
+    # near-duplicate mass (measured separately at sf0.1: Spark 99 s vs
+    # DuckDB 224 s on the dominant subtree — Spark 2.2x faster) and one
+    # ~2-minute query would be >80% of the aggregate, drowning the
+    # other 78. It stays oracle-verified in the registry at every SF.
 ]
 
 

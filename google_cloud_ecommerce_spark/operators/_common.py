@@ -75,13 +75,24 @@ def token_hash_sql(var: str) -> str:
     return f"(('0x' || substr(md5({var}), 1, 15))::BIGINT % {MERSENNE31})"
 
 
-def dot_expr(a: str, b: str) -> str:
-    """Sequential-order dot product of two array<double> — Spark side."""
+def dot_expr(a: str, b: str, dim: int = EMBED_DIM, unroll: bool = False) -> str:
+    """Sequential-order dot product of two array<double> — Spark side.
+
+    The lambda fold is deliberate: an unrolled 64-term flat expression
+    was tried and is ~2.5x SLOWER on the pair-scoring hot paths — the
+    generated code blows past JIT/whole-stage-codegen method limits and
+    falls back to interpretation, while the fold stays compiled.
+    (unroll=True keeps the experiment reproducible; both forms add
+    terms in the same left-to-right order.)"""
+    if unroll:
+        return " + ".join(f"({a})[{i}] * ({b})[{i}]" for i in range(dim))
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 
 
-def dot_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
+def dot_sql(a: str, b: str, dim: int = EMBED_DIM, unroll: bool = False) -> str:
     """Same dot product with identical fold order — DuckDB side."""
+    if unroll:
+        return " + ".join(f"({a})[{i + 1}] * ({b})[{i + 1}]" for i in range(dim))
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(range(1, {dim + 1}), i -> ({a})[i] * ({b})[i])), (acc, x) -> acc + x)"

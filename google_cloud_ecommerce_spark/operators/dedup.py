@@ -461,7 +461,9 @@ def _dedup_band_key_expr(band: int) -> str:
     terms = []
     for p in range(DEDUP_BAND_BITS):
         proj = spark_double_array(DEDUP_PROJECTIONS[band * DEDUP_BAND_BITS + p])
-        terms.append(f"IF({dot_expr('v', proj)} > 0, shiftleft(1L, {p}), 0L)")
+        terms.append(
+            f"IF({dot_expr('v', proj, unroll=False)} > 0, shiftleft(1L, {p}), 0L)"
+        )
     return " + ".join(terms)
 
 
@@ -476,7 +478,8 @@ def _dedup_band_key_sql(band: int) -> str:
     for p in range(DEDUP_BAND_BITS):
         proj = sql_double_array(DEDUP_PROJECTIONS[band * DEDUP_BAND_BITS + p])
         terms.append(
-            f"CASE WHEN {dot_sql('v', proj)} > 0 THEN (1::BIGINT << {p}) ELSE 0 END"
+            f"CASE WHEN {dot_sql('v', proj, unroll=False)} > 0"
+            f" THEN (1::BIGINT << {p}) ELSE 0 END"
         )
     return " + ".join(terms)
 
@@ -1057,8 +1060,20 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _kmeans_assign_step(emb, cents)
         .select("vec_id", "v", F.col("c_id").alias("cluster_id"))
         .withColumn("norm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+        # pin: both join sides read this; without it the assignment
+        # (broadcast-centroid argmin) is recomputed per side
+        .localCheckpoint(eager=False)
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # The pair blowup is on the OUTPUT side (cluster-bounded quadratic),
+    # so input-size heuristics leave the probe side at its scan
+    # parallelism (1 task for a single small file) and the whole pair
+    # space serializes. Spread the probe side by vec_id first: the
+    # shuffle moves only |corpus| rows, and every core then owns a
+    # slice of each cluster's pair space.
+    probe = assigned.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id"
+    )
+    a, b = assigned.alias("a"), probe.alias("b")
     return (
         a.join(
             b,

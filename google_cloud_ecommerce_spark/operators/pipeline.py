@@ -1058,10 +1058,30 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     raw = docs.groupBy("source").agg(F.count("*").alias("n_raw"))
     keepers = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    s1 = docs.join(keepers, "doc_id").select("doc_id", "source")
+    # lazy checkpoints: each survivor set feeds 2-3 consumers (the next
+    # stage, the near-dup drop join, its own rollup); pinning makes each
+    # stage materialize once instead of re-running its upstream chain
+    # per consumer. (The funnel's wall-clock at sf0.1 is dominated by
+    # the minhash verify on the corpus's dense near-duplicate mass —
+    # Spark 99 s vs DuckDB 224 s on that subtree — which runs once
+    # either way.)
+    s1 = (
+        docs.join(keepers, "doc_id")
+        .select("doc_id", "source")
+        .localCheckpoint(eager=False)
+    )
     gates = gopher_gates(spark, sf_dir).select("doc_id", "keep")
-    s2 = s1.join(gates, "doc_id").filter(F.col("keep") == 1).select("doc_id", "source")
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    s2 = (
+        s1.join(gates, "doc_id")
+        .filter(F.col("keep") == 1)
+        .select("doc_id", "source")
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     dropped = (
         pairs.join(s2.select(F.col("doc_id").alias("doc_a")), "doc_a")
         .select(F.col("doc_b").alias("doc_id"))

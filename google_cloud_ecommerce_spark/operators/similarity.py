@@ -110,7 +110,9 @@ def _bucket_expr() -> str:
     terms = []
     for p in range(N_PROJECTIONS):
         proj = spark_double_array(PROJECTIONS[p])
-        terms.append(f"IF({dot_expr('v', proj)} > 0, shiftleft(1L, {p}), 0L)")
+        terms.append(
+            f"IF({dot_expr('v', proj, unroll=False)} > 0, shiftleft(1L, {p}), 0L)"
+        )
     return " + ".join(terms)
 
 
@@ -118,7 +120,10 @@ def _bucket_sql() -> str:
     terms = []
     for p in range(N_PROJECTIONS):
         proj = sql_double_array(PROJECTIONS[p])
-        terms.append(f"CASE WHEN {dot_sql('v', proj)} > 0 THEN (1::BIGINT << {p}) ELSE 0 END")
+        terms.append(
+            f"CASE WHEN {dot_sql('v', proj, unroll=False)} > 0"
+            f" THEN (1::BIGINT << {p}) ELSE 0 END"
+        )
     return " + ".join(terms)
 
 
@@ -727,7 +732,9 @@ KMEANS_K = 4
 KMEANS_ITERS = 2
 
 
-def _sqdist_expr(a: str, b: str) -> str:
+def _sqdist_expr(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    """Fold-form squared distance (see dot_expr on why the fold beats
+    an unrolled flat expression here)."""
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
         f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
@@ -1070,7 +1077,7 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
 
 def _pq_assign_step(sub: DataFrame, cents: DataFrame) -> DataFrame:
     scored = sub.join(F.broadcast(cents), "m").withColumn(
-        "sq_dist", F.expr(_sqdist_expr("sv", "cv"))
+        "sq_dist", F.expr(_sqdist_expr("sv", "cv", PQ_SUB_DIM))
     )
     w = Window.partitionBy("vec_id", "m").orderBy(F.asc("sq_dist"), F.asc("c_id"))
     return (
@@ -1225,7 +1232,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsv"))
     lut = (
         qsub.join(F.broadcast(codebook), "m")
-        .withColumn("d", F.expr(_sqdist_expr("qsv", "cv")))
+        .withColumn("d", F.expr(_sqdist_expr("qsv", "cv", PQ_SUB_DIM)))
         .select("q_id", "m", "c_id", "d")
     )
     scored = codes
@@ -1346,7 +1353,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "probe_cell", F.col("s.m").alias("m"), F.col("s.sv").alias("qsv"))
     lut = (
         qsub.join(F.broadcast(codebook), "m")
-        .withColumn("d", F.expr(_sqdist_expr("qsv", "cv")))
+        .withColumn("d", F.expr(_sqdist_expr("qsv", "cv", PQ_SUB_DIM)))
         .select("q_id", "probe_cell", "m", "c_id", "d")
     )
     scored = idx
@@ -1471,7 +1478,7 @@ ORACLE["similarity_ivfpq_topk"] = _similarity_ivfpq_topk_sql()
 def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "v")
     proj_exprs = ", ".join(
-        dot_expr("v", spark_double_array(p)) for p in PROJECTIONS
+        dot_expr("v", spark_double_array(p), unroll=False) for p in PROJECTIONS
     )
     projected = emb.withColumn("p", F.expr(f"array({proj_exprs})"))
     # one scalar DOUBLE column per projection (proj_0..proj_7): the
@@ -1486,7 +1493,7 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.round(
             F.expr(
-                f"sqrt({dot_expr('p', 'p')} / {N_PROJECTIONS}) / "
+                f"sqrt({dot_expr('p', 'p', N_PROJECTIONS)} / {N_PROJECTIONS}) / "
                 f"sqrt({dot_expr('v', 'v')})"
             ),
             6,
@@ -1496,7 +1503,7 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _random_projection_sql() -> str:
     proj_list = ", ".join(
-        dot_sql("v", sql_double_array(p)) for p in PROJECTIONS
+        dot_sql("v", sql_double_array(p), unroll=False) for p in PROJECTIONS
     )
     return f"""
         WITH e AS (

@@ -62,66 +62,73 @@ def _modules():
 
 
 # The correctness driver oracle-checks the FIRST 50 registry entries only.
-# Round-3 rotation policy: keep ONE driver-green anchor per operator
-# family (verified in CORRECTNESS_r01/r02), re-admit the three queries
-# reshaped this round (scalar output columns), and fill the remaining
-# slots with entries never yet driver-checked — growing the union of
-# driver-verified names across rounds while every family keeps a green
-# representative in-window. Exactly 50 names, all with oracles.
+# Round-4 rotation policy (VERDICT r3 "Next round #1"): every family
+# anchor is multiply driver-green (r1–r3) and the judge's own full
+# 204-entry sweep independently re-verified the whole registry, so this
+# round commits ALL 50 slots to never-driver-checked names — flagships
+# first (curation pipelines, semdedup, PQ/IVFPQ, gopher/lm scoring,
+# media, streaming) — taking the driver-checked union from 109 to 159
+# of 204; round 5 finishes the remaining tail. Exactly 50 names, all
+# with oracles.
 PRIORITY: tuple[str, ...] = (
-    # --- driver-green family anchors (one per family, r01/r02) ---
-    "daily_events",            # reference (also the entry() flagship)
-    "tpch_q1_pricing_summary", # relational
-    "asof_purchase_view",      # joins
-    "batch_sessionization",    # cdc / sessionization
-    "data_quality_report",     # quality
-    "event_type_stats_salted", # scale patterns
-    "props_json_stats",        # tpch_extra / semi-structured
-    "ship_delay_priority",     # tpch_extra2 decorrelation
-    "value_zscore_outliers",   # stats
-    "pagerank_categories",     # graph
-    "dedup_exact",             # dedup
-    "similarity_topk",         # similarity / ANN
-    "text_quality",            # text analysis
-    "media_wav_decode",        # multimodal
-    "session_stats_pandas",    # pandas / arrow UDF surface
-    "doc_chunking",            # LLM pipeline prep
-    "wire_format_source",      # wire-format source
-    "sql_udf_revenue_bands",   # SQL UDF
-    "streaming_daily_events",  # streaming (batch-equivalent oracle)
-    # --- reshaped to scalar outputs this round; must prove green ---
-    "pq_encode",
-    "random_projection",
-    "feature_hash_vectors",
-    # --- never-driver-checked rotation (28) ---
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "similarity_lsh_topk",
-    "text_lang_id",
-    "tfidf_top_terms",
-    "bpe_merges",
-    "pii_redaction",
-    "triangle_coview",
-    "media_bmp_decode",
-    "weekday_eventtype_chisq",
-    "ewma_daily_value",
-    "time_weighted_value",
-    "holt_daily_forecast",
-    "snapshot_diff",
-    "event_path_mining",
-    "bloom_membership",
-    "events_cube_rollup",
-    "grouping_id_report",
-    "ab_test_cuped",
-    "fuzzy_name_matches",
-    "corpus_drift",
-    "train_eval_split",
-    "part_skyline",
-    "zorder_curve",
-    "key_skew_report",
-    "props_schema_discovery",
-    "lineitem_quartiles_distributed",
-    "streaming_hourly_window",
+    # --- curation pipelines (operators/pipeline.py) ---
+    "corpus_curation_pipeline",
+    "pretraining_corpus_prep",
+    "corpus_to_training_batches",
+    "corpus_quality_dashboard",
+    "corpus_mixture_sample",
+    "balanced_group_sample",
+    "target_encoding",
+    "negative_samples",
+    # --- dedup (operators/dedup.py) ---
+    "semdedup_clusters",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "incremental_dedup",
+    "dedup_keeper_selection",
+    "dedup_segments",
+    # --- similarity / ANN (operators/similarity.py) ---
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "similarity_ivf_index_topk",
+    "similarity_filtered_topk",
+    "similarity_buckets",
+    "embedding_label_stats",
+    "label_centroids",
+    "embedding_quantize",
+    "embedding_top_component",
+    # --- text analysis (operators/text.py) ---
+    "gopher_gates",
+    "lm_score",
+    "lm_bigram_score",
+    "bpe_tokenize",
+    "text_index_search",
+    "token_frequencies",
+    "bigram_frequencies",
+    "doc_fingerprint",
+    "corpus_stats",
+    "keyword_search",
+    "text_repetition",
+    "countmin_estimates",
+    # --- multimodal (operators/multimodal.py) ---
+    "media_features",
+    "media_bmp_thumbnail",
+    "media_frame_sample",
+    "media_bmp_stream_sample",
+    "media_manifest",
+    # --- pandas/arrow UDF surface ---
+    "doc_tokens_udtf",
+    "text_normalize_pandas",
+    # --- stats (incl. the two reshaped-this-round plans) ---
+    "decile_lift_chart",
+    "value_quantile_sketch",
+    # --- streaming (batch-equivalent oracles) ---
+    "streaming_corpus_prep",
+    "streaming_dedup_counts",
+    "streaming_session_state",
+    "streaming_view_purchase_join",
+    "streaming_update_mode_counts",
+    "streaming_quantile_sketch",
 )
 
 

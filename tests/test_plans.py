@@ -85,6 +85,55 @@ def test_no_cartesian_product_anywhere(spark, sf_smoke, qname):
     assert "CartesianProduct" not in plan, f"{qname} plans a cartesian product"
 
 
+def _split_top_level_args(s: str) -> list[str]:
+    args: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    args.append("".join(cur))
+    return args
+
+
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    """windowspecdefinition args list partition keys first, then order
+    keys (which carry ' ASC NULLS '/' DESC NULLS ' markers): a spec
+    whose FIRST argument is an order key has an empty partition spec —
+    Spark executes it as one task sorting the whole input."""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        args = _split_top_level_args(plan[m.end() :])
+        if args and re.search(r"\b(ASC|DESC) NULLS", args[0]):
+            out.append(args[0].strip()[:80])
+    return out
+
+
+@pytest.mark.parametrize("qname", _batch_query_names())
+def test_no_unpartitioned_window_anywhere(spark, sf_smoke, qname):
+    """Registry-wide lint (round 4): ZERO single-partition WindowExec.
+    An unpartitioned window sorts its whole input in one task — the
+    plan shape that caps an operator at single-executor memory at
+    100 TB. Global ntile/rank use the range-partition +
+    broadcast-prefix-offset construction (operators/ranking.py);
+    running totals over tiny rollups use triangular broadcast joins."""
+    from google_cloud_ecommerce_spark.queries import all_queries
+
+    plan = plan_of(all_queries()[qname](spark, sf_smoke))
+    specs = _unpartitioned_window_specs(plan)
+    assert not specs, f"{qname} plans unpartitioned window(s) ordered by: {specs}"
+
+
 def test_late_shipment_is_semi_join(spark, sf_smoke):
     """The EXISTS must decorrelate to a semi join (no row explosion)."""
     from google_cloud_ecommerce_spark.queries import tpch_extra

@@ -1030,11 +1030,75 @@ ORACLE["dedup_prefix_filter"] = _dedup_prefix_filter_sql()
 #
 # Scale posture: centroid training is the same broadcast-assign /
 # decimal-exact-update rounds as kmeans_assign (corpus never shuffles
-# for assignment); the pairwise stage shuffles once on cluster_id and
-# is cluster-bounded quadratic. Determinism: assignment ties break to
-# the lower centroid id; cosine is sqrt/dot (IEEE-exact); the
-# threshold compares the ROUNDED cosine in both engines.
+# for assignment); the pairwise stage shuffles once on (cluster_id,
+# subkey) and is cluster-bounded quadratic. Determinism: assignment
+# ties break to the lower centroid id; cosine is sqrt/dot (IEEE-exact);
+# the threshold compares the ROUNDED cosine in both engines.
+#
+# Skew cap (round 4, VERDICT r3 #4): one mega-cluster from skewed
+# embeddings would revert the pairwise stage to quadratic in THAT
+# cluster. Clusters larger than SEMDEDUP_CLUSTER_CAP are therefore
+# sub-split by the low bits of a fixed sign-LSH key (the first
+# SEMDEDUP_SPLIT_BITS hyperplanes of DEDUP_PROJECTIONS): pairs are
+# compared only within (cluster_id, subkey). The split is
+# locality-SENSITIVE — near-duplicate pairs (cosine >= 0.9) agree on a
+# random hyperplane's sign with p ~= 0.86 per bit used — so recall
+# degrades gracefully, exactly the banding tradeoff
+# dedup_embedding_cosine already documents, and ONLY engages on
+# oversized clusters (n <= CAP keeps n_sub = 1: all pairs, bit-for-bit
+# the pre-cap output). The primary 100 TB knob remains KMEANS_K
+# (SemDeDup uses ~11k clusters); the sub-split is the safety net that
+# bounds the damage of residual assignment skew. Both the size rule
+# and the key are integer/sign arithmetic inlined into the oracle, so
+# the capped semantics are value-verified, and the crafted mega-cluster
+# test in tests/test_operators.py exercises the split path explicitly.
 # ---------------------------------------------------------------------------
+
+SEMDEDUP_CLUSTER_CAP = 256
+SEMDEDUP_SPLIT_BITS = 8  # max n_sub = 256 subkeys per oversized cluster
+
+
+def _semdedup_split_key_expr() -> str:
+    """Spark: BIGINT sign key from the first SEMDEDUP_SPLIT_BITS
+    dedup hyperplanes (taking `key % n_sub` for power-of-two n_sub
+    keeps the FIRST log2(n_sub) planes' bits — each extra bit is one
+    more locality-sensitive halving)."""
+    from google_cloud_ecommerce_spark.operators._common import (
+        DEDUP_PROJECTIONS,
+        spark_double_array,
+    )
+
+    terms = [
+        f"IF({dot_expr('v', spark_double_array(DEDUP_PROJECTIONS[p]), unroll=False)}"
+        f" > 0, shiftleft(1L, {p}), 0L)"
+        for p in range(SEMDEDUP_SPLIT_BITS)
+    ]
+    return " + ".join(terms)
+
+
+def _semdedup_split_key_sql() -> str:
+    from google_cloud_ecommerce_spark.operators._common import (
+        DEDUP_PROJECTIONS,
+        sql_double_array,
+    )
+
+    terms = [
+        f"CASE WHEN {dot_sql('v', sql_double_array(DEDUP_PROJECTIONS[p]))} > 0"
+        f" THEN (1::BIGINT << {p}) ELSE 0 END"
+        for p in range(SEMDEDUP_SPLIT_BITS)
+    ]
+    return " + ".join(terms)
+
+
+def _semdedup_n_sub_case(needed: str) -> str:
+    """Round ``needed`` (= ceil(cluster_n / CAP)) up to the next power
+    of two, capped at 2^SEMDEDUP_SPLIT_BITS — integer CASE ladder, no
+    float log/pow (libm last-ulp hazards). Same spelling both engines."""
+    whens = " ".join(
+        f"WHEN {needed} <= {1 << b} THEN {1 << b}"
+        for b in range(SEMDEDUP_SPLIT_BITS)
+    )
+    return f"CASE {whens} ELSE {1 << SEMDEDUP_SPLIT_BITS} END"
 
 
 def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,20 +1128,37 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (broadcast-centroid argmin) is recomputed per side
         .localCheckpoint(eager=False)
     )
+    # Skew cap: sub-split clusters above SEMDEDUP_CLUSTER_CAP by the
+    # low bits of the fixed sign-LSH key. Cluster sizes are K rows —
+    # broadcast; n <= CAP gives n_sub = 1 so subkey = 0 (no behavior
+    # change for bounded clusters).
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("c_n"))
+    needed = f"(c_n + {SEMDEDUP_CLUSTER_CAP - 1}) DIV {SEMDEDUP_CLUSTER_CAP}"
+    keyed = (
+        assigned.join(F.broadcast(sizes), "cluster_id")
+        .withColumn(
+            "subkey",
+            F.expr(
+                f"({_semdedup_split_key_expr()}) % ({_semdedup_n_sub_case(needed)})"
+            ),
+        )
+        .drop("c_n")
+    )
     # The pair blowup is on the OUTPUT side (cluster-bounded quadratic),
     # so input-size heuristics leave the probe side at its scan
     # parallelism (1 task for a single small file) and the whole pair
     # space serializes. Spread the probe side by vec_id first: the
     # shuffle moves only |corpus| rows, and every core then owns a
     # slice of each cluster's pair space.
-    probe = assigned.repartition(
+    probe = keyed.repartition(
         int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id"
     )
-    a, b = assigned.alias("a"), probe.alias("b")
+    a, b = keyed.alias("a"), probe.alias("b")
     return (
         a.join(
             b,
             (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.subkey") == F.col("b.subkey"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -1100,18 +1181,27 @@ def _semdedup_clusters_sql() -> str:
         dot_sql,
     )
 
+    needed = f"((c_n + {SEMDEDUP_CLUSTER_CAP - 1}) // {SEMDEDUP_CLUSTER_CAP})"
     return f"""
         WITH {_kmeans_chain_ctes()}, n2 AS (
             SELECT vec_id, v, c_id AS cluster_id,
                    sqrt({dot_sql('v', 'v')}) AS norm
             FROM m3
+        ), sizes AS (
+            SELECT cluster_id, count(*) AS c_n FROM n2 GROUP BY 1
+        ), keyed AS (
+            SELECT n2.*,
+                   ({_semdedup_split_key_sql()})
+                       % ({_semdedup_n_sub_case(needed)}) AS subkey
+            FROM n2 JOIN sizes USING (cluster_id)
         ), pairs AS (
             SELECT a.cluster_id, a.vec_id AS keep_vec_id,
                    b.vec_id AS drop_vec_id,
                    ROUND({dot_sql('a.v', 'b.v')} / (a.norm * b.norm), 4)
                        AS cosine
-            FROM n2 a JOIN n2 b
-              ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id
+            FROM keyed a JOIN keyed b
+              ON b.cluster_id = a.cluster_id AND b.subkey = a.subkey
+             AND a.vec_id < b.vec_id
         )
         SELECT * FROM pairs WHERE cosine >= {COSINE_DUP_THRESHOLD}
     """

@@ -683,3 +683,72 @@ def test_media_ops_match_oracle_on_empty_doc(spark, tmp_path):
             multimodal.ORACLE[name],
         )
         assert not problems, f"{name}: {problems}"
+
+
+def test_semdedup_mega_cluster_splits_and_matches_oracle(spark, tmp_path):
+    """Skew hardening (round 4): a LOOSE mega-cluster far above
+    SEMDEDUP_CLUSTER_CAP must (a) actually sub-split — multiple subkeys
+    inside the big cluster, bounding the pair space — while (b) staying
+    value-identical to the DuckDB oracle (the size rule and sign-LSH
+    key are inlined in both engines) and (c) still finding planted
+    near-duplicate pairs, whose near-identical vectors share hyperplane
+    signs and therefore always land in the same subkey. (A TIGHT
+    mega-cluster of near-identical vectors deliberately does NOT split
+    — every member shares all signs — but there the output itself is
+    quadratic, so no sub-quadratic execution exists.)"""
+    import numpy as np
+
+    from tests.oracle_parity import compare, duckdb_connect
+    from google_cloud_ecommerce_spark.operators.dedup import (
+        SEMDEDUP_CLUSTER_CAP,
+        _semdedup_clusters_sql,
+        semdedup_clusters,
+    )
+
+    rng = np.random.RandomState(7)
+    n_big = SEMDEDUP_CLUSTER_CAP + 120  # needed=2 -> n_sub=2
+    rows = []
+    # k-means seeds are vec_id < K: give them two distinct directions
+    for i in range(4):
+        base = np.zeros(64)
+        base[0 if i % 2 == 0 else 32] = 1.0
+        rows.append((i, [float(x) for x in base], 0))
+    # loose mega-cluster around e0: noise large enough to flip LSH signs
+    for i in range(4, n_big):
+        v = np.zeros(64)
+        v[0] = 1.0
+        v += rng.randn(64) * 0.5
+        rows.append((i, [float(x) for x in v], 0))
+    # planted near-dup pair inside the mega-cluster's direction
+    a = np.zeros(64)
+    a[0] = 1.0
+    a += rng.randn(64) * 0.05
+    b = a + rng.randn(64) * 0.01
+    rows.append((n_big, [float(x) for x in a], 0))
+    rows.append((n_big + 1, [float(x) for x in b], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    emb.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    con = duckdb_connect(str(tmp_path))
+    sql = _semdedup_clusters_sql()
+    problems = compare(semdedup_clusters(spark, str(tmp_path)), con, sql)
+    assert not problems, problems
+
+    # the split must ENGAGE: >1 subkey in the oversized cluster
+    sub = con.execute(
+        sql.split("), pairs AS")[0]
+        + ") SELECT cluster_id, count(*) AS n, count(DISTINCT subkey) AS subs"
+        " FROM keyed GROUP BY 1"
+    ).fetchall()
+    big = [r for r in sub if r[1] > SEMDEDUP_CLUSTER_CAP]
+    assert big, f"no cluster exceeded the cap: {sub}"
+    assert all(r[2] > 1 for r in big), f"oversized cluster did not split: {sub}"
+
+    # planted near-dups must survive the split
+    found = {
+        (r.keep_vec_id, r.drop_vec_id)
+        for r in semdedup_clusters(spark, str(tmp_path)).collect()
+    }
+    assert (n_big, n_big + 1) in found

@@ -146,10 +146,35 @@ SEQUENCE_PACKING_SQL = f"""
 # ---------------------------------------------------------------------------
 # contamination_check — which training docs share word 3-grams with the
 # held-out benchmark slice, and how much. The join key is the shingle
-# (inverted index); the benchmark side is broadcast. Output only
-# contaminated docs — at real scale the result is a tiny quarantine
-# list, not a full-corpus column.
+# (inverted index); the benchmark side is broadcast WHEN PROVABLY SMALL
+# (round-4 guard, VERDICT r3 #5): real benchmarks are MBs against a TB
+# corpus, but nothing guarantees that, and an unconditional broadcast
+# of a corpus-fraction bench slice grows with the data and OOMs the
+# driver at 100x. The guard upper-bounds the bench shingle bytes from
+# a CHEAP two-column scan of the bench docs only (count + sum(n_chars);
+# each character lands in <= SHINGLE_K shingles, so shingle text <=
+# SHINGLE_K * n_chars) and broadcasts only if that bound fits
+# spark.sql.autoBroadcastJoinThreshold; otherwise the join falls back
+# to its shuffled form (AQE may still convert at runtime from TRUE
+# observed sizes). Output only contaminated docs — at real scale the
+# result is a tiny quarantine list, not a full-corpus column.
 # ---------------------------------------------------------------------------
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """Parse spark.sql.autoBroadcastJoinThreshold ('10MB', '10485760b',
+    plain bytes, or -1 = disabled)."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")).strip()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    s = raw.lower().removesuffix("b")
+    mult = 1
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 10 << 20
 
 
 def _shingle_spark() -> str:
@@ -165,7 +190,9 @@ def _shingle_sql() -> str:
     return f"list_transform(range(1, len(toks) - {SHINGLE_K - 2}), i -> {parts})"
 
 
-def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contamination_check(
+    spark: SparkSession, sf_dir: str, broadcast_threshold: int | None = None
+) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
     sh = toks.filter(F.expr(f"size(toks) >= {SHINGLE_K}")).select(
@@ -176,9 +203,21 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "bench_doc"
     )
     train = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    # Size guard: upper-bound bench shingle bytes from a pruned
+    # (doc_id, n_chars) scan of the bench slice only — never from the
+    # exploded shingles themselves.
+    if broadcast_threshold is None:
+        broadcast_threshold = _broadcast_threshold_bytes(spark)
+    stats = (
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .agg(F.count("*").alias("n"), F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"))
+        .first()
+    )
+    est_bytes = int(stats["chars"]) * SHINGLE_K + int(stats["n"]) * 64
+    bench = F.broadcast(bench) if est_bytes <= broadcast_threshold else bench
     n_sh = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hits = (
-        train.join(F.broadcast(bench), "shingle")
+        train.join(bench, "shingle")
         .groupBy("doc_id")
         .agg(
             F.count_distinct("shingle").alias("n_overlap"),

@@ -569,3 +569,28 @@ def test_quantile_sketch_partial_bottomk_and_broadcast(spark, sf_smoke):
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcast_guard(spark, sf_smoke):
+    """The bench side broadcasts only when its size upper bound fits
+    the threshold: default (small fixture) plans the broadcast hash
+    join on the shingle key. Above threshold the guard drops the hint;
+    with the engine's own statistics threshold disabled too (as at real
+    scale, where stats exceed it), the shingle join falls back to its
+    shuffled form — no driver-side broadcast of a bench slice that
+    could be corpus-sized."""
+    from google_cloud_ecommerce_spark.operators import pipeline
+
+    plan_small = plan_of(pipeline.contamination_check(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan_small
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_big = plan_of(
+            pipeline.contamination_check(spark, sf_smoke, broadcast_threshold=0)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+    assert "BroadcastHashJoin" not in plan_big

@@ -531,6 +531,37 @@ def _index_dir(sf_dir: str, layout: str) -> _Path:
     return _INDEX_ROOT / layout / sf_name
 
 
+def _layout_recipe(layout: str) -> str:
+    """Algorithm/param version folded into each layout's _SOURCE marker:
+    the persisted payload depends on these constants and the training
+    recipe, not just the source bytes — without them, changing a
+    constant with unchanged data would serve stale persisted codes
+    while the oracle recomputes fresh (parity failures masquerading as
+    engine bugs). Bump the trailing v-tag when the build recipe itself
+    changes shape."""
+    import hashlib
+
+    from google_cloud_ecommerce_spark.operators._common import PROJECTIONS
+
+    if layout == "lsh":
+        planes = hashlib.md5(repr(PROJECTIONS).encode()).hexdigest()[:12]
+        return f"lsh:p{N_PROJECTIONS}:{planes}:v1"
+    if layout == "ivf":
+        return f"ivf:c{CENTROID_LO}-{CENTROID_HI}:v1"
+    if layout == "pq":
+        return f"pq:m{PQ_M}k{PQ_K}d{PQ_SUB_DIM}:seed{PQ_K}:iters1:v1"
+    if layout == "ivfpq":
+        return (
+            f"ivfpq:c{CENTROID_LO}-{CENTROID_HI}:"
+            f"m{PQ_M}k{PQ_K}d{PQ_SUB_DIM}:seed{PQ_K}:iters1:v1"
+        )
+    raise ValueError(layout)
+
+
+def _marker_content(fp: str, layout: str) -> str:
+    return f"{fp}|{_layout_recipe(layout)}"
+
+
 def build_similarity_index(
     spark: SparkSession, sf_dir: str, *, force: bool = False
 ) -> dict[str, str]:
@@ -548,31 +579,31 @@ def build_similarity_index(
 
     lsh_dir = _index_dir(sf_dir, "lsh")
     lsh_marker = lsh_dir / "_SOURCE"
-    if force or not lsh_marker.exists() or lsh_marker.read_text() != fp:
+    if force or not lsh_marker.exists() or lsh_marker.read_text() != _marker_content(fp, "lsh"):
         corpus = (
             _with_norm(_emb(spark, sf_dir))
             .withColumn("bucket", F.expr(_bucket_expr()))
             .select("vec_id", "v", "norm", "bucket")
         )
         corpus.write.mode("overwrite").partitionBy("bucket").parquet(str(lsh_dir))
-        lsh_marker.write_text(fp)
+        lsh_marker.write_text(_marker_content(fp, "lsh"))
     paths["lsh"] = str(lsh_dir)
 
     ivf_dir = _index_dir(sf_dir, "ivf")
     ivf_marker = ivf_dir / "_SOURCE"
-    if force or not ivf_marker.exists() or ivf_marker.read_text() != fp:
+    if force or not ivf_marker.exists() or ivf_marker.read_text() != _marker_content(fp, "ivf"):
         assigned = _assigned(spark, sf_dir)
         corpus = (
             assigned.filter(F.col("c_rank") == 1)
             .select("vec_id", "v", "norm", F.col("c_id").alias("cell"))
         )
         corpus.write.mode("overwrite").partitionBy("cell").parquet(str(ivf_dir))
-        ivf_marker.write_text(fp)
+        ivf_marker.write_text(_marker_content(fp, "ivf"))
     paths["ivf"] = str(ivf_dir)
 
     pq_dir = _index_dir(sf_dir, "pq")
     pq_marker = pq_dir / "_SOURCE"
-    if force or not pq_marker.exists() or pq_marker.read_text() != fp:
+    if force or not pq_marker.exists() or pq_marker.read_text() != _marker_content(fp, "pq"):
         emb = _emb(spark, sf_dir).select("vec_id", "v")
         sub = _pq_subvecs(emb).localCheckpoint(eager=False)
         cents = sub.filter(F.col("vec_id") < PQ_K).select(
@@ -588,14 +619,14 @@ def build_similarity_index(
         )
         codes.write.mode("overwrite").parquet(str(pq_dir / "codes"))
         trained.write.mode("overwrite").parquet(str(pq_dir / "codebook"))
-        pq_marker.write_text(fp)
+        pq_marker.write_text(_marker_content(fp, "pq"))
     paths["pq"] = str(pq_dir)
 
     # IVF-PQ (FAISS IVFADC layout): cell-partitioned RESIDUAL codes —
     # the probe prunes to N_PROBE cells, then scans M-byte codes.
     ivfpq_dir = _index_dir(sf_dir, "ivfpq")
     ivfpq_marker = ivfpq_dir / "_SOURCE"
-    if force or not ivfpq_marker.exists() or ivfpq_marker.read_text() != fp:
+    if force or not ivfpq_marker.exists() or ivfpq_marker.read_text() != _marker_content(fp, "ivfpq"):
         assigned = _assigned(spark, sf_dir).filter(F.col("c_rank") == 1)
         cents = (
             _emb(spark, sf_dir)
@@ -624,7 +655,7 @@ def build_similarity_index(
             str(ivfpq_dir / "codes")
         )
         trained.write.mode("overwrite").parquet(str(ivfpq_dir / "codebook"))
-        ivfpq_marker.write_text(fp)
+        ivfpq_marker.write_text(_marker_content(fp, "ivfpq"))
     paths["ivfpq"] = str(ivfpq_dir)
     return paths
 
@@ -732,9 +763,11 @@ KMEANS_K = 4
 KMEANS_ITERS = 2
 
 
-def _sqdist_expr(a: str, b: str, dim: int = EMBED_DIM) -> str:
+def _sqdist_expr(a: str, b: str) -> str:
     """Fold-form squared distance (see dot_expr on why the fold beats
-    an unrolled flat expression here)."""
+    an unrolled flat expression here). The zip_with fold handles any
+    vector length, so unlike the DuckDB twin below (whose range()
+    needs the length) there is no dim parameter to mis-wire."""
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
         f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
@@ -1077,7 +1110,7 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
 
 def _pq_assign_step(sub: DataFrame, cents: DataFrame) -> DataFrame:
     scored = sub.join(F.broadcast(cents), "m").withColumn(
-        "sq_dist", F.expr(_sqdist_expr("sv", "cv", PQ_SUB_DIM))
+        "sq_dist", F.expr(_sqdist_expr("sv", "cv"))
     )
     w = Window.partitionBy("vec_id", "m").orderBy(F.asc("sq_dist"), F.asc("c_id"))
     return (
@@ -1232,7 +1265,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsv"))
     lut = (
         qsub.join(F.broadcast(codebook), "m")
-        .withColumn("d", F.expr(_sqdist_expr("qsv", "cv", PQ_SUB_DIM)))
+        .withColumn("d", F.expr(_sqdist_expr("qsv", "cv")))
         .select("q_id", "m", "c_id", "d")
     )
     scored = codes
@@ -1353,7 +1386,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "probe_cell", F.col("s.m").alias("m"), F.col("s.sv").alias("qsv"))
     lut = (
         qsub.join(F.broadcast(codebook), "m")
-        .withColumn("d", F.expr(_sqdist_expr("qsv", "cv", PQ_SUB_DIM)))
+        .withColumn("d", F.expr(_sqdist_expr("qsv", "cv")))
         .select("q_id", "probe_cell", "m", "c_id", "d")
     )
     scored = idx

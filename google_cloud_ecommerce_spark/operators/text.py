@@ -1448,7 +1448,10 @@ def build_text_index(
     """Materialize the posting-list layout; lazy on a source fingerprint."""
     idx_dir = _TEXT_INDEX_ROOT / _os.path.basename(_os.path.normpath(sf_dir))
     marker = idx_dir / "_SOURCE"
-    fp = _text_source_fingerprint(sf_dir)
+    # the layout recipe (bucket count + hash scheme) rides in the marker
+    # so constant changes force a rebuild even with unchanged source
+    # data (same staleness hazard as the ANN index markers)
+    fp = f"{_text_source_fingerprint(sf_dir)}|tidx:b{TEXT_INDEX_BUCKETS}:md5mod:v1"
     if force or not marker.exists() or marker.read_text() != fp:
         postings = (
             _docs(spark, sf_dir)

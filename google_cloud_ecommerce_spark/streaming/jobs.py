@@ -1206,25 +1206,35 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         s = batch_df.sparkSession
+        out = os.path.join(state_root, f"v{epoch_id}")
+        # Retry idempotence: if the checkpoint commit failed after a
+        # successful write, the engine replays this epoch and
+        # latest["dir"] already points at OUR OWN output — merging
+        # against it would double-count this batch's n (the bottom-k
+        # sample is retry-safe via union+distinct, counts are not).
+        # Derive the parent from the PRE-batch state instead.
+        parent = latest.get("dir")
+        if parent == out:
+            prev = os.path.join(state_root, f"v{epoch_id - 1}")
+            parent = prev if os.path.isdir(prev) else None
         part = _bottomk(
             batch_df.select(
                 "event_type", "event_id", F.col("value").cast("double").alias("v")
             ).withColumn("h", F.md5(F.col("event_id").cast("string")))
         )
         cnt = batch_df.groupBy("event_type").agg(F.count("*").alias("n"))
-        if "dir" in latest:
+        if parent is not None:
             part = _bottomk(
-                s.read.parquet(os.path.join(latest["dir"], "sample"))
+                s.read.parquet(os.path.join(parent, "sample"))
                 .unionByName(part)
                 .distinct()
             )
             cnt = (
-                s.read.parquet(os.path.join(latest["dir"], "counts"))
+                s.read.parquet(os.path.join(parent, "counts"))
                 .unionByName(cnt)
                 .groupBy("event_type")
                 .agg(F.sum("n").alias("n"))
             )
-        out = os.path.join(state_root, f"v{epoch_id}")
         part.write.mode("overwrite").parquet(os.path.join(out, "sample"))
         cnt.write.mode("overwrite").parquet(os.path.join(out, "counts"))
         latest["dir"] = out
@@ -1310,12 +1320,11 @@ def streaming_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = tempfile.mkdtemp(prefix="spark_graft_media_")
     docs = load_table(spark, sf_dir, "documents")
     n_files = 4
-    n = docs.count()
-    per = -(-n // n_files)
+    # chunk by hash-mod of doc_id, NOT by id range: range chunking
+    # assumes dense 0-based ids and silently drops docs beyond
+    # n_files*per on sparse corpora
     for i in range(n_files):
-        chunk = docs.filter(
-            (F.col("doc_id") >= i * per) & (F.col("doc_id") < (i + 1) * per)
-        )
+        chunk = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_files)) == i)
         stage = os.path.join(replay, f"_stage_{i}")
         chunk.coalesce(1).write.mode("overwrite").parquet(stage)
         part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]

@@ -136,3 +136,30 @@ def test_streaming_rate_limit_equals_batch(spark, sf_smoke):
         for r in streaming_rate_limit(spark, sf_smoke).collect()
     }
     assert stream == batch
+
+
+def test_streaming_media_features_sparse_doc_ids(spark, tmp_path):
+    """Replay chunking must not assume dense 0-based doc_ids: on a
+    corpus with sparse, offset ids every document must still enter the
+    stream and the output must equal the batch operator row-for-row."""
+    from google_cloud_ecommerce_spark.operators.multimodal import media_features
+    from google_cloud_ecommerce_spark.streaming.jobs import streaming_media_features
+
+    docs = spark.createDataFrame(
+        [
+            (1_000_003, "alpha beta gamma delta", "en", "s0", 22),
+            (2_500_017, "the quick brown fox jumps", "en", "s1", 25),
+            (9_999_999, "lorem ipsum dolor sit amet words", "en", "s2", 32),
+            (7, "tiny", "en", "s3", 4),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    batch = {tuple(r) for r in media_features(spark, str(tmp_path)).collect()}
+    stream = {
+        tuple(r) for r in streaming_media_features(spark, str(tmp_path)).collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0

@@ -49,6 +49,23 @@ from google_cloud_ecommerce_spark.streaming.replay import (
 )
 
 
+def _pin_result(df: DataFrame) -> DataFrame:
+    """Materialize a bounded streaming result EXECUTOR-side: one
+    parquet write to a fresh result dir (cleaned at process exit),
+    read back as a plain scan. Replaces the old driver-side
+    ``createDataFrame(df.collect(), schema)`` pinning — the result
+    never rides through the driver, so the harness shape still holds
+    when the "bounded" result is millions of rows, while the replay /
+    checkpoint temp dirs it was derived from can be removed."""
+    import atexit
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_graft_stream_result_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    df.write.mode("overwrite").parquet(out)
+    return df.sparkSession.read.parquet(out)
+
+
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Drive a streaming frame to completion; return the result table."""
     name = f"stream_{uuid.uuid4().hex[:12]}"
@@ -599,9 +616,7 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.col("sv").cast("double").alias("sum_value"),
         )
-        # the view is tiny (days × event types); pin it driver-side so the
-        # temp state dirs can be removed
-        return spark.createDataFrame(final.collect(), final.schema)
+        return _pin_result(final)
     finally:
         shutil.rmtree(replay, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
@@ -873,7 +888,6 @@ ORACLE["streaming_dedup_within_watermark"] = """
 
 
 def streaming_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob as _glob
     import tempfile
 
     from pyspark.sql.window import Window
@@ -892,15 +906,17 @@ def streaming_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint = tempfile.mkdtemp(prefix="spark_graft_simckpt_")
     try:
         emb = _emb(spark, sf_dir)
-        # one file per query vector -> one request per micro-batch
-        for i in range(N_QUERY_VECS):
-            stage = os.path.join(qdir, f"_stage_{i}")
-            emb.filter(F.col("vec_id") == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(stage)
-            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            shutil.move(part, os.path.join(qdir, f"query-{i:04d}.parquet"))
-            shutil.rmtree(stage)
+        # one file per query vector -> one request per micro-batch.
+        # ONE partitioned write (repartition on vec_id puts each query
+        # in exactly one task, so each vec_id=... dir holds one file),
+        # not a driver loop of N separate write jobs.
+        (
+            emb.filter(F.col("vec_id") < N_QUERY_VECS)
+            .repartition(N_QUERY_VECS, "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("vec_id")
+            .parquet(qdir)
+        )
 
         corpus = _with_norm(emb)
 
@@ -943,8 +959,7 @@ def streaming_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         final = spark.read.parquet(out)
-        # K rows per query — pin driver-side so the temp sink can be removed
-        return spark.createDataFrame(final.collect(), final.schema)
+        return _pin_result(final)
     finally:
         shutil.rmtree(qdir, ignore_errors=True)
         shutil.rmtree(out_root, ignore_errors=True)
@@ -1147,8 +1162,7 @@ def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = per_group.select(
             "event_type", "k_kept", "h_k", F.round(est, 4).alias("kmv_estimate")
         )
-        # |event_type| rows: pin driver-side so the state dirs can go
-        return spark.createDataFrame(final.collect(), final.schema)
+        return _pin_result(final)
     finally:
         shutil.rmtree(replay, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
@@ -1273,8 +1287,7 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for name, num, den in SKETCH_QUANTILES
             ],
         )
-        # |event_type| rows: pin driver-side so the state dirs can go
-        return spark.createDataFrame(final.collect(), final.schema)
+        return _pin_result(final)
     finally:
         shutil.rmtree(replay, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
@@ -1424,7 +1437,7 @@ def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.sum("kept")).alias("n_dropped"),
             F.max("rn").alias("max_burst"),
         )
-        return spark.createDataFrame(final.collect(), final.schema)
+        return _pin_result(final)
     finally:
         shutil.rmtree(replay, ignore_errors=True)
 

@@ -102,15 +102,24 @@ def _minhash_sig_sql() -> str:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, *, n_bands: int = N_BANDS
+) -> DataFrame:
     """LSH candidate pairs + exact Jaccard verification.
 
     Plan shape (holds at scale): one pass computes signatures (no
-    shuffle), explode to 8 (band, key) rows/doc, self-join on the band
-    key (shuffle on band keys only), then verify candidates with an
-    exact Jaccard via the token inverted index restricted to candidate
-    doc ids. No stage touches n^2 pairs.
+    shuffle), explode to n_bands (band, key) rows/doc, self-join on
+    the band key (shuffle on band keys only), then verify candidates
+    with an exact Jaccard via the token inverted index restricted to
+    candidate doc ids. No stage touches n^2 pairs.
+
+    n_bands <= 8 (bands of 2 rows over the 16 fixed minhash
+    coefficients): the recall dial — candidate-pair probability is
+    1 - (1 - s^2)^n_bands for Jaccard s. Default = the registry
+    fixture literal; fewer bands = cheaper, lower recall.
     """
+    if not 1 <= n_bands <= N_BANDS:
+        raise ValueError(f"n_bands must be in [1, {N_BANDS}]")
     docs = _docs(spark, sf_dir)
     sigs = docs.select(
         "doc_id",
@@ -124,7 +133,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig",
         F.explode(
             F.expr(
-                f"transform(sequence(0, {N_BANDS - 1}), b -> "
+                f"transform(sequence(0, {n_bands - 1}), b -> "
                 f"named_struct('band', b, 'key', sig[2*b] * {MERSENNE31}L + sig[2*b+1]))"
             )
         ).alias("bk"),
@@ -1101,7 +1110,19 @@ def _semdedup_n_sub_case(needed: str) -> str:
     return f"CASE {whens} ELSE {1 << SEMDEDUP_SPLIT_BITS} END"
 
 
-def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int | None = None,
+    iters: int | None = None,
+    cluster_cap: int = SEMDEDUP_CLUSTER_CAP,
+) -> DataFrame:
+    """SemDeDup with the fixture defaults the registry oracle unrolls
+    (k=4 clusters, 2 rounds, 256-row cluster cap). The 100 TB settings
+    are k ~ 11k clusters (the SemDeDup paper's LAION scale), iters ~
+    10, and a cluster_cap sized so cap^2 pairs fit one task's budget —
+    k is the primary knob; the cap is the skew safety net."""
     from google_cloud_ecommerce_spark.iterative import iterate
     from google_cloud_ecommerce_spark.operators.similarity import (
         KMEANS_ITERS,
@@ -1111,14 +1132,16 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _kmeans_update_step,
     )
 
+    k = KMEANS_K if k is None else k
+    iters = KMEANS_ITERS if iters is None else iters
     emb = _emb(spark, sf_dir).select("vec_id", "v")
-    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+    cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
     )
     cents = iterate(
         cents,
         lambda c, _rnd: _kmeans_update_step(_kmeans_assign_step(emb, c)),
-        KMEANS_ITERS,
+        iters,
     )
     assigned = (
         _kmeans_assign_step(emb, cents)
@@ -1133,7 +1156,7 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast; n <= CAP gives n_sub = 1 so subkey = 0 (no behavior
     # change for bounded clusters).
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("c_n"))
-    needed = f"(c_n + {SEMDEDUP_CLUSTER_CAP - 1}) DIV {SEMDEDUP_CLUSTER_CAP}"
+    needed = f"(c_n + {cluster_cap - 1}) DIV {cluster_cap}"
     keyed = (
         assigned.join(F.broadcast(sizes), "cluster_id")
         .withColumn(

@@ -57,14 +57,25 @@ def _with_norm(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors for each query vector (vec_id < 5).
+def similarity_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    top_k: int = TOP_K,
+    n_query_vecs: int = N_QUERY_VECS,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (vec_id <
+    n_query_vecs). Defaults are the fixture literals the registry
+    oracle is inlined against; at 100 TB the same plan holds for any
+    top_k (the per-query window is bounded by the candidate set) and
+    any broadcastable query batch (thousands of query vectors — beyond
+    that, chunk the query set).
 
     Ranking uses the raw double cosine (ties broken by neighbor id);
     only the output column is rounded.
     """
     corpus = _with_norm(_emb(spark, sf_dir))
-    queries = corpus.filter(F.col("vec_id") < N_QUERY_VECS).select(
+    queries = corpus.filter(F.col("vec_id") < n_query_vecs).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
     scored = (
@@ -74,7 +85,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cos", 4).alias("cosine"))
     )
 
@@ -137,15 +148,24 @@ def similarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    top_k: int = TOP_K,
+    n_query_vecs: int = N_QUERY_VECS,
+) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's bucket.
 
-    Same output shape as similarity_topk; recall < 1 by construction.
-    At scale the bucket column is the partition/cluster key, so a query
-    touches one bucket instead of the full corpus.
+    Same output shape as similarity_topk; recall < 1 by construction
+    (tests/test_recall.py measures it against the exact operator). At
+    scale the bucket column is the partition/cluster key, so a query
+    touches one bucket instead of the full corpus; the bucket width is
+    fixed by the shared projection literals (N_PROJECTIONS sign bits —
+    at 100 TB you widen it so mean bucket occupancy stays scan-sized).
     """
     emb = _with_norm(_emb(spark, sf_dir)).withColumn("bucket", F.expr(_bucket_expr()))
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+    queries = emb.filter(F.col("vec_id") < n_query_vecs).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
@@ -161,7 +181,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cos", 4).alias("cosine"))
     )
 
@@ -215,7 +235,7 @@ CENTROID_LO, CENTROID_HI = 100, 116  # 16 centroid vectors
 N_PROBE = 4
 
 
-def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _assigned(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFrame:
     """Corpus with its nearest-centroid cell (argmax cosine, ties to the
     lower centroid id). One broadcast of 16 centroids; the corpus never
     shuffles for assignment."""
@@ -231,17 +251,29 @@ def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
     return (
         scored.withColumn("c_rank", F.row_number().over(w))
-        .filter(F.col("c_rank") <= N_PROBE)
+        .filter(F.col("c_rank") <= n_probe)
         .select("vec_id", "v", "norm", "c_id", "c_rank")
     )
 
 
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k: each query probes its N_PROBE nearest cells; exact
-    cosine rerank inside the candidate set."""
-    assigned = _assigned(spark, sf_dir)
+def similarity_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    top_k: int = TOP_K,
+    n_query_vecs: int = N_QUERY_VECS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF top-k: each query probes its n_probe nearest cells; exact
+    cosine rerank inside the candidate set. Defaults are the fixture
+    literals the registry oracle is inlined against; n_probe is the
+    recall/latency dial (probing every cell makes the result exactly
+    the brute-force top-k — asserted by tests/test_recall.py). At
+    100 TB the centroid count grows with the corpus (cells stay
+    scan-sized) and n_probe stays O(10)."""
+    assigned = _assigned(spark, sf_dir, n_probe=n_probe)
     corpus = assigned.filter(F.col("c_rank") == 1).select("vec_id", "v", "norm", "c_id")
-    probes = assigned.filter(F.col("vec_id") < N_QUERY_VECS).select(
+    probes = assigned.filter(F.col("vec_id") < n_query_vecs).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
@@ -257,7 +289,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cos", 4).alias("cosine"))
     )
 
@@ -812,15 +844,26 @@ def _kmeans_update_step(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Deterministic k-means assignment. Defaults are the fixture
+    literals the registry oracle unrolls (k=4, 2 rounds); the public
+    knobs scale to SemDeDup-sized clusterings (k ~ 10k+, iters ~ 10) —
+    every round stays one broadcast of k centroids plus one map-side
+    partial aggregate, the corpus never shuffles."""
     emb = _emb(spark, sf_dir).select("vec_id", "v")
-    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+    cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
     )
     cents = iterate(
         cents,
         lambda c, _rnd: _kmeans_update_step(_kmeans_assign_step(emb, c)),
-        KMEANS_ITERS,
+        iters,
     )
     final = _kmeans_assign_step(emb, cents)
     return final.select(

@@ -108,6 +108,11 @@ HEADLINE = [
     "semdedup_clusters",
     "bpe_tokenize",
     "value_quantile_sketch",
+    # round-4 additions (model-based quality filter, span-corruption
+    # accounting, mixture reweighting — all map-side / 1-row-broadcast)
+    "quality_classifier_score",
+    "span_corruption_masks",
+    "importance_sampling_weights",
     # corpus_curation_pipeline is deliberately NOT in the headline: its
     # cost is the minhash verify stage on the synthetic corpus's dense
     # near-duplicate mass (measured separately at sf0.1: Spark 99 s vs

@@ -1191,3 +1191,132 @@ def _corpus_curation_pipeline_sql() -> str:
 
 QUERIES["corpus_curation_pipeline"] = corpus_curation_pipeline
 ORACLE["corpus_curation_pipeline"] = _corpus_curation_pipeline_sql()
+
+
+# ---------------------------------------------------------------------------
+# span_corruption_masks — T5-style span-corruption ACCOUNTING: which
+# token positions a denoising objective would mask, decided by pure
+# hash arithmetic so any engine (and any rerun) masks the same spans.
+# Tokens partition into fixed blocks of SPAN_BLOCK; each block masks
+# one span whose start/length derive from md5(doc_id:block). The
+# output is the per-document audit a data pipeline needs before
+# packing denoising examples: token count, blocks, masked count,
+# masked ratio. Pure per-row integer math — no shuffle, no Python.
+# ---------------------------------------------------------------------------
+
+SPAN_BLOCK = 20  # tokens per corruption block
+SPAN_START_MOD = 17  # span start in [0, 17)
+SPAN_LEN_MOD = 3  # span length in [1, 3]
+
+
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = token_hash_expr("concat(CAST(doc_id AS STRING), ':', CAST(b AS STRING))")
+    per_block = (
+        f"transform(sequence(0, CAST((n_tokens - 1) DIV {SPAN_BLOCK} AS INT)), b -> "
+        f"greatest(0L, least(({h}) % {SPAN_START_MOD} + 1 + (({h}) DIV {SPAN_START_MOD}) % {SPAN_LEN_MOD}, "
+        f"least(CAST({SPAN_BLOCK} AS BIGINT), n_tokens - CAST(b AS BIGINT) * {SPAN_BLOCK})) "
+        f"- ({h}) % {SPAN_START_MOD}))"
+    )
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.expr(f"CAST(size({tokens_expr('lower(text)')}) AS BIGINT)")
+    )
+    return (
+        docs.filter(F.col("n_tokens") >= 1)
+        .withColumn(
+            "n_masked",
+            F.expr(
+                f"aggregate({per_block}, 0L, (acc, x) -> acc + x)"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(n_tokens - 1) DIV {SPAN_BLOCK} + 1").alias("n_blocks"),
+            "n_masked",
+            F.round(F.col("n_masked") / F.col("n_tokens"), 6).alias("mask_ratio"),
+        )
+    )
+
+
+def _span_corruption_sql() -> str:
+    h = token_hash_sql("(doc_id::VARCHAR || ':' || b::VARCHAR)")
+    per_block = (
+        f"list_transform(range(0, (n_tokens - 1) // {SPAN_BLOCK} + 1), b -> "
+        f"greatest(0, least(({h}) % {SPAN_START_MOD} + 1 + (({h}) // {SPAN_START_MOD}) % {SPAN_LEN_MOD}, "
+        f"least({SPAN_BLOCK}, n_tokens - b * {SPAN_BLOCK})) "
+        f"- ({h}) % {SPAN_START_MOD}))"
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, CAST(len({tokens_sql('lower(text)')}) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST((n_tokens - 1) // {SPAN_BLOCK} + 1 AS BIGINT) AS n_blocks,
+               CAST(list_sum({per_block}) AS BIGINT) AS n_masked,
+               ROUND(CAST(list_sum({per_block}) AS DOUBLE) / n_tokens, 6) AS mask_ratio
+        FROM t WHERE n_tokens >= 1
+    """
+
+
+QUERIES["span_corruption_masks"] = span_corruption_masks
+ORACLE["span_corruption_masks"] = _span_corruption_sql()
+
+
+# ---------------------------------------------------------------------------
+# importance_sampling_weights — static mixture reweighting: given a
+# TARGET language mixture (domain weights — the DoReMi/data-mixing
+# knob, fixed literals here as a trained artifact would be), compute
+# per-language sampling weights that reshape the corpus's actual
+# mixture into the target. weight = target_share / actual_share; a
+# sampler then keeps each doc with probability proportional to its
+# language's weight. One map-side aggregate + a 1-row broadcast —
+# the corpus itself never shuffles.
+# ---------------------------------------------------------------------------
+
+TARGET_MIX = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+
+def importance_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in TARGET_MIX.items()],
+        F.lit(0.0),
+    )
+    per_lang = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+    total = per_lang.agg(F.sum("n_docs").alias("total_docs"))
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            (F.col("n_docs") / F.col("total_docs")).alias("actual_share"),
+            target.alias("target_share"),
+            F.round(
+                target * F.col("total_docs") / F.col("n_docs"), 6
+            ).alias("weight"),
+        )
+    )
+
+
+IMPORTANCE_SAMPLING_SQL = f"""
+    WITH per_lang AS (
+        SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY 1
+    ), t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM per_lang)
+    SELECT lang, n_docs, n_chars,
+           CAST(n_docs AS DOUBLE) / total_docs AS actual_share,
+           CAST(CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in TARGET_MIX.items())}
+                ELSE 0.0 END AS DOUBLE) AS target_share,
+           ROUND(CAST(CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in TARGET_MIX.items())}
+                      ELSE 0.0 END AS DOUBLE) * total_docs / n_docs, 6) AS weight
+    FROM per_lang CROSS JOIN t
+"""
+
+
+QUERIES["importance_sampling_weights"] = importance_sampling_weights
+ORACLE["importance_sampling_weights"] = IMPORTANCE_SAMPLING_SQL

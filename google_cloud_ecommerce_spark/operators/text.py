@@ -1416,6 +1416,13 @@ import hashlib as _hashlib
 import os as _os
 from pathlib import Path as _Path
 
+import numpy as _np
+
+from google_cloud_ecommerce_spark.operators._common import (
+    spark_double_array,
+    sql_double_array,
+)
+
 TEXT_INDEX_BUCKETS = 32
 _TEXT_INDEX_ROOT = (
     _Path(__file__).resolve().parents[2] / "spark-warehouse" / "text_index"
@@ -1516,3 +1523,82 @@ def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_index_search"] = text_index_search
 ORACLE["text_index_search"] = ORACLE["keyword_search"]
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_score — model-based quality filtering, the
+# fastText-classifier stage of modern pretraining pipelines (the stage
+# AFTER the heuristic gates: gopher_gates prunes garbage, a trained
+# linear model ranks what remains). Here the "model" is a fixed-weight
+# linear classifier over hashed bag-of-tokens features: feature index =
+# md5-token-hash % QC_DIM, score = bias + mean feature weight. The
+# weights are seeded literals inlined into BOTH engines (exactly like
+# the projection/minhash constants); in production they come from
+# training and load as a broadcast array — the plan is identical.
+#
+# Scale posture: pure per-row projection — no shuffle, no join, the
+# classifier rides the scan (plan-tested). Determinism: the fold adds
+# weights in token order (explicit left fold, not partition-dependent),
+# and the keep decision compares the ROUNDED logit in both engines.
+# ---------------------------------------------------------------------------
+
+QC_DIM = 32
+_qc_rng = _np.random.RandomState(20260814)
+QC_WEIGHTS = [round(float(x), 6) for x in _qc_rng.randn(QC_DIM)]
+QC_BIAS = 0.05
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_arr = spark_double_array(QC_WEIGHTS)
+    fold = (
+        f"aggregate({tokens_expr('lower(text)')}, CAST(0.0 AS DOUBLE), "
+        f"(acc, t) -> acc + element_at({w_arr}, "
+        f"CAST(({token_hash_expr('t')}) % {QC_DIM} AS INT) + 1))"
+    )
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.expr(f"CAST(size({tokens_expr('lower(text)')}) AS BIGINT)")
+    )
+    return (
+        docs.filter(F.col("n_tokens") >= 1)
+        .withColumn(
+            # UNROUNDED: the fold is an identical left-to-right IEEE
+            # sum in both engines, so the raw double is bit-identical —
+            # while ROUND(x, 6) flips near-tie values between Spark's
+            # HALF_UP-on-decimal-repr and DuckDB's binary rounding
+            # (three docs at sf0.1 landed on such ties)
+            "quality_logit",
+            F.lit(QC_BIAS) + F.expr(fold) / F.col("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_logit",
+            (F.col("quality_logit") >= 0).cast("bigint").alias("is_kept"),
+        )
+    )
+
+
+def _quality_classifier_sql() -> str:
+    w_arr = sql_double_array(QC_WEIGHTS)
+    fold = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(toks, t -> list_extract({w_arr}, "
+        f"CAST(({token_hash_sql('t')}) % {QC_DIM} AS INT) + 1))), "
+        f"(acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   {QC_BIAS} + {fold} / len(toks) AS quality_logit
+            FROM t WHERE len(toks) >= 1
+        )
+        SELECT doc_id, n_tokens, quality_logit,
+               CAST(quality_logit >= 0 AS BIGINT) AS is_kept
+        FROM s
+    """
+
+
+QUERIES["quality_classifier_score"] = quality_classifier_score
+ORACLE["quality_classifier_score"] = _quality_classifier_sql()

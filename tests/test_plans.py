@@ -594,3 +594,20 @@ def test_contamination_broadcast_guard(spark, sf_smoke):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
     assert "BroadcastHashJoin" not in plan_big
+
+
+def test_round4_pipeline_ops_plan_shapes(spark, sf_smoke):
+    """quality_classifier_score and span_corruption_masks are pure
+    per-row projections — the classifier/mask math rides the scan, no
+    exchange, no join; importance_sampling_weights is one map-side
+    aggregate plus a 1-row broadcast (never a shuffle of the corpus
+    for the totals)."""
+    from google_cloud_ecommerce_spark.operators import pipeline, text
+
+    for q in (text.quality_classifier_score, pipeline.span_corruption_masks):
+        plan = plan_of(q(spark, sf_smoke))
+        assert "Exchange" not in plan and "Join" not in plan, q.__name__
+
+    plan = plan_of(pipeline.importance_sampling_weights(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

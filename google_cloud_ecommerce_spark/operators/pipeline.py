@@ -1320,3 +1320,77 @@ IMPORTANCE_SAMPLING_SQL = f"""
 
 QUERIES["importance_sampling_weights"] = importance_sampling_weights
 ORACLE["importance_sampling_weights"] = IMPORTANCE_SAMPLING_SQL
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle_shards — the deterministic training-epoch shuffle. A
+# data loader needs, per epoch, a DIFFERENT pseudo-random permutation
+# of the corpus split into fixed shards, reproducible from (seed,
+# epoch, doc_id) alone so any worker can recompute its shard without
+# coordination. Shard = 60-bit md5 position hash mod N_SHARDS; the
+# within-shard read order is the hash order itself. Output is the
+# per-(epoch, shard) manifest a loader consumes: doc count, char
+# budget, and the position-hash range.
+#
+# Scale shape: a generator cross of the corpus with a 3-element epoch
+# literal (map-side, no shuffle), then ONE hash aggregate on (epoch,
+# shard) — cardinality N_EPOCHS x N_SHARDS. No global sort anywhere:
+# the "shuffle" is the hash itself. 100 TB posture: shard count rises
+# with the fleet, the plan is unchanged, and the manifest stays tiny.
+# ---------------------------------------------------------------------------
+
+N_EPOCHS = 3
+N_SHARDS = 8
+EPOCH_SALT = "ep:"
+
+
+def _epoch_pos_expr() -> str:
+    return (
+        f"CAST(conv(substr(md5(concat('{EPOCH_SALT}', CAST(epoch AS STRING), ':', "
+        f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    expanded = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.expr(f"sequence(0, {N_EPOCHS - 1})")).alias("epoch"),
+    ).withColumn("pos", F.expr(_epoch_pos_expr()))
+    return (
+        expanded.groupBy(
+            F.col("epoch").cast("long").alias("epoch"),
+            F.pmod(F.col("pos"), F.lit(N_SHARDS)).cast("long").alias("shard"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+        )
+    )
+
+
+def _epoch_shuffle_sql() -> str:
+    pos = (
+        f"(('0x' || substr(md5('{EPOCH_SALT}' || CAST(epoch AS VARCHAR) || ':' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+    )
+    return f"""
+        WITH x AS (
+            SELECT doc_id, n_chars, CAST(e.epoch AS BIGINT) AS epoch,
+                   {pos} AS pos
+            FROM documents CROSS JOIN (SELECT unnest(range(0, {N_EPOCHS})) AS epoch) e
+        )
+        SELECT epoch, pos % {N_SHARDS} AS shard,
+               count(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               MIN(pos) AS first_pos,
+               MAX(pos) AS last_pos
+        FROM x GROUP BY 1, 2
+    """
+
+
+QUERIES["epoch_shuffle_shards"] = epoch_shuffle_shards
+ORACLE["epoch_shuffle_shards"] = _epoch_shuffle_sql()

@@ -1597,3 +1597,59 @@ def _random_projection_sql() -> str:
 
 QUERIES["random_projection"] = random_projection
 ORACLE["random_projection"] = _random_projection_sql()
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_report — the eval harness every deployed ANN index needs:
+# per-query recall@k of the sign-LSH path against the exact cosine
+# top-k, computed IN the engine so index-quality monitoring runs as a
+# query over the same corpus it indexes (no export step). n_exact is
+# TOP_K whenever the corpus has enough neighbors; n_hit counts exact
+# neighbors the LSH bucket probe also returned.
+#
+# Scale shape: both sides are the already-scale-shaped operators (the
+# exact side broadcast-joins the query batch, the LSH side probes one
+# bucket); the comparison itself is a join between two k x n_query_vecs
+# row sets — trivially small at any corpus size, so the report adds
+# nothing to the dominant cost. Left join (not inner) so a bucket with
+# zero overlap still yields a row with recall 0.
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    approx = similarity_lsh_topk(spark, sf_dir).select(
+        F.col("q_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("q_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("a_nid").cast("long").alias("n_hit"),
+        )
+        .withColumn("recall_at_k", F.round(F.col("n_hit") / F.col("n_exact"), 4))
+    )
+
+
+def _ann_recall_report_sql() -> str:
+    return f"""
+        WITH exact AS ({_similarity_topk_sql()}),
+        approx AS ({_similarity_lsh_topk_sql()})
+        SELECT e.q_id, count(*) AS n_exact,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+               ROUND(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4)
+                   AS recall_at_k
+        FROM exact e LEFT JOIN approx a
+          ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1
+    """
+
+
+QUERIES["ann_recall_report"] = ann_recall_report
+ORACLE["ann_recall_report"] = _ann_recall_report_sql()

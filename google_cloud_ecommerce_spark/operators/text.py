@@ -1602,3 +1602,89 @@ def _quality_classifier_sql() -> str:
 
 QUERIES["quality_classifier_score"] = quality_classifier_score
 ORACLE["quality_classifier_score"] = _quality_classifier_sql()
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty — cross-document repeated-passage coverage, the measure
+# behind "deduplicate repeated substrings" curation (text_repetition
+# above is WITHIN-doc; this is ACROSS docs). Each doc contributes its
+# DISTINCT word 5-grams once; a corpus-wide count per gram marks grams
+# seen in >= 2 docs as duplicated; the per-doc duplicated fraction is
+# the novelty signal (1 - dup_frac) a curation pass thresholds on.
+#
+# Scale shape: grams are md5-hashed to 31-bit ints BEFORE the corpus
+# aggregate, so the gram shuffle moves fixed-width keys instead of
+# ~40-byte strings; both the count and the join shuffle on that hash.
+# Everything is one explode + two hash aggregates + one shuffled join —
+# no self-join, nothing quadratic, volume bounded by total token count.
+# 31-bit collisions are deterministic and identical in both engines
+# (shared md5 helper), so the oracle sees the exact same values.
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 5
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
+    )
+    grams = (
+        toks.filter(f"size(toks) >= {NGRAM_N}")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(toks) - {NGRAM_N - 1}), "
+                    f"i -> concat_ws(' ', slice(toks, i, {NGRAM_N}))))"
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", F.expr(token_hash_expr("gram")).alias("gh"))
+    )
+    gram_docs = grams.groupBy("gh").agg(F.count("*").alias("n_docs"))
+    return (
+        grams.join(gram_docs, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count(F.when(F.col("n_docs") >= 2, F.lit(1))).cast("long").alias(
+                "n_dup_grams"
+            ),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_grams") / F.col("n_grams"), 4)
+        )
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   {token_hash_sql('gram')} AS gh
+            FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(toks) - {NGRAM_N - 2}),
+                           i -> array_to_string(list_slice(toks, i, i + {NGRAM_N - 1}), ' ')
+                       ))) AS gram
+                FROM toks WHERE len(toks) >= {NGRAM_N}
+            )
+        ), gd AS (
+            SELECT gh, count(*) AS n_docs FROM g GROUP BY 1
+        )
+        SELECT g.doc_id,
+               count(*) AS n_grams,
+               CAST(count(CASE WHEN gd.n_docs >= 2 THEN 1 END) AS BIGINT)
+                   AS n_dup_grams,
+               ROUND(CAST(count(CASE WHEN gd.n_docs >= 2 THEN 1 END) AS DOUBLE)
+                     / count(*), 4) AS dup_frac
+        FROM g JOIN gd USING (gh)
+        GROUP BY 1
+    """
+
+
+QUERIES["ngram_novelty"] = ngram_novelty
+ORACLE["ngram_novelty"] = _ngram_novelty_sql()

@@ -396,3 +396,67 @@ CATALOG_REPORT_SQL = """
 
 QUERIES["catalog_report"] = catalog_report
 ORACLE["catalog_report"] = CATALOG_REPORT_SQL
+
+
+# ---------------------------------------------------------------------------
+# kanon_suppression — k-anonymity audit over the event stream before it
+# leaves the trust boundary (e.g. as a training corpus or shared
+# analytics extract). Quasi-identifier = (event_type, event hour): any
+# cell observed for fewer than K distinct users is "suppressed" — a
+# release would publish only the surviving cells. Output is the per
+# event-type audit: how many cells existed, how many were suppressed,
+# and how many events/users the suppression removes.
+#
+# Scale shape: two hash aggregates — (event_type, hour) with a distinct
+# user count, then event_type — both map-side-combinable; no windows,
+# no joins. The distinct-user count per cell is the only real shuffle
+# and it keys on the cell, so skewed users spread across cells.
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+
+
+def kanon_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+    supp = F.col("n_users") < KANON_K
+    return (
+        cells.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.count(F.when(supp, F.lit(1))).cast("long").alias("n_suppressed_cells"),
+            F.sum(F.when(supp, F.col("n_events")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_suppressed_events"),
+            F.sum(F.when(supp, F.col("n_users")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_suppressed_users"),
+        )
+    )
+
+
+KANON_SUPPRESSION_SQL = f"""
+    WITH cells AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+               COUNT(DISTINCT user_id) AS n_users, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           count(*) AS n_cells,
+           CAST(count(CASE WHEN n_users < {KANON_K} THEN 1 END) AS BIGINT)
+               AS n_suppressed_cells,
+           CAST(SUM(CASE WHEN n_users < {KANON_K} THEN n_events ELSE 0 END)
+                AS BIGINT) AS n_suppressed_events,
+           CAST(SUM(CASE WHEN n_users < {KANON_K} THEN n_users ELSE 0 END)
+                AS BIGINT) AS n_suppressed_users
+    FROM cells GROUP BY 1
+"""
+
+
+QUERIES["kanon_suppression"] = kanon_suppression
+ORACLE["kanon_suppression"] = KANON_SUPPRESSION_SQL

@@ -270,3 +270,115 @@ def test_curation_funnel_monotone_and_consistent(spark, sf_smoke):
     assert sum(r.n_exact_unique for r in rows) == dedup_exact(
         spark, sf_smoke
     ).count()
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave: epoch shuffle, cross-doc n-gram novelty, ANN recall
+# report, k-anonymity suppression
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_covers_corpus_and_reshuffles(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        N_EPOCHS,
+        N_SHARDS,
+        epoch_shuffle_shards,
+    )
+    from google_cloud_ecommerce_spark.catalog import load_table
+
+    rows = epoch_shuffle_shards(spark, sf_smoke).collect()
+    n_docs_total = load_table(spark, sf_smoke, "documents").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.shard] = r
+    assert set(by_epoch) == set(range(N_EPOCHS))
+    for epoch, shards in by_epoch.items():
+        # every epoch partitions the whole corpus
+        assert sum(r.n_docs for r in shards.values()) == n_docs_total
+        assert set(shards) <= set(range(N_SHARDS))
+        for r in shards.values():
+            assert 0 <= r.first_pos <= r.last_pos
+    # different epochs produce different shard assignments (the point
+    # of re-shuffling): per-shard doc counts must not all coincide
+    counts = [
+        tuple(sorted((s, r.n_docs) for s, r in shards.items()))
+        for _, shards in sorted(by_epoch.items())
+    ]
+    assert len(set(counts)) > 1
+
+
+def test_ngram_novelty_detects_planted_duplicate_passage(spark, tmp_path):
+    import pandas as pd
+
+    from google_cloud_ecommerce_spark.operators.text import ngram_novelty
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                passage + " one unique tail here",
+                passage + " totally different ending words",
+                "no shared five gram run at all",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [10, 10, 10],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {r.doc_id: r for r in ngram_novelty(spark, d).collect()}
+    # docs 0 and 1 share the 6-token passage => two shared 5-grams each
+    assert out[0].n_dup_grams == 2 and out[1].n_dup_grams == 2
+    assert out[2].n_dup_grams == 0 and out[2].dup_frac == 0.0
+    assert 0 < out[0].dup_frac < 1
+
+
+def test_ann_recall_report_bounds_and_consistency(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        TOP_K,
+        ann_recall_report,
+        similarity_lsh_topk,
+        similarity_topk,
+    )
+
+    rows = ann_recall_report(spark, sf_smoke).collect()
+    assert rows, "report must cover the query vectors"
+    exact = similarity_topk(spark, sf_smoke)
+    approx = similarity_lsh_topk(spark, sf_smoke)
+    inter = exact.select("q_id", "neighbor_id").intersect(
+        approx.select("q_id", "neighbor_id")
+    )
+    hits = {r.q_id: r.n for r in inter.groupBy("q_id").count().withColumnRenamed("count", "n").collect()}
+    for r in rows:
+        assert r.n_exact <= TOP_K
+        assert 0 <= r.n_hit <= r.n_exact
+        assert abs(r.recall_at_k - r.n_hit / r.n_exact) < 1e-4
+        assert r.n_hit == hits.get(r.q_id, 0)
+
+
+def test_kanon_suppression_thresholds(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.queries.quality import (
+        KANON_K,
+        kanon_suppression,
+    )
+
+    rows = {r.event_type: r for r in kanon_suppression(spark, sf_smoke).collect()}
+    ev = load_table(spark, sf_smoke, "events")
+    cells = (
+        ev.groupBy("event_type", F.hour("ts").alias("h"))
+        .agg(F.count_distinct("user_id").alias("u"), F.count("*").alias("n"))
+        .collect()
+    )
+    for et, r in rows.items():
+        mine = [c for c in cells if c.event_type == et]
+        assert r.n_cells == len(mine)
+        supp = [c for c in mine if c.u < KANON_K]
+        assert r.n_suppressed_cells == len(supp)
+        assert r.n_suppressed_events == sum(c.n for c in supp)

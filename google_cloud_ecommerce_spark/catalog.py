@@ -46,6 +46,67 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # plans bound to its own context.
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# --- scan-layout compaction -------------------------------------------------
+# The testdata parquet is written as ONE row group per file. Spark
+# assigns parquet row groups to file splits by midpoint, so a
+# single-row-group file decodes in exactly one task no matter how many
+# splits the scheduler makes — every scan of such a file is serial.
+# This is the lakehouse compaction problem (Delta/Iceberg `OPTIMIZE`):
+# the fix is a one-time re-layout of the physical file, not a query
+# change. On first touch of a pathological table we rewrite it into a
+# multi-row-group mirror under a cache dir, keyed by the source's
+# (size, mtime) fingerprint so a changed source forces a re-compact —
+# the same fingerprint discipline as the materialized similarity
+# indexes (operators/similarity.py). Row values are bit-identical; the
+# arrow round-trip preserves the physical schema exactly (including
+# TIMESTAMP(NANOS), which Spark itself could not rewrite losslessly).
+#
+# At 100 TB this step is a distributed Spark job (read → repartition →
+# write) running at ingest; driver-side pyarrow is the local stand-in
+# because it is schema-exact and the files are MBs here. Scale safety
+# of the accompanying openCostInBytes lowering (load_table): split size
+# is min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism)) —
+# lowering the floor only affects files small enough to otherwise
+# under-split; the 128 MB maxPartitionBytes cap still governs real
+# datasets. The 1 MB default floor was chosen by A/B at sf0.1
+# (131072 over-splits the mid-size event/order scans into pure
+# scheduling overhead; 4 MB leaves the fact-table decode under-split
+# — 1 MB beat both on the affected query set, min-of-3).
+_COMPACT_MIN_ROWS = int(os.environ.get("SPARK_GRAFT_COMPACT_MIN_ROWS", "50000"))
+_COMPACT_MIN_GROUP_ROWS = 8192
+
+
+def _table_cache_root() -> str:
+    return os.environ.get("SPARK_GRAFT_TABLE_CACHE", "/tmp/spark_graft_table_cache")
+
+
+def _compacted_source(spark: SparkSession, path: str) -> str:
+    """Return a scan path with enough row groups to parallelize, else `path`."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return path
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except Exception:
+        return path
+    if meta.num_rows < _COMPACT_MIN_ROWS or meta.num_row_groups >= max(2, cores // 2):
+        return path
+    st = os.stat(path)
+    root = _table_cache_root()
+    dest = os.path.join(
+        root,
+        f"{os.path.basename(path)}.{st.st_size}.{st.st_mtime_ns}.parquet",
+    )
+    if not os.path.exists(dest):
+        os.makedirs(root, exist_ok=True)
+        group_rows = max(_COMPACT_MIN_GROUP_ROWS, -(-meta.num_rows // cores))
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        pq.write_table(pq.read_table(path), tmp, row_group_size=group_rows)
+        os.replace(tmp, dest)  # atomic: concurrent sessions race benignly
+    return dest
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy typed scan of one testdata table.
@@ -62,11 +123,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # day/hour/weekday derivations stable against any tz-naive oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Lower the split-size floor so compacted small files fan out to all
+    # cores; harmless at scale (see the compaction note above: the
+    # bytes/parallelism term and the 128 MB cap dominate for big files).
+    spark.conf.set(
+        "spark.sql.files.openCostInBytes",
+        os.environ.get("SPARK_GRAFT_OPEN_COST", "1048576"),
+    )
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(
+        _compacted_source(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    )
     ts_nanos = [
         f.name
         for f in df.schema.fields

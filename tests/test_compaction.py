@@ -78,3 +78,49 @@ def test_runtime_bloom_filter_injected_on_selective_dim_join(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scan_compaction_mirrors_single_row_group_tables(spark, tmp_path, monkeypatch):
+    """A big single-row-group source is mirrored into a multi-row-group
+    file (bit-identical rows); dims below the row threshold are not."""
+    import pyarrow.parquet as pq
+
+    from google_cloud_ecommerce_spark import catalog
+
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_CACHE", str(tmp_path / "cache"))
+    sf_dir = "/root/testdata/sf0.1"
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    assert pq.ParquetFile(src).metadata.num_row_groups == 1
+
+    mirrored = catalog._compacted_source(spark, src)
+    assert mirrored != src
+    cores = spark.sparkContext.defaultParallelism
+    groups = pq.ParquetFile(mirrored).metadata.num_row_groups
+    assert groups >= min(cores, pq.ParquetFile(src).metadata.num_rows // 8192)
+    # bit-identical contents and schema
+    assert pq.read_table(mirrored).equals(pq.read_table(src))
+
+    # small dims pass through untouched
+    dim = os.path.join(sf_dir, "nation.parquet")
+    assert catalog._compacted_source(spark, dim) == dim
+
+    # fingerprint stability: second call reuses the mirror
+    assert catalog._compacted_source(spark, src) == mirrored
+
+
+def test_scan_compaction_parallelizes_the_scan(spark, tmp_path, monkeypatch):
+    """load_table on the compacted mirror plans a multi-partition scan
+    (the single-row-group original decodes in exactly one task)."""
+    from google_cloud_ecommerce_spark import catalog
+
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_CACHE", str(tmp_path / "cache"))
+    catalog._PLAN_CACHE.clear()
+    try:
+        df = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+        # The single-row-group original decodes in exactly 1 task; the
+        # mirror splits at the 1 MB openCostInBytes floor (~15 splits
+        # for sf0.1 lineitem) — assert genuine fan-out, not a fixed
+        # core count the floor deliberately trades away.
+        assert df.rdd.getNumPartitions() >= 8
+    finally:
+        catalog._PLAN_CACHE.clear()  # don't leak tmp-cache plans to other tests

@@ -1688,3 +1688,152 @@ def _ngram_novelty_sql() -> str:
 
 QUERIES["ngram_novelty"] = ngram_novelty
 ORACLE["ngram_novelty"] = _ngram_novelty_sql()
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility — per-language tokenizer-efficiency report: the
+# subword-per-word ("fertility") and chars-per-subword ratios a
+# multilingual pipeline uses to rebalance its language mix (a language
+# the tokenizer fragments heavily costs more sequence length per unit
+# of text, so its byte share under-states its token share).
+#
+# One map-side pass (per-doc counts are column folds, no explode) into
+# one hash aggregate keyed by lang — partial aggregation makes the
+# shuffle |langs| rows per partition regardless of corpus size. The
+# ratios are IEEE divisions of exact integer sums, so the doubles are
+# bit-identical across engines and ship unrounded.
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _docs(spark, sf_dir).select(
+        "lang",
+        F.expr(f"CAST(size({tokens_expr('text')}) AS BIGINT)").alias("ws"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}', 0)) AS BIGINT)"
+        ).alias("bpe"),
+        F.col("n_chars"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "total_chars",
+        (F.col("bpe_tokens") / F.col("ws_tokens")).alias("fertility"),
+        (F.col("total_chars") / F.col("bpe_tokens")).alias("chars_per_token"),
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    return f"""
+        WITH d AS (
+            SELECT lang,
+                   CAST(len({tokens_sql('text')}) AS BIGINT) AS ws,
+                   CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}'))
+                        AS BIGINT) AS bpe,
+                   n_chars
+            FROM documents
+        ), a AS (
+            SELECT lang, count(*) AS n_docs,
+                   CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM d GROUP BY 1
+        )
+        SELECT lang, n_docs, ws_tokens, bpe_tokens, total_chars,
+               bpe_tokens / ws_tokens AS fertility,
+               total_chars / bpe_tokens AS chars_per_token
+        FROM a
+    """
+
+
+QUERIES["tokenizer_fertility"] = tokenizer_fertility
+ORACLE["tokenizer_fertility"] = _tokenizer_fertility_sql()
+
+
+# ---------------------------------------------------------------------------
+# adaptive_quality_gates — per-source percentile thresholding: instead
+# of one corpus-wide quality cutoff (which silently empties strict
+# sources and waves through lax ones), each source keeps its own top
+# (1 - GATE_PCT) fraction by quality score. This is the adaptive-
+# threshold filtering step of recent web-corpus recipes, in contrast
+# to the FIXED gates of gopher_gates.
+#
+# Scale shape: the score is the same pure column formula as
+# text_quality (map-side, codegen); the ranking is a window PARTITIONED
+# BY source — parallel per source, never a global sort. percent_rank =
+# (rank-1)/(n-1) over a tie-free order (score, then doc_id), so the
+# cutoff row set is deterministic and engine-identical; the score and
+# rank doubles are exact IEEE arithmetic on integer operands and ship
+# unrounded.
+# ---------------------------------------------------------------------------
+
+GATE_PCT = 0.25
+
+
+def adaptive_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en_stop = _stopword_count_expr("en")
+    scored = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"{tokens_expr('lower(text)')}").alias("toks"),
+        )
+        .filter("size(toks) >= 1")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.least(F.expr("size(toks)") / F.lit(50.0), F.lit(1.0)) * 0.5
+                + F.expr("size(array_distinct(toks))") / F.expr("size(toks)") * 0.3
+                + F.least(F.expr(en_stop) / F.expr("size(toks)") * 5.0, F.lit(1.0))
+                * 0.2
+            ).alias("quality_score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.asc("quality_score"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.percent_rank().over(w).alias("pct_rank"),
+        (F.percent_rank().over(w) >= F.lit(GATE_PCT)).cast("long").alias("is_kept"),
+    )
+
+
+def _adaptive_quality_gates_sql() -> str:
+    en_stop = _stopword_count_sql("en")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, source, {tokens_sql('lower(text)')} AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, source,
+                   least(len(toks) / 50.0, 1.0) * 0.5
+                       + len(list_distinct(toks)) * 1.0 / len(toks) * 0.3
+                       + least({en_stop} * 1.0 / len(toks) * 5.0, 1.0) * 0.2
+                       AS quality_score
+            FROM t WHERE len(toks) >= 1
+        )
+        SELECT doc_id, source, quality_score,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY quality_score, doc_id) AS pct_rank,
+               CAST(percent_rank() OVER (PARTITION BY source
+                                         ORDER BY quality_score, doc_id)
+                    >= {GATE_PCT} AS BIGINT) AS is_kept
+        FROM s
+    """
+
+
+QUERIES["adaptive_quality_gates"] = adaptive_quality_gates
+ORACLE["adaptive_quality_gates"] = _adaptive_quality_gates_sql()

@@ -1653,3 +1653,94 @@ def _ann_recall_report_sql() -> str:
 
 QUERIES["ann_recall_report"] = ann_recall_report
 ORACLE["ann_recall_report"] = _ann_recall_report_sql()
+
+
+# ---------------------------------------------------------------------------
+# embedding_outliers — embedding-space outlier gate: distance to the
+# corpus centroid, flagged at mean + 2*stddev. The curation step that
+# drops corrupt/degenerate embeddings (zeroed rows, encoder failures,
+# wrong-modality mixups) BEFORE they poison semantic dedup clusters or
+# ANN index training.
+#
+# Scale shape: two map-side aggregates to ONE row each (centroid, then
+# distance moments), each broadcast back — the corpus is scanned
+# twice and never shuffles. Float determinism: per-dim centroid means
+# and the distance moments accumulate as ROUND(x,6)::DECIMAL(18,6)
+# sums (order-independent, the kmeans_assign trick); the per-row
+# distance itself is a fixed-order fold, and stddev = sqrt(m2 - mean²)
+# is IEEE-exact — every double is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+OUTLIER_SIGMA = 2.0
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "v")
+    dec_sum = lambda x: F.sum(F.round(x, 6).cast("decimal(18,6)")).cast("double")  # noqa: E731
+    centroid = emb.agg(
+        F.array(
+            *[
+                (dec_sum(F.expr(f"element_at(v, {i})")) / F.count("*")).alias(
+                    f"c{i}"
+                )
+                for i in range(1, EMBED_DIM + 1)
+            ]
+        ).alias("cv")
+    )
+    with_dist = emb.join(F.broadcast(centroid)).withColumn(
+        "dist", F.expr(f"sqrt({_sqdist_expr('v', 'cv')})")
+    )
+    moments = with_dist.agg(
+        (dec_sum(F.col("dist")) / F.count("*")).alias("mean_d"),
+        (dec_sum(F.col("dist") * F.col("dist")) / F.count("*")).alias("m2_d"),
+    ).select(
+        "mean_d",
+        F.expr("sqrt(m2_d - mean_d * mean_d)").alias("std_d"),
+    )
+    return with_dist.join(F.broadcast(moments)).select(
+        "vec_id",
+        "label",
+        F.round("dist", 4).alias("dist"),
+        (
+            F.col("dist") > F.col("mean_d") + F.lit(OUTLIER_SIGMA) * F.col("std_d")
+        )
+        .cast("long")
+        .alias("is_outlier"),
+    )
+
+
+def _embedding_outliers_sql() -> str:
+    cent_cols = ",\n                   ".join(
+        f"CAST(SUM(CAST(ROUND(v[{i}], 6) AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / count(*) AS c{i}"
+        for i in range(1, EMBED_DIM + 1)
+    )
+    cv_list = "[" + ", ".join(f"c{i}" for i in range(1, EMBED_DIM + 1)) + "]"
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), cent AS (
+            SELECT {cent_cols}
+            FROM e
+        ), d AS (
+            SELECT vec_id, label,
+                   sqrt({_sqdist_sql('v', cv_list)}) AS dist
+            FROM e, cent
+        ), mom AS (
+            SELECT CAST(SUM(CAST(ROUND(dist, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) AS mean_d,
+                   CAST(SUM(CAST(ROUND(dist * dist, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) AS m2_d
+            FROM d
+        )
+        SELECT vec_id, label, ROUND(dist, 4) AS dist,
+               CAST(dist > mean_d + {OUTLIER_SIGMA} * sqrt(m2_d - mean_d * mean_d)
+                    AS BIGINT) AS is_outlier
+        FROM d, mom
+    """
+
+
+QUERIES["embedding_outliers"] = embedding_outliers
+ORACLE["embedding_outliers"] = _embedding_outliers_sql()

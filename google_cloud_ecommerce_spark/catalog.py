@@ -82,6 +82,11 @@ def _table_cache_root() -> str:
 
 def _compacted_source(spark: SparkSession, path: str) -> str:
     """Return a scan path with enough row groups to parallelize, else `path`."""
+    if not os.path.isfile(path):
+        # Cloud URIs (hdfs://, s3a://, gs://) and directory tables pass
+        # through untouched — compaction there is the ingest-time
+        # distributed rewrite, not a driver-side mirror.
+        return path
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow is baked in

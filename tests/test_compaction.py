@@ -104,6 +104,11 @@ def test_scan_compaction_mirrors_single_row_group_tables(spark, tmp_path, monkey
     dim = os.path.join(sf_dir, "nation.parquet")
     assert catalog._compacted_source(spark, dim) == dim
 
+    # cloud URIs pass through: compaction there is the ingest-time
+    # distributed rewrite, never a driver-side mirror
+    for uri in ("hdfs://nn/warehouse/t.parquet", "s3a://bucket/t.parquet"):
+        assert catalog._compacted_source(spark, uri) == uri
+
     # fingerprint stability: second call reuses the mirror
     assert catalog._compacted_source(spark, src) == mirrored
 

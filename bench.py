@@ -113,6 +113,11 @@ HEADLINE = [
     "quality_classifier_score",
     "span_corruption_masks",
     "importance_sampling_weights",
+    # round-4 additions: tokenizer-efficiency report, per-source
+    # adaptive quality gating, embedding outlier gate
+    "tokenizer_fertility",
+    "adaptive_quality_gates",
+    "embedding_outliers",
     # corpus_curation_pipeline is deliberately NOT in the headline: its
     # cost is the minhash verify stage on the synthetic corpus's dense
     # near-duplicate mass (measured separately at sf0.1: Spark 99 s vs

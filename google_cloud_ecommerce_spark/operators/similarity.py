@@ -815,14 +815,28 @@ def _sqdist_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
 
 
 def _kmeans_assign_step(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    scored = emb.join(F.broadcast(cents)).withColumn(
-        "sq_dist", F.expr(_sqdist_expr("v", "cv"))
+    """Shuffle-free assignment: the k centroids collapse to ONE row
+    holding an array of (c_id, cv) structs, broadcast everywhere; the
+    per-vector argmin is array_min over a struct transform — sq_dist
+    first, c_id tie-break, the SAME total order as a per-vec window
+    rank but with zero corpus shuffle. This matters at scale: the old
+    form (broadcast join to k rows per vector + Window.partitionBy
+    (vec_id)) re-shuffled the whole corpus on EVERY Lloyd iteration;
+    this form touches each vector where it already sits."""
+    cents_row = cents.agg(F.collect_list(F.struct("c_id", "cv")).alias("cs"))
+    best = (
+        f"array_min(transform(cs, c -> "
+        f"struct({_sqdist_expr('v', 'c.cv')} AS sq_dist, c.c_id AS c_id)))"
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("sq_dist"), F.asc("c_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "c_id", "sq_dist")
+        emb.join(F.broadcast(cents_row))
+        .withColumn("best", F.expr(best))
+        .select(
+            "vec_id",
+            "v",
+            F.col("best.c_id").alias("c_id"),
+            F.col("best.sq_dist").alias("sq_dist"),
+        )
     )
 
 

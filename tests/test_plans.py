@@ -395,6 +395,10 @@ def test_round2_operator_plan_shapes(spark, sf_smoke):
     plan = plan_of(similarity.kmeans_assign(spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # assignment is shuffle-free: the argmin is an array_min fold over
+    # the broadcast centroid array, never a per-vec_id window rank
+    # (which would re-shuffle the corpus every Lloyd iteration)
+    assert "Window" not in plan
 
     # segment dedup: digest shuffles for the count join (probe + the
     # partially-aggregated build side) + the doc_id roll-up, nothing

@@ -1701,8 +1701,14 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("cv")
     )
-    with_dist = emb.join(F.broadcast(centroid)).withColumn(
-        "dist", F.expr(f"sqrt({_sqdist_expr('v', 'cv')})")
+    # LAZY checkpoint: the dist subtree feeds both the moments
+    # aggregate and the final projection — without the pin Catalyst
+    # re-inlines it under every reference (8 parquet scans; 2 with it).
+    # Lazy, so nothing runs at query-build time (bench stays honest).
+    with_dist = (
+        emb.join(F.broadcast(centroid))
+        .withColumn("dist", F.expr(f"sqrt({_sqdist_expr('v', 'cv')})"))
+        .localCheckpoint(eager=False)
     )
     moments = with_dist.agg(
         (dec_sum(F.col("dist")) / F.count("*")).alias("mean_d"),

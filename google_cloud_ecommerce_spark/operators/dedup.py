@@ -1232,3 +1232,130 @@ def _semdedup_clusters_sql() -> str:
 
 QUERIES["semdedup_clusters"] = semdedup_clusters
 ORACLE["semdedup_clusters"] = _semdedup_clusters_sql()
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sweep — the threshold-selection curve: near-dup pair
+# and affected-doc counts at a grid of cosine cutoffs, from ONE pass
+# over the banded LSH candidate pairs. Curators pick the dedup
+# threshold from exactly this curve (too low deletes paraphrases, too
+# high keeps templates); computing it per-candidate-pair rather than
+# per-threshold re-run makes the sweep as cheap as one dedup pass.
+#
+# Scale shape: candidate generation is the SAME banded sign-LSH
+# self-join as dedup_embedding_cosine (work scales with band
+# collisions, never n²); the 5-row threshold grid joins via a
+# broadcast non-equi join, so the sweep adds only two hash aggregates
+# over the (already small) surviving-pair set.
+# ---------------------------------------------------------------------------
+
+SWEEP_THRESHOLDS = (0.80, 0.85, 0.90, 0.95, 0.99)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.operators._common import DEDUP_N_BANDS
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    with_norm = emb.select(
+        "vec_id", "v", F.expr(f"sqrt({dot_expr('v', 'v')})").alias("norm")
+    )
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'key', {_dedup_band_key_expr(b)})"
+        for b in range(DEDUP_N_BANDS)
+    )
+    bands = with_norm.select(
+        "vec_id",
+        "v",
+        "norm",
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"),
+    ).select(
+        "vec_id", "v", "norm",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    floor = min(SWEEP_THRESHOLDS)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                F.expr(f"{dot_expr('a.v', 'b.v')}")
+                / (F.col("a.norm") * F.col("b.norm")),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= floor)
+        .distinct()
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+        ).alias("threshold")
+    )
+    x = pairs.join(F.broadcast(grid), F.col("cosine") >= F.col("threshold"))
+    per_pairs = x.groupBy("threshold").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    per_docs = (
+        x.select("threshold", F.explode(F.array("vec_a", "vec_b")).alias("vid"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("vid").cast("long").alias("n_docs"))
+    )
+    return per_pairs.join(per_docs, "threshold")
+
+
+def _dedup_threshold_sweep_sql() -> str:
+    from google_cloud_ecommerce_spark.operators._common import DEDUP_N_BANDS
+
+    band_selects = "\n            UNION ALL\n".join(
+        f"            SELECT vec_id, v, norm, {b} AS band,"
+        f" {_dedup_band_key_sql(b)} AS key FROM n"
+        for b in range(DEDUP_N_BANDS)
+    )
+    grid = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
+    floor = min(SWEEP_THRESHOLDS)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        ), bands AS (
+{band_selects}
+        ), pairs AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND({dot_sql('a.v', 'b.v')} / (a.norm * b.norm), 4)
+                       AS cosine
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            WHERE ROUND({dot_sql('a.v', 'b.v')} / (a.norm * b.norm), 4)
+                  >= {floor}
+        ), grid(threshold) AS (
+            VALUES {grid}
+        ), x AS (
+            SELECT g.threshold, p.vec_a, p.vec_b
+            FROM pairs p JOIN grid g ON p.cosine >= g.threshold
+        ), u AS (
+            SELECT threshold, vec_a AS vid FROM x
+            UNION ALL
+            SELECT threshold, vec_b FROM x
+        )
+        SELECT p.threshold,
+               p.n_pairs,
+               d.n_docs
+        FROM (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM x GROUP BY 1) p
+        JOIN (SELECT threshold, CAST(count(DISTINCT vid) AS BIGINT) AS n_docs
+              FROM u GROUP BY 1) d USING (threshold)
+    """
+
+
+QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
+ORACLE["dedup_threshold_sweep"] = _dedup_threshold_sweep_sql()

@@ -1394,3 +1394,99 @@ def _epoch_shuffle_sql() -> str:
 
 QUERIES["epoch_shuffle_shards"] = epoch_shuffle_shards
 ORACLE["epoch_shuffle_shards"] = _epoch_shuffle_sql()
+
+
+# ---------------------------------------------------------------------------
+# packing_capacity_sweep — the max_seq_len selection curve: packing
+# efficiency (bins, fill ratio, oversize docs) at a grid of capacities
+# from ONE prefix-sum pass. The companion to dedup_threshold_sweep:
+# curators pick the sequence length from exactly this trade-off (small
+# capacities waste long docs to overflow, large ones waste slots to
+# padding), and deriving every capacity from the same per-lang running
+# total costs one window instead of one packing run per capacity.
+#
+# Scale shape: the prefix sum is the sequence_packing window
+# (partitioned by lang — parallel, never global); the 4-row capacity
+# grid joins via broadcast, and everything after is two hash
+# aggregates. fill_ratio is an IEEE division of exact BIGINTs, shipped
+# unrounded.
+# ---------------------------------------------------------------------------
+
+CAPACITY_GRID = (64, 128, 256, 512)
+
+
+def packing_capacity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.expr(f"size({tokens_expr('text')})").cast("long").alias("tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum", F.sum("tok").over(w))
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c).cast("long") for c in CAPACITY_GRID])
+        ).alias("capacity")
+    )
+    x = cum.join(F.broadcast(grid)).withColumn(
+        "bin_id", F.expr("(cum - tok) DIV capacity")
+    )
+    agg = x.groupBy("capacity").agg(
+        F.countDistinct("lang", "bin_id").cast("long").alias("n_bins"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.count(F.when(F.col("tok") > F.col("capacity"), F.lit(1)))
+        .cast("long")
+        .alias("n_overflow_docs"),
+    )
+    return agg.select(
+        "capacity",
+        "n_bins",
+        "total_tokens",
+        (F.col("total_tokens") / (F.col("n_bins") * F.col("capacity"))).alias(
+            "fill_ratio"
+        ),
+        "n_overflow_docs",
+    )
+
+
+def _packing_capacity_sweep_sql() -> str:
+    grid = ", ".join(f"({c})" for c in CAPACITY_GRID)
+    return f"""
+        WITH t AS (
+            SELECT lang, doc_id,
+                   CAST(len({tokens_sql('text')}) AS BIGINT) AS tok
+            FROM documents
+        ), c AS (
+            SELECT lang, doc_id, tok,
+                   CAST(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS cum
+            FROM t
+        ), g(capacity) AS (
+            VALUES {grid}
+        ), x AS (
+            SELECT CAST(g.capacity AS BIGINT) AS capacity, c.lang, c.tok,
+                   CAST((c.cum - c.tok) // g.capacity AS BIGINT) AS bin_id
+            FROM c CROSS JOIN g
+        ), a AS (
+            SELECT capacity,
+                   CAST(count(DISTINCT (lang, bin_id)) AS BIGINT) AS n_bins,
+                   CAST(sum(tok) AS BIGINT) AS total_tokens,
+                   CAST(count(CASE WHEN tok > capacity THEN 1 END) AS BIGINT)
+                       AS n_overflow_docs
+            FROM x GROUP BY 1
+        )
+        SELECT capacity, n_bins, total_tokens,
+               total_tokens / (n_bins * capacity) AS fill_ratio,
+               n_overflow_docs
+        FROM a
+    """
+
+
+QUERIES["packing_capacity_sweep"] = packing_capacity_sweep
+ORACLE["packing_capacity_sweep"] = _packing_capacity_sweep_sql()

@@ -1490,3 +1490,96 @@ def _packing_capacity_sweep_sql() -> str:
 
 QUERIES["packing_capacity_sweep"] = packing_capacity_sweep
 ORACLE["packing_capacity_sweep"] = _packing_capacity_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# eval_split_leakage — train→eval leakage guard: for every held-out
+# (val/test) document of the md5-bucket split, how many of its distinct
+# word 3-grams also appear anywhere in the train split. contamination_
+# check quarantines train docs against an EXTERNAL benchmark; this is
+# the INTERNAL guard a pipeline runs after splitting, so near-copies
+# that straddled the split boundary can't inflate eval scores.
+#
+# Scale shape: both sides are data-sized, so this is a shuffled
+# equi-join — never a broadcast. Grams are md5-hashed to 31-bit ints
+# BEFORE the shuffle (fixed-width keys, the ngram_novelty discipline;
+# collisions are deterministic and identical in both engines); the
+# train side deduplicates to its distinct gram set first, and the
+# probe is a LEFT SEMI join, so nothing materializes the cross of
+# eval grams x train docs.
+# ---------------------------------------------------------------------------
+
+
+def eval_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.expr(_split_expr_spark()).alias("split"),
+        F.expr(tokens_expr("lower(text)")).alias("toks"),
+    )
+    sh = (
+        toks.filter(F.expr(f"size(toks) >= {SHINGLE_K}"))
+        .select(
+            "doc_id",
+            "split",
+            F.explode(F.array_distinct(F.expr(_shingle_spark()))).alias("shingle"),
+        )
+        .select("doc_id", "split", F.expr(token_hash_expr("shingle")).alias("gh"))
+    )
+    train_set = sh.filter(F.col("split") == "train").select("gh").distinct()
+    ev = sh.filter(F.col("split") != "train")
+    totals = ev.groupBy("doc_id", "split").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    leaked = (
+        ev.join(train_set, "gh", "left_semi")
+        .groupBy("doc_id", "split")
+        .agg(F.count("*").cast("long").alias("n_leaked"))
+    )
+    return totals.join(leaked, ["doc_id", "split"], "left").select(
+        "doc_id",
+        "split",
+        "n_shingles",
+        F.coalesce(F.col("n_leaked"), F.lit(0)).cast("long").alias("n_leaked"),
+        (
+            F.coalesce(F.col("n_leaked"), F.lit(0)).cast("double")
+            / F.col("n_shingles")
+        ).alias("leak_frac"),
+    )
+
+
+def _eval_split_leakage_sql() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_split_expr_sql()} AS split,
+                   {tokens_sql('lower(text)')} AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, split, {token_hash_sql('shingle')} AS gh
+            FROM (
+                SELECT doc_id, split,
+                       unnest(list_distinct({_shingle_sql()})) AS shingle
+                FROM toks WHERE len(toks) >= {SHINGLE_K}
+            )
+        ), train_set AS (
+            SELECT DISTINCT gh FROM sh WHERE split = 'train'
+        ), ev AS (
+            SELECT * FROM sh WHERE split != 'train'
+        ), totals AS (
+            SELECT doc_id, split, count(*) AS n_shingles
+            FROM ev GROUP BY 1, 2
+        ), leaked AS (
+            SELECT doc_id, split, count(*) AS n_leaked
+            FROM ev WHERE gh IN (SELECT gh FROM train_set)
+            GROUP BY 1, 2
+        )
+        SELECT t.doc_id, t.split, t.n_shingles,
+               CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+               CAST(COALESCE(l.n_leaked, 0) AS DOUBLE) / t.n_shingles
+                   AS leak_frac
+        FROM totals t LEFT JOIN leaked l USING (doc_id, split)
+    """
+
+
+QUERIES["eval_split_leakage"] = eval_split_leakage
+ORACLE["eval_split_leakage"] = _eval_split_leakage_sql()

@@ -1359,3 +1359,60 @@ def _dedup_threshold_sweep_sql() -> str:
 
 QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
 ORACLE["dedup_threshold_sweep"] = _dedup_threshold_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# dup_cluster_histogram — the dedup-aggressiveness report: how near-dup
+# cluster sizes distribute (pairs vs small families vs template
+# explosions). A curator reads this before keeper-selection: a corpus
+# whose mass sits in 17+ clusters has a boilerplate/template problem
+# that thresholding alone won't fix, while all-pairs mass means simple
+# keeper selection recovers almost everything. Composed from the SAME
+# connected-components operator exposed as dedup_clusters — one extra
+# hash aggregate over the (already tiny) per-cluster rows; buckets are
+# integer CASE ranges, no log2 (libm last-ulp hazards), so the row set
+# is engine-exact.
+# ---------------------------------------------------------------------------
+
+
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cluster = (
+        dedup_clusters(spark, sf_dir)
+        .select("cluster_id", "cluster_size")
+        .distinct()
+    )
+    bucket = (
+        "CASE WHEN cluster_size <= 2 THEN '2' "
+        "WHEN cluster_size <= 4 THEN '3-4' "
+        "WHEN cluster_size <= 8 THEN '5-8' "
+        "WHEN cluster_size <= 16 THEN '9-16' "
+        "ELSE '17+' END"
+    )
+    return per_cluster.groupBy(F.expr(bucket).alias("size_bucket")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        F.max("cluster_size").cast("long").alias("max_size"),
+    )
+
+
+def _dup_cluster_histogram_sql() -> str:
+    return f"""
+        WITH clusters AS ({_dedup_clusters_sql()}),
+        per_cluster AS (
+            SELECT DISTINCT cluster_id, cluster_size FROM clusters
+        )
+        SELECT CASE WHEN cluster_size <= 2 THEN '2'
+                    WHEN cluster_size <= 4 THEN '3-4'
+                    WHEN cluster_size <= 8 THEN '5-8'
+                    WHEN cluster_size <= 16 THEN '9-16'
+                    ELSE '17+' END AS size_bucket,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+               CAST(max(cluster_size) AS BIGINT) AS max_size
+        FROM per_cluster
+        GROUP BY 1
+    """
+
+
+QUERIES["dup_cluster_histogram"] = dup_cluster_histogram
+ORACLE["dup_cluster_histogram"] = _dup_cluster_histogram_sql()

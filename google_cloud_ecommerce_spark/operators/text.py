@@ -1837,3 +1837,82 @@ def _adaptive_quality_gates_sql() -> str:
 
 QUERIES["adaptive_quality_gates"] = adaptive_quality_gates
 ORACLE["adaptive_quality_gates"] = _adaptive_quality_gates_sql()
+
+
+# ---------------------------------------------------------------------------
+# gate_attribution — which quality gate does the work: per Gopher rule,
+# how many documents fail it and how many it UNIQUELY kills (docs
+# passing the other four). Uniform fail counts with near-zero unique
+# kills mean the rules are redundant and thresholds can relax; one
+# rule owning most unique kills is the gate actually shaping the
+# corpus. Composed from the same gopher_gates operator exposed
+# individually: one generator unpivot of the 5 flag columns + one hash
+# aggregate keyed by rule (5 groups), plus a 1-row total broadcast.
+# ---------------------------------------------------------------------------
+
+_GATE_RULES = (
+    ("word_count", "pass_word_count"),
+    ("mean_word_len", "pass_mean_word_len"),
+    ("alpha_frac", "pass_alpha_frac"),
+    ("symbol_ratio", "pass_symbol_ratio"),
+    ("stopwords", "pass_stopwords"),
+)
+
+
+def gate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = gopher_gates(spark, sf_dir)
+    stack_args = ", ".join(f"'{name}', {col}" for name, col in _GATE_RULES)
+    st = g.select(
+        "n_rules_passed",
+        F.expr(f"stack({len(_GATE_RULES)}, {stack_args}) AS (rule, passed)"),
+    )
+    agg = st.groupBy("rule").agg(
+        F.count(F.when(F.col("passed") == 0, F.lit(1)))
+        .cast("long")
+        .alias("n_failed"),
+        F.count(
+            F.when(
+                (F.col("passed") == 0) & (F.col("n_rules_passed") == 4), F.lit(1)
+            )
+        )
+        .cast("long")
+        .alias("n_unique_kills"),
+    )
+    tot = g.agg(F.count("*").cast("long").alias("n_docs"))
+    return agg.join(F.broadcast(tot)).select(
+        "rule",
+        "n_failed",
+        "n_unique_kills",
+        "n_docs",
+        (F.col("n_failed").cast("double") / F.col("n_docs")).alias("fail_frac"),
+    )
+
+
+def _gate_attribution_sql() -> str:
+    unions = "\n            UNION ALL\n".join(
+        f"            SELECT n_rules_passed, '{name}' AS rule, {col} AS passed"
+        f" FROM g"
+        for name, col in _GATE_RULES
+    )
+    return f"""
+        WITH g AS ({_gopher_gates_sql()}),
+        st AS (
+{unions}
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs FROM g
+        )
+        SELECT rule,
+               CAST(count(CASE WHEN passed = 0 THEN 1 END) AS BIGINT)
+                   AS n_failed,
+               CAST(count(CASE WHEN passed = 0 AND n_rules_passed = 4
+                          THEN 1 END) AS BIGINT) AS n_unique_kills,
+               tot.n_docs,
+               CAST(count(CASE WHEN passed = 0 THEN 1 END) AS DOUBLE)
+                   / tot.n_docs AS fail_frac
+        FROM st, tot
+        GROUP BY 1, tot.n_docs
+    """
+
+
+QUERIES["gate_attribution"] = gate_attribution
+ORACLE["gate_attribution"] = _gate_attribution_sql()

@@ -94,14 +94,30 @@ def top_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hour_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg rounded to 4 decimals via exact integer arithmetic: the sum is
+    # decimal(18,4), so sum*10^4 is an exact integer and half-up rounding
+    # of sum/n at scale 4 is (2*s + n) div (2*n) — engine-independent,
+    # unlike round(double, 4) whose tie-breaks differ between Spark and
+    # DuckDB on .xxxx5 halfway points (values are non-negative prices, so
+    # trunc-division == floor-division in both engines).
     sum_dec = F.sum(F.col("value").cast("decimal(18,4)"))
     return (
         _events(spark, sf_dir)
         .groupBy(F.hour("ts").cast("long").alias("hour"), "event_type")
         .agg(
             sum_dec.cast("double").alias("sum_value"),
-            F.round(sum_dec.cast("double") / F.count("*"), 4).alias("avg_value"),
+            (sum_dec * F.lit(10000)).cast("long").alias("_s4"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            "sum_value",
+            (
+                F.expr("(2 * _s4 + n_events) div (2 * n_events)").cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_value"),
+            "n_events",
         )
     )
 
@@ -573,11 +589,17 @@ ORACLE = {
         GROUP BY 1 ORDER BY volume DESC, category ASC LIMIT 10
     """,
     "hour_event_value": """
-        SELECT CAST(hour(ts) AS BIGINT) AS hour, event_type,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value,
-               count(*) AS n_events
-        FROM events GROUP BY 1, 2
+        WITH g AS (
+            SELECT CAST(hour(ts) AS BIGINT) AS hour, event_type,
+                   SUM(CAST(value AS DECIMAL(18,4))) AS s,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT hour, event_type, CAST(s AS DOUBLE) AS sum_value,
+               CAST((2 * CAST(s * 10000 AS BIGINT) + n_events)
+                    // (2 * n_events) AS DOUBLE) / 10000 AS avg_value,
+               n_events
+        FROM g
     """,
     "weekday_conversion_volume": """
         SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday, event_type,

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from google_cloud_ecommerce_spark.catalog import load_table
 from google_cloud_ecommerce_spark.operators._common import (
+    EMBED_DIM,
     MERSENNE31,
     MINHASH_A,
     MINHASH_B,
@@ -1167,21 +1168,43 @@ def semdedup_clusters(
         )
         .drop("c_n")
     )
-    # The pair blowup is on the OUTPUT side (cluster-bounded quadratic),
-    # so input-size heuristics leave the probe side at its scan
-    # parallelism (1 task for a single small file) and the whole pair
-    # space serializes. Spread the probe side by vec_id first: the
-    # shuffle moves only |corpus| rows, and every core then owns a
-    # slice of each cluster's pair space.
-    probe = keyed.repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id"
+    # Pair stage (round-4 tuning, A/B-measured at sf0.1):
+    #   1. Scalar-expand each vector ONCE per row (v[i] -> e0..e63) so
+    #      the per-pair dot is a flat multiply-add chain over scalar
+    #      columns that whole-stage codegen compiles, instead of an
+    #      aggregate/zip_with higher-order function the join condition
+    #      re-interprets per candidate pair (HOFs never codegen). The
+    #      chain adds terms left-to-right — the same order as the fold —
+    #      so the cosine is bit-identical to the oracle's.
+    #   2. Salt the join: (cluster_id, subkey) alone has k * n_sub
+    #      distinct keys, so the shuffle serializes each bucket's whole
+    #      pair space into one task. Exploding PAIR_SALT salt values on
+    #      the keeper side (x SALT row replication, |corpus|-bounded)
+    #      against pmod(vec_id, SALT) on the probe side splits every
+    #      bucket's pair space across SALT tasks with no semantic
+    #      change. Measured: 3.4-6.2 s (high GC variance from the
+    #      interpreted-HOF allocation) -> stable ~3.0 s.
+    salt_n = 8
+    expanded = keyed.select(
+        "vec_id",
+        "cluster_id",
+        "subkey",
+        "norm",
+        *[F.col("v")[i].alias(f"e{i}") for i in range(EMBED_DIM)],
     )
-    a, b = keyed.alias("a"), probe.alias("b")
+    a = expanded.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    ).alias("a")
+    b = expanded.withColumn(
+        "salt", F.pmod(F.col("vec_id"), F.lit(salt_n))
+    ).alias("b")
+    pair_dot = " + ".join(f"a.e{i} * b.e{i}" for i in range(EMBED_DIM))
     return (
         a.join(
             b,
             (F.col("a.cluster_id") == F.col("b.cluster_id"))
             & (F.col("a.subkey") == F.col("b.subkey"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -1189,8 +1212,7 @@ def semdedup_clusters(
             F.col("a.vec_id").alias("keep_vec_id"),
             F.col("b.vec_id").alias("drop_vec_id"),
             F.round(
-                F.expr(f"{dot_expr('a.v', 'b.v')}")
-                / (F.col("a.norm") * F.col("b.norm")),
+                F.expr(pair_dot) / (F.col("a.norm") * F.col("b.norm")),
                 4,
             ).alias("cosine"),
         )

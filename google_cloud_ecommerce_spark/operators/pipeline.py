@@ -194,15 +194,42 @@ def contamination_check(
     spark: SparkSession, sf_dir: str, broadcast_threshold: int | None = None
 ) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
-    sh = toks.filter(F.expr(f"size(toks) >= {SHINGLE_K}")).select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(_shingle_spark()))).alias("shingle"),
+    # Carry the denominator THROUGH the explode: each exploded struct is
+    # (shingle, n_shingles) with n_shingles = size of the doc's distinct-
+    # shingle array — no separate n_sh pass over the corpus and no extra
+    # join (round-4: the old three-subtree shape tokenized the corpus
+    # three times; this shape tokenizes each side once). Two traps this
+    # spelling dodges, both A/B-measured ~8x blowups:
+    #   - materializing the array as a COLUMN and exploding that makes
+    #     InferFiltersFromGenerate infer size(col) > 0 and inline the
+    #     whole tokenize+shingle pipeline into a pushed-down filter —
+    #     everything evaluates twice per row (the rule skips generator
+    #     inputs that are expressions, so explode(<expr>) stays clean);
+    #   - size(<full pipeline>) INSIDE the per-element lambda re-runs
+    #     the pipeline once per shingle (quadratic per doc). The
+    #     1-element transform() wrapper is a let-binding: arr is bound
+    #     once per doc, and the inner lambda only references it.
+    toks = docs.select(
+        "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
+    ).filter(F.expr(f"size(toks) >= {SHINGLE_K}"))
+    sh_expr = f"array_distinct({_shingle_spark()})"
+    pair_gen = (
+        f"transform(array({sh_expr}), arr -> transform(arr, "
+        f"s -> named_struct('shingle', s, 'n_shingles', size(arr))))[0]"
     )
-    bench = sh.filter(F.col("doc_id") % BENCH_MOD == 0).withColumnRenamed(
-        "doc_id", "bench_doc"
+    bench = toks.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_doc"),
+        F.explode(F.expr(sh_expr)).alias("shingle"),
     )
-    train = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    train = (
+        toks.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", F.explode(F.expr(pair_gen)).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.shingle").alias("shingle"),
+            F.col("g.n_shingles").cast("long").alias("n_shingles"),
+        )
+    )
     # Size guard: upper-bound bench shingle bytes from a pruned
     # (doc_id, n_chars) scan of the bench slice only — never from the
     # exploded shingles themselves.
@@ -215,23 +242,27 @@ def contamination_check(
     )
     est_bytes = int(stats["chars"]) * SHINGLE_K + int(stats["n"]) * 64
     bench = F.broadcast(bench) if est_bytes <= broadcast_threshold else bench
-    n_sh = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
+    return (
         train.join(bench, "shingle")
-        .groupBy("doc_id")
+        # n_shingles is a GROUP KEY, not an aggregate: it is functionally
+        # dependent on doc_id, and keeping the aggregate's functions to
+        # the two count_distincts preserves the 2-branch Expand rewrite
+        # (adding a max() alongside them forced a 3-branch Expand with a
+        # per-branch FILTER merge — measured ~8x slower).
+        .groupBy("doc_id", "n_shingles")
         .agg(
             F.count_distinct("shingle").alias("n_overlap"),
             F.count_distinct("bench_doc").alias("n_bench_docs"),
         )
-    )
-    return hits.join(n_sh, "doc_id").select(
-        "doc_id",
-        "n_shingles",
-        "n_overlap",
-        "n_bench_docs",
-        (F.col("n_overlap").cast("double") / F.col("n_shingles")).alias(
-            "contamination"
-        ),
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            "n_bench_docs",
+            (F.col("n_overlap").cast("double") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
+        )
     )
 
 

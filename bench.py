@@ -118,6 +118,20 @@ HEADLINE = [
     "tokenizer_fertility",
     "adaptive_quality_gates",
     "embedding_outliers",
+    # round-4 late wave: skip-gram pair extraction, Zipf fit over the
+    # frequency histogram, perceptual-hash image dedup (real decode).
+    # cross_source_dedup_matrix deliberately stays OUT: like
+    # corpus_curation_pipeline it rides the minhash verify stage over
+    # the synthetic corpus's dense near-dup mass (~100 s at sf0.1) and
+    # would drown the other queries; it stays oracle-verified in the
+    # registry at every SF.
+    "skipgram_pairs",
+    "token_zipf_fit",
+    "media_phash_clusters",
+    "jsonl_roundtrip",
+    # dedup_recall_report also stays out: its ground truth is an
+    # all-pairs exact Jaccard over the doc_id%5 sample — quadratic BY
+    # DESIGN (~5 s at sf0.1), the price of measuring banding recall.
     # corpus_curation_pipeline is deliberately NOT in the headline: its
     # cost is the minhash verify stage on the synthetic corpus's dense
     # near-duplicate mass (measured separately at sf0.1: Spark 99 s vs

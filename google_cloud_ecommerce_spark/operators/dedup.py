@@ -1525,3 +1525,139 @@ def _cross_source_dedup_matrix_sql() -> str:
 
 QUERIES["cross_source_dedup_matrix"] = cross_source_dedup_matrix
 ORACLE["cross_source_dedup_matrix"] = _cross_source_dedup_matrix_sql()
+
+
+# ---------------------------------------------------------------------------
+# dedup_recall_report — the measured recall of the MinHash-LSH banding
+# against exact ground truth, on a deterministic hash-sample of the
+# corpus. ann_recall_report does this for the ANN index; this is the
+# same discipline for the near-dup pipeline: before trusting a banding
+# config at scale, measure what fraction of TRUE >= threshold pairs the
+# band join actually surfaces. Ground truth is the ALL-PAIRS exact
+# Jaccard restricted to the sample (quadratic in the sample only —
+# the sample fraction is the knob that keeps |sample|^2 bounded);
+# caught pairs are those sharing at least one full band key. Output is
+# one row: sample size, true pairs, caught pairs, and recall — plus
+# the candidate count, the precision denominator a tuner reads to
+# price the verify stage.
+#
+# Determinism: the sample is doc_id % RECALL_SAMPLE_MOD == 0 (no RNG),
+# recall is rounded from exact integer counts via the half-up integer
+# division both engines share.
+# ---------------------------------------------------------------------------
+
+RECALL_SAMPLE_MOD = 5
+
+
+def dedup_recall_report(
+    spark: SparkSession, sf_dir: str, *, sample_mod: int = RECALL_SAMPLE_MOD
+) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % sample_mod == 0)
+    toks = docs.select(
+        "doc_id", F.expr(f"array_distinct({tokens_expr('text')})").alias("toks")
+    )
+    sigs = toks.select(
+        "doc_id",
+        "toks",
+        F.expr(
+            f"transform(toks, t -> {token_hash_expr('t')})"
+        ).alias("hs"),
+    ).select("doc_id", "toks", F.expr(_minhash_sig_expr()).alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = (
+        # sample x sample all-pairs BY DESIGN (the ground truth); the
+        # broadcast keeps it a BroadcastNestedLoopJoin — the sample
+        # fraction bounds the build side, never the corpus
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.expr("size(array_intersect(a.toks, b.toks))").alias("ni"),
+            F.expr("size(a.toks)").alias("na"),
+            F.expr("size(b.toks)").alias("nb"),
+            F.expr(
+                f"size(filter(sequence(0, {N_BANDS - 1}), b0 -> "
+                f"a.sig[2*b0] = b.sig[2*b0] AND a.sig[2*b0+1] = b.sig[2*b0+1]"
+                f")) > 0"
+            ).alias("caught"),
+        )
+        .select(
+            (
+                F.round(
+                    F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 6
+                )
+                >= JACCARD_THRESHOLD
+            ).alias("is_true"),
+            "caught",
+        )
+    )
+    g = pairs.agg(
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("n_true_pairs"),
+        F.sum(
+            F.when(F.col("is_true") & F.col("caught"), 1).otherwise(0)
+        ).alias("n_caught"),
+        F.sum(F.when(F.col("caught"), 1).otherwise(0)).alias("n_candidates"),
+    )
+    n_docs = toks.agg(F.count("*").alias("n_sample_docs"))
+    return (
+        g.withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_docs.withColumn("_k", F.lit(1))), "_k")
+        .select(
+            "n_sample_docs",
+            "n_true_pairs",
+            "n_caught",
+            "n_candidates",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.expr(
+                    "CAST((2 * n_caught * 1000000 + n_true_pairs) "
+                    "div (2 * n_true_pairs) AS DOUBLE) / 1000000"
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+    )
+
+
+def _dedup_recall_report_sql() -> str:
+    m = RECALL_SAMPLE_MOD
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, list_distinct({tokens_sql('text')}) AS toks
+            FROM documents WHERE doc_id % {m} = 0
+        ), hs AS (
+            SELECT doc_id, toks,
+                   list_transform(toks, t -> {token_hash_sql('t')}) AS hs
+            FROM toks
+        ), sigs AS (
+            SELECT doc_id, toks, {_minhash_sig_sql()} AS sig FROM hs
+        ), pairs AS (
+            SELECT ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
+                         / (len(a.toks) + len(b.toks)
+                            - len(list_intersect(a.toks, b.toks))), 6)
+                       >= {JACCARD_THRESHOLD} AS is_true,
+                   len(list_filter(range(0, {N_BANDS}), b0 ->
+                       a.sig[2*b0 + 1] = b.sig[2*b0 + 1]
+                       AND a.sig[2*b0 + 2] = b.sig[2*b0 + 2])) > 0 AS caught
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        ), g AS (
+            SELECT CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_true_pairs,
+                   CAST(SUM(CASE WHEN is_true AND caught THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_caught,
+                   CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_candidates
+            FROM pairs
+        ), nd AS (
+            SELECT count(*) AS n_sample_docs FROM toks
+        )
+        SELECT n_sample_docs, n_true_pairs, n_caught, n_candidates,
+               CASE WHEN n_true_pairs > 0 THEN
+                   CAST((2 * n_caught * 1000000 + n_true_pairs)
+                        // (2 * n_true_pairs) AS DOUBLE) / 1000000
+               ELSE 1.0 END AS recall
+        FROM g, nd
+    """
+
+
+QUERIES["dedup_recall_report"] = dedup_recall_report
+ORACLE["dedup_recall_report"] = _dedup_recall_report_sql()

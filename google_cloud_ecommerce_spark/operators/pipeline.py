@@ -1614,3 +1614,55 @@ def _eval_split_leakage_sql() -> str:
 
 QUERIES["eval_split_leakage"] = eval_split_leakage
 ORACLE["eval_split_leakage"] = _eval_split_leakage_sql()
+
+
+# ---------------------------------------------------------------------------
+# jsonl_roundtrip — the corpus-interchange identity: serialize each
+# document's metadata record to a JSON line (to_json over a struct —
+# the JSONL format every LLM-data pipeline ships corpora in) and parse
+# it back with an explicit schema (from_json; a malformed line yields
+# a NULL struct, Spark's standard corrupt-record semantics). The
+# csv_roundtrip twin for the JSON wire format, JVM-side end to end —
+# no Python worker touches the serialization path.
+#
+# The raw text column deliberately stays OUT of the payload: JSON
+# string escaping of arbitrary text (unicode \\uXXXX forms) is the one
+# place serializers legitimately differ across engines, so the
+# roundtrip pins the typed-field path both engines spell identically.
+# n_json_bytes is part of the contract (both serializers emit the
+# compact no-spaces form, so the line length itself is checkable).
+# ---------------------------------------------------------------------------
+
+_JSONL_SCHEMA = "doc_id bigint, lang string, source string, n_chars bigint"
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    lines = docs.select(
+        F.to_json(F.struct("doc_id", "lang", "source", "n_chars")).alias("line")
+    )
+    parsed = lines.select(
+        F.length("line").cast("long").alias("n_json_bytes"),
+        F.from_json("line", _JSONL_SCHEMA).alias("r"),
+    )
+    return parsed.select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.lang").alias("lang"),
+        F.col("r.source").alias("source"),
+        F.col("r.n_chars").alias("n_chars"),
+        "n_json_bytes",
+    )
+
+
+JSONL_ROUNDTRIP_SQL = """
+    SELECT doc_id, lang, source, n_chars,
+           CAST(length(to_json(struct_pack(
+               doc_id := doc_id, lang := lang,
+               source := source, n_chars := n_chars))::VARCHAR)
+               AS BIGINT) AS n_json_bytes
+    FROM documents
+"""
+
+
+QUERIES["jsonl_roundtrip"] = jsonl_roundtrip
+ORACLE["jsonl_roundtrip"] = JSONL_ROUNDTRIP_SQL

@@ -123,3 +123,62 @@ def test_phash_clusters_period_256(spark, tmp_path):
     # decode path is bit-faithful: hash of decoded == hash of source pixels
     px = _bmp_pixels(7)
     assert _dhash_bands(decode_bmp_pixels(encode_bmp(px))) == _dhash_bands(px)
+
+
+def test_dedup_recall_report_identical_docs(spark, tmp_path):
+    """Two identical docs inside the doc_id%5 sample are a TRUE pair
+    that identical minhash signatures always catch -> recall 1.0; the
+    off-sample doc contributes nothing."""
+    from google_cloud_ecommerce_spark.operators.dedup import dedup_recall_report
+
+    text = " ".join(f"w{i}" for i in range(30))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (5, text, "en", "s", len(text)),
+            (10, text, "en", "s", len(text)),
+            (7, "entirely different words here", "en", "s", 29),
+        ],
+    )
+    row = dedup_recall_report(spark, sf).collect()[0]
+    assert row.n_sample_docs == 2
+    assert row.n_true_pairs == 1 and row.n_caught == 1
+    assert row.recall == 1.0
+    assert row.n_candidates >= row.n_caught
+
+
+def test_dedup_recall_bounds(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.operators.dedup import dedup_recall_report
+
+    row = dedup_recall_report(spark, sf_smoke).collect()[0]
+    assert 0.0 <= row.recall <= 1.0
+    assert row.n_caught <= row.n_true_pairs or row.n_true_pairs == 0
+
+
+def test_jsonl_roundtrip_identity(spark, sf_smoke):
+    """Roundtrip is the identity on the typed fields and the line
+    length matches the compact serialization exactly."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.operators.pipeline import jsonl_roundtrip
+
+    src = {
+        r.doc_id: (r.lang, r.source, r.n_chars)
+        for r in load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .collect()
+    }
+    out = jsonl_roundtrip(spark, sf_smoke).collect()
+    assert len(out) == len(src)
+    for r in out:
+        lang, source, n_chars = src[r.doc_id]
+        assert (r.lang, r.source, r.n_chars) == (lang, source, n_chars)
+        expect = json.dumps(
+            {"doc_id": r.doc_id, "lang": lang, "source": source, "n_chars": n_chars},
+            separators=(",", ":"),
+        )
+        assert r.n_json_bytes == len(expect)

@@ -1166,14 +1166,30 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
 
 
 def _pq_assign_step(sub: DataFrame, cents: DataFrame) -> DataFrame:
-    scored = sub.join(F.broadcast(cents), "m").withColumn(
-        "sq_dist", F.expr(_sqdist_expr("sv", "cv"))
+    """Shuffle-free PQ assignment (round 4, same rewrite as
+    _kmeans_assign_step): the per-subspace codebook collapses to one
+    row of (c_id, cv) structs, broadcast on m; the per-(vector,
+    subspace) argmin is array_min over a struct transform — sq_dist
+    first, c_id tie-break, the SAME total order the old per-(vec_id,
+    m) window rank imposed, with zero shuffle of the sub-vector table
+    per training round."""
+    cents_row = cents.groupBy("m").agg(
+        F.collect_list(F.struct("c_id", "cv")).alias("cs")
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("sq_dist"), F.asc("c_id"))
+    best = (
+        f"array_min(transform(cs, c -> "
+        f"struct({_sqdist_expr('sv', 'c.cv')} AS sq_dist, c.c_id AS c_id)))"
+    )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "sv", "c_id", "sq_dist")
+        sub.join(F.broadcast(cents_row), "m")
+        .withColumn("best", F.expr(best))
+        .select(
+            "vec_id",
+            "m",
+            "sv",
+            F.col("best.c_id").alias("c_id"),
+            F.col("best.sq_dist").alias("sq_dist"),
+        )
     )
 
 

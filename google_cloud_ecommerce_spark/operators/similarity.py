@@ -236,23 +236,44 @@ N_PROBE = 4
 
 
 def _assigned(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFrame:
-    """Corpus with its nearest-centroid cell (argmax cosine, ties to the
-    lower centroid id). One broadcast of 16 centroids; the corpus never
-    shuffles for assignment."""
+    """Corpus with its n_probe nearest-centroid cells (cosine desc,
+    ties to the lower centroid id). Round-4 rewrite, same shape as
+    _kmeans_assign_step: the 16 centroids collapse to ONE broadcast
+    row of (c_id, cv, cnorm) structs and the per-vector top-n_probe is
+    array_sort over a per-row struct transform (negated cosine sorts
+    descending, c_id breaks ties — the SAME total order the old
+    per-vec_id window rank imposed) sliced to n_probe — the corpus
+    never shuffles for assignment, where the window form re-shuffled
+    corpus x n_centroids rows."""
     emb = _with_norm(_emb(spark, sf_dir))
     cents = emb.filter(
         (F.col("vec_id") >= CENTROID_LO) & (F.col("vec_id") < CENTROID_HI)
     ).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
-    scored = emb.join(F.broadcast(cents)).withColumn(
-        "c_cos", F.expr(f"{dot_expr('v', 'cv')}") / (F.col("norm") * F.col("cnorm"))
+    cents_row = cents.agg(
+        F.collect_list(F.struct("c_id", "cv", "cnorm")).alias("cs")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+    ranked = (
+        f"slice(array_sort(transform(cs, c -> struct("
+        f"-({dot_expr('v', 'c.cv')}) / (norm * c.cnorm) AS neg_cos, "
+        f"c.c_id AS c_id))), 1, {int(n_probe)})"
+    )
     return (
-        scored.withColumn("c_rank", F.row_number().over(w))
-        .filter(F.col("c_rank") <= n_probe)
-        .select("vec_id", "v", "norm", "c_id", "c_rank")
+        emb.join(F.broadcast(cents_row))
+        .select(
+            "vec_id",
+            "v",
+            "norm",
+            F.posexplode(F.expr(ranked)).alias("pos", "c"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            "norm",
+            F.col("c.c_id").alias("c_id"),
+            (F.col("pos") + 1).cast("int").alias("c_rank"),
+        )
     )
 
 

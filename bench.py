@@ -129,6 +129,8 @@ HEADLINE = [
     "token_zipf_fit",
     "media_phash_clusters",
     "jsonl_roundtrip",
+    "matryoshka_recall",
+    "cdc_chunk_dedup",
     # dedup_recall_report also stays out: its ground truth is an
     # all-pairs exact Jaccard over the doc_id%5 sample — quadratic BY
     # DESIGN (~5 s at sf0.1), the price of measuring banding recall.

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from google_cloud_ecommerce_spark.catalog import load_table
 from google_cloud_ecommerce_spark.operators._common import (
     EMBED_DIM,
+    FOLD_BASE,
     MERSENNE31,
     MINHASH_A,
     MINHASH_B,
@@ -1661,3 +1662,124 @@ def _dedup_recall_report_sql() -> str:
 
 QUERIES["dedup_recall_report"] = dedup_recall_report
 ORACLE["dedup_recall_report"] = _dedup_recall_report_sql()
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunk_dedup — content-defined chunking (the storage-dedup
+# primitive behind restic/borg/LBFS and the dataset-level "shared
+# span" reports): a W-char rolling polynomial hash slides over each
+# document; positions where hash % CDC_DIVISOR == 0 are chunk
+# boundaries, so chunk edges follow CONTENT, not offsets — insert one
+# word and only the chunks touching it change, which is what makes
+# cross-doc chunk identity meaningful. Duplicated chunks (same md5,
+# seen >= 2 times corpus-wide) are reported with copy/doc counts.
+#
+# Scale shape: the per-char rolling scan is a vectorized Arrow
+# mapInPandas (the multimodal-decoder posture — this is byte-level
+# signal processing, the one workload class where column expressions
+# lose: a pure-expression form was A/B-measured at ~24 s for sf0.1
+# because substring(text, i, 1) re-seeks the UTF8 string per call,
+# going O(len^2); the numpy sliding-window form is ~1 s and text
+# never leaves executors). The only shuffle is the final hash
+# aggregate on (chunk md5, length) — fixed-width keys, map-side
+# partials, output bounded by the duplicated-chunk set. The hash is
+# the SAME Horner-with-mod fold the DuckDB oracle spells as a list
+# fold, evaluated as a windowed dot product against precomputed
+# B^p mod M weights (exact in int64), so the chunking is
+# value-verified end to end.
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 8
+CDC_DIVISOR = 64
+
+_CDC_SCHEMA = "doc_id bigint, chash string, clen bigint"
+
+
+def _cdc_chunk_batches(batches):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    W, D = CDC_WINDOW, CDC_DIVISOR
+    B, M = FOLD_BASE, MERSENNE31
+    # ascending-window weights: fold((acc*B + c) % M) over c_{i-W+1}..c_i
+    # == sum(c_{i-W+1+p} * B^p) mod M
+    weights = np.array([pow(B, p, M) for p in range(W)], dtype=np.int64)
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n = len(text)
+            if n < 1:
+                continue
+            bounds = []
+            if n >= W:
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                wins = np.lib.stride_tricks.sliding_window_view(codes, W)
+                h = (wins @ weights) % M
+                # window ending at 1-based position i = k + W
+                bounds = [int(k) + W for k in np.nonzero(h % D == 0)[0]]
+            starts = [1] + [b + 1 for b in bounds]
+            ends = bounds + [n]
+            for s, e in zip(starts, ends):
+                if e - s + 1 >= 1:
+                    chash = hashlib.md5(
+                        text[s - 1 : e].encode("utf-8")
+                    ).hexdigest()
+                    out.append((int(doc_id), chash, e - s + 1))
+        yield pd.DataFrame(out, columns=["doc_id", "chash", "clen"])
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    chunks = docs.mapInPandas(_cdc_chunk_batches, _CDC_SCHEMA)
+    return (
+        chunks.groupBy("chash", "clen")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+def _cdc_chunk_dedup_sql() -> str:
+    W, D = CDC_WINDOW, CDC_DIVISOR
+    B, M = FOLD_BASE, MERSENNE31
+    hs = (
+        f"list_transform(range({W}, len(text) + 1), i -> "
+        f"struct_pack(pos := i, h := "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(0, {W}), j -> "
+        f"CAST(ascii(substr(text, CAST(i - j AS INT), 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * {B} + c) % {M})))"
+    )
+    bpos = f"list_transform(list_filter({hs}, s -> s.h % {D} = 0), s -> s.pos)"
+    starts = f"list_concat([CAST(1 AS BIGINT)], list_transform({bpos}, p -> p + 1))"
+    ends = f"list_concat({bpos}, [CAST(len(text) AS BIGINT)])"
+    chunks = (
+        f"list_filter(list_transform(list_zip({starts}, {ends}), z -> "
+        f"struct_pack(clen := CAST(z[2] - z[1] + 1 AS BIGINT), "
+        f"chash := md5(substr(text, CAST(z[1] AS INT), "
+        f"CAST(greatest(z[2] - z[1] + 1, 0) AS INT))))), "
+        f"c -> c.clen >= 1)"
+    )
+    return f"""
+        WITH c AS (
+            SELECT doc_id, unnest({chunks}) AS c
+            FROM documents WHERE len(text) >= 1
+        )
+        SELECT c.chash AS chash, c.clen AS clen,
+               count(*) AS n_copies,
+               count(DISTINCT doc_id) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM c GROUP BY 1, 2
+        HAVING count(*) >= 2
+    """
+
+
+QUERIES["cdc_chunk_dedup"] = cdc_chunk_dedup
+ORACLE["cdc_chunk_dedup"] = _cdc_chunk_dedup_sql()

@@ -1801,3 +1801,132 @@ def _embedding_outliers_sql() -> str:
 
 QUERIES["embedding_outliers"] = embedding_outliers
 ORACLE["embedding_outliers"] = _embedding_outliers_sql()
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_recall — how much ANN quality survives truncating the
+# embedding to its leading MRL_TRUNC_DIM components (Matryoshka
+# representation evaluation): exact top-k under the FULL cosine vs
+# exact top-k under the truncated-prefix cosine, per query, with the
+# overlap fraction. The go/no-go report before shipping a cheaper
+# truncated index (a truncated corpus is TRUNC_DIM/EMBED_DIM the scan
+# bytes and dot-product work of the full one).
+#
+# Scale shape: both rankings reuse the similarity_topk posture (query
+# side broadcast, per-q_id WindowGroupLimit top-k — the corpus streams
+# map-side); the overlap join is k-rows-per-query sized. recall =
+# n_overlap / k is a ratio of small integers — deterministic IEEE
+# division, identical in both engines.
+# ---------------------------------------------------------------------------
+
+MRL_TRUNC_DIM = 16
+
+
+def _brute_topk(emb: DataFrame, norm_expr: str, dot: "Callable[[str, str], str]",
+                top_k: int, n_query_vecs: int) -> DataFrame:
+    scored_src = emb.select(
+        "vec_id", "v", F.expr(norm_expr).alias("nrm")
+    )
+    probes = scored_src.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = scored_src.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("q_id")
+    ).withColumn(
+        "cos", F.expr(dot("qv", "v")) / (F.col("qnrm") * F.col("nrm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def matryoshka_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    trunc_dim: int = MRL_TRUNC_DIM,
+    top_k: int = TOP_K,
+    n_query_vecs: int = N_QUERY_VECS,
+) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    full = _brute_topk(
+        emb,
+        f"sqrt({dot_expr('v', 'v')})",
+        lambda a, b: dot_expr(a, b),
+        top_k,
+        n_query_vecs,
+    )
+    tslice = f"slice(v, 1, {int(trunc_dim)})"
+    trunc = _brute_topk(
+        emb,
+        f"sqrt({dot_expr(tslice, tslice)})",
+        lambda a, b: dot_expr(f"slice({a}, 1, {int(trunc_dim)})",
+                              f"slice({b}, 1, {int(trunc_dim)})"),
+        top_k,
+        n_query_vecs,
+    )
+    overlap = (
+        full.join(trunc, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    qids = full.select("q_id").distinct()
+    return (
+        qids.join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.lit(float(top_k)), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _matryoshka_recall_sql() -> str:
+    d, k, nq = MRL_TRUNC_DIM, TOP_K, N_QUERY_VECS
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id, v,
+                   sqrt({dot_sql('v', 'v')}) AS nrm,
+                   sqrt({dot_sql('v', 'v', d)}) AS tnrm
+            FROM e
+        ), fullk AS (
+            SELECT p.vec_id AS q_id, c.vec_id AS neighbor_id
+            FROM n c JOIN n p ON p.vec_id < {nq} AND c.vec_id != p.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY p.vec_id
+                ORDER BY {dot_sql('p.v', 'c.v')} / (p.nrm * c.nrm) DESC,
+                         c.vec_id
+            ) <= {k}
+        ), trunck AS (
+            SELECT p.vec_id AS q_id, c.vec_id AS neighbor_id
+            FROM n c JOIN n p ON p.vec_id < {nq} AND c.vec_id != p.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY p.vec_id
+                ORDER BY {dot_sql('p.v', 'c.v', d)} / (p.tnrm * c.tnrm) DESC,
+                         c.vec_id
+            ) <= {k}
+        ), ov AS (
+            SELECT f.q_id, count(*) AS n_overlap
+            FROM fullk f JOIN trunck t
+              ON f.q_id = t.q_id AND f.neighbor_id = t.neighbor_id
+            GROUP BY 1
+        )
+        SELECT q.q_id,
+               CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+               ROUND(COALESCE(ov.n_overlap, 0) / CAST({k} AS DOUBLE), 4)
+                   AS recall
+        FROM (SELECT DISTINCT q_id FROM fullk) q
+        LEFT JOIN ov ON q.q_id = ov.q_id
+    """
+
+
+QUERIES["matryoshka_recall"] = matryoshka_recall
+ORACLE["matryoshka_recall"] = _matryoshka_recall_sql()

@@ -182,3 +182,71 @@ def test_jsonl_roundtrip_identity(spark, sf_smoke):
             separators=(",", ":"),
         )
         assert r.n_json_bytes == len(expect)
+
+
+def test_matryoshka_full_dim_is_identity(spark, sf_smoke):
+    """Truncating to the FULL dimension is the identity ranking ->
+    recall exactly 1.0 for every query; the fixture's 16-dim prefix
+    recall is a valid fraction of TOP_K."""
+    from google_cloud_ecommerce_spark.operators._common import EMBED_DIM
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        TOP_K,
+        matryoshka_recall,
+    )
+
+    full = matryoshka_recall(spark, sf_smoke, trunc_dim=EMBED_DIM).collect()
+    assert full and all(r.recall == 1.0 and r.n_overlap == TOP_K for r in full)
+    part = matryoshka_recall(spark, sf_smoke).collect()
+    assert all(0.0 <= r.recall <= 1.0 and r.n_overlap <= TOP_K for r in part)
+
+
+def test_cdc_chunks_realign_after_prefix_edit(spark, tmp_path):
+    """The content-defined property: prepending one char to a doc only
+    changes the chunks that touch the edit — later chunks (content-
+    addressed) realign and dedup across the two versions."""
+    import random
+
+    from google_cloud_ecommerce_spark.operators.dedup import cdc_chunk_dedup
+
+    rng = random.Random(11)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(2000))
+    edited = "Z" + base
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, base, "en", "s", len(base)), (2, edited, "en", "s", len(edited))],
+    )
+    rows = cdc_chunk_dedup(spark, sf).collect()
+    # later chunks realign: at least one chunk is shared by BOTH docs
+    assert any(r.n_docs == 2 and r.n_copies == 2 for r in rows)
+
+
+def test_cdc_identical_docs_share_every_chunk(spark, tmp_path):
+    import random
+
+    from google_cloud_ecommerce_spark.operators.dedup import (
+        _cdc_chunk_batches,
+        cdc_chunk_dedup,
+    )
+    import pandas as pd
+
+    rng = random.Random(3)
+    text = "".join(rng.choice("abcdefgh ") for _ in range(1500))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, text, "en", "s", len(text)), (2, text, "en", "s", len(text))],
+    )
+    rows = cdc_chunk_dedup(spark, sf).collect()
+    # every chunk of the doc is duplicated across both copies
+    n_chunks = sum(
+        len(df)
+        for df in _cdc_chunk_batches(
+            iter([pd.DataFrame({"doc_id": [1], "text": [text]})])
+        )
+    )
+    assert n_chunks >= 2  # the seeded text has at least one boundary
+    assert len(rows) == n_chunks
+    assert all(r.n_copies == 2 and r.n_docs == 2 for r in rows)
+    # chunk lengths tile the document exactly
+    assert sum(r.clen for r in rows) == len(text)

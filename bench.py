@@ -130,6 +130,7 @@ HEADLINE = [
     "media_phash_clusters",
     "jsonl_roundtrip",
     "matryoshka_recall",
+    "heldout_perplexity",
     "cdc_chunk_dedup",
     # dedup_recall_report also stays out: its ground truth is an
     # all-pairs exact Jaccard over the doc_id%5 sample — quadratic BY

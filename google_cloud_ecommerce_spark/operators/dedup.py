@@ -1709,6 +1709,10 @@ def _cdc_chunk_batches(batches):
     for pdf in batches:
         out = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            # match the oracle's WHERE len(text) >= 1: NULL text is
+            # dropped, not crashed on
+            if text is None:
+                continue
             n = len(text)
             if n < 1:
                 continue

@@ -2139,3 +2139,115 @@ def _token_zipf_fit_sql() -> str:
 
 QUERIES["token_zipf_fit"] = token_zipf_fit
 ORACLE["token_zipf_fit"] = _token_zipf_fit_sql()
+
+
+# ---------------------------------------------------------------------------
+# heldout_perplexity — the eval loop for corpus language-model health:
+# a unigram LM with add-one (Laplace) smoothing is fit on the TRAIN
+# split (doc_id % HOLDOUT_MOD != 0) and scored on the HELD-OUT split
+# — p(t) = (c_t + 1) / (N + V + 1), the +1 bucket covering OOV tokens
+# the train split never saw. lm_score above is the same machinery as
+# an in-corpus quality gate; this is the honest train/eval discipline
+# (scoring on data the model saw inflates quality — the same leakage
+# eval_split_leakage measures at the n-gram level). Per held-out doc:
+# token count, OOV count, and mean negative log-probability (the log
+# of perplexity — exp() is deliberately NOT taken: one libm call per
+# row is a cross-engine last-ulp hazard the log form avoids).
+#
+# Determinism: one ln per distinct train count (rounded to
+# DECIMAL(18,9) like lm_score), decimal per-doc sums, deterministic
+# IEEE division for the mean. Scale shape: counts shuffle once on
+# token, eval tokens join the vocabulary on token (both data-sized,
+# shuffled join — the vocabulary of a 100 TB corpus is NOT broadcast-
+# able), and the OOV constant rides a 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+HOLDOUT_MOD = 10
+
+
+def heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    train_toks = docs.filter(F.col("doc_id") % HOLDOUT_MOD != 0).select(
+        F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
+    )
+    eval_toks = docs.filter(F.col("doc_id") % HOLDOUT_MOD == 0).select(
+        "doc_id", F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
+    )
+    counts = train_toks.groupBy("token").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v")
+    )
+    vocab = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.expr(
+            "CAST(round(-ln(CAST(c + 1 AS DOUBLE) / (n_total + v + 1)), 9) "
+            "AS DECIMAL(18,9))"
+        ).alias("neg_lnp"),
+    )
+    oov = totals.select(
+        F.expr(
+            "CAST(round(-ln(CAST(1 AS DOUBLE) / (n_total + v + 1)), 9) "
+            "AS DECIMAL(18,9))"
+        ).alias("oov_neg_lnp")
+    )
+    scored = (
+        eval_toks.crossJoin(F.broadcast(oov))
+        .join(vocab, "token", "left")
+        .select(
+            "doc_id",
+            F.coalesce("neg_lnp", "oov_neg_lnp").alias("nll"),
+            F.col("neg_lnp").isNull().cast("long").alias("is_oov"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("is_oov").alias("n_oov"),
+        F.sum("nll").alias("sum_nll"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.col("sum_nll").cast("double") / F.col("n_tokens")).alias(
+            "mean_neg_logprob"
+        ),
+    )
+
+
+HELDOUT_PERPLEXITY_SQL = f"""
+    WITH train_toks AS (
+        SELECT unnest({tokens_sql('lower(text)')}) AS token
+        FROM documents WHERE doc_id % {HOLDOUT_MOD} != 0
+    ), eval_toks AS (
+        SELECT doc_id, unnest({tokens_sql('lower(text)')}) AS token
+        FROM documents WHERE doc_id % {HOLDOUT_MOD} = 0
+    ), counts AS (
+        SELECT token, count(*) AS c FROM train_toks GROUP BY 1
+    ), totals AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+               count(*) AS v
+        FROM counts
+    ), vocab AS (
+        SELECT token,
+               CAST(round(-ln(CAST(c + 1 AS DOUBLE) / (n_total + v + 1)), 9)
+                    AS DECIMAL(18,9)) AS neg_lnp
+        FROM counts CROSS JOIN totals
+    ), oov AS (
+        SELECT CAST(round(-ln(CAST(1 AS DOUBLE) / (n_total + v + 1)), 9)
+                    AS DECIMAL(18,9)) AS oov_neg_lnp
+        FROM totals
+    ), scored AS (
+        SELECT e.doc_id,
+               COALESCE(vo.neg_lnp, o.oov_neg_lnp) AS nll,
+               CASE WHEN vo.neg_lnp IS NULL THEN 1 ELSE 0 END AS is_oov
+        FROM eval_toks e CROSS JOIN oov o
+        LEFT JOIN vocab vo ON e.token = vo.token
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(SUM(is_oov) AS BIGINT) AS n_oov,
+           CAST(SUM(nll) AS DOUBLE) / count(*) AS mean_neg_logprob
+    FROM scored GROUP BY 1
+"""
+
+QUERIES["heldout_perplexity"] = heldout_perplexity
+ORACLE["heldout_perplexity"] = HELDOUT_PERPLEXITY_SQL

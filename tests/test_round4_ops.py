@@ -250,3 +250,31 @@ def test_cdc_identical_docs_share_every_chunk(spark, tmp_path):
     assert all(r.n_copies == 2 and r.n_docs == 2 for r in rows)
     # chunk lengths tile the document exactly
     assert sum(r.clen for r in rows) == len(text)
+
+
+def test_heldout_perplexity_oov_and_smoothing(spark, tmp_path):
+    """Crafted split: train vocab {a(x2), b} -> N=3, V=2, D=6. The
+    held-out doc 'a b c': p(a)=3/6, p(b)=2/6, c is OOV at 1/6; exactly
+    one OOV token and the mean matches the closed form."""
+    import math
+
+    from google_cloud_ecommerce_spark.operators.text import heldout_perplexity
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a a b", "en", "s", 5),   # train (1 % 10 != 0)
+            (10, "a b c", "en", "s", 5),  # eval  (10 % 10 == 0)
+        ],
+    )
+    rows = heldout_perplexity(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.doc_id == 10 and r.n_tokens == 3 and r.n_oov == 1
+    expect = (
+        round(-math.log(3 / 6), 9)
+        + round(-math.log(2 / 6), 9)
+        + round(-math.log(1 / 6), 9)
+    ) / 3
+    assert abs(r.mean_neg_logprob - expect) < 1e-9

@@ -615,3 +615,28 @@ def test_round4_pipeline_ops_plan_shapes(spark, sf_smoke):
     plan = plan_of(pipeline.importance_sampling_weights(spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_and_ivf_assignments_are_window_free(spark, sf_smoke):
+    """Round-4 rewrites: the PQ codebook assignment (pq_encode) and the
+    IVF cell assignment (similarity_ivf_topk) are broadcast argmin /
+    sort-slice folds over the collapsed centroid rows — no Window
+    operator anywhere (the old forms window-ranked per (vec_id, m) /
+    per vec_id, re-shuffling the corpus each training round). The only
+    windows left in the IVF query are the per-q_id top-k group limits,
+    which this lint deliberately permits for pq-free pq_encode."""
+    from google_cloud_ecommerce_spark.operators import similarity
+
+    plan = plan_of(similarity.pq_encode(spark, sf_smoke))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(similarity.similarity_ivf_topk(spark, sf_smoke))
+    # cell ASSIGNMENT is window-free; the only WindowGroupLimit is the
+    # per-query top-k (partitioned by q_id)
+    assert "partitionBy" not in plan  # no raw window spec leaks into plan text
+    assert "CartesianProduct" not in plan
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    for spec in specs:
+        assert "q_id" in spec, f"unexpected non-q_id window: {spec[:80]}"

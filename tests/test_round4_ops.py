@@ -278,3 +278,31 @@ def test_heldout_perplexity_oov_and_smoothing(spark, tmp_path):
         + round(-math.log(1 / 6), 9)
     ) / 3
     assert abs(r.mean_neg_logprob - expect) < 1e-9
+
+
+def test_token_zipf_block_split_path(spark, tmp_path):
+    """A frequency run larger than ZIPF_BLOCK (4097 hapax tokens)
+    exercises the two-level rank expansion; totals and the closed-form
+    fit still match a direct Python computation."""
+    import math
+
+    from google_cloud_ecommerce_spark.operators.text import (
+        ZIPF_BLOCK,
+        token_zipf_fit,
+    )
+
+    n_hapax = ZIPF_BLOCK + 1
+    text = "the the the " + " ".join(f"tok{i}" for i in range(n_hapax))
+    sf = _write_docs(spark, tmp_path, [(1, text, "en", "s", len(text))])
+    row = token_zipf_fit(spark, sf).collect()[0]
+    assert row.n_vocab == n_hapax + 1
+    assert row.total_tokens == n_hapax + 3
+    # direct fit: rank 1 has freq 3, ranks 2..n_hapax+1 freq 1
+    xs = [round(math.log(r), 6) for r in range(1, n_hapax + 2)]
+    ys = [round(math.log(3), 6)] + [0.0] * n_hapax
+    n = float(len(xs))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row.zipf_slope == pytest.approx(slope, abs=1e-3)

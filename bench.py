@@ -122,8 +122,9 @@ HEADLINE = [
     # frequency histogram, perceptual-hash image dedup (real decode).
     # cross_source_dedup_matrix deliberately stays OUT: like
     # corpus_curation_pipeline it rides the minhash verify stage over
-    # the synthetic corpus's dense near-dup mass (~100 s at sf0.1) and
-    # would drown the other queries; it stays oracle-verified in the
+    # the synthetic corpus's dense near-dup mass (~30 s at sf0.1 after
+    # the round-4 hashed-set verify rewrite) and would drown the other
+    # queries; it stays oracle-verified in the
     # registry at every SF.
     "skipgram_pairs",
     "token_zipf_fit",
@@ -137,10 +138,10 @@ HEADLINE = [
     # DESIGN (~5 s at sf0.1), the price of measuring banding recall.
     # corpus_curation_pipeline is deliberately NOT in the headline: its
     # cost is the minhash verify stage on the synthetic corpus's dense
-    # near-duplicate mass (measured separately at sf0.1: Spark 99 s vs
-    # DuckDB 224 s on the dominant subtree — Spark 2.2x faster) and one
-    # ~2-minute query would be >80% of the aggregate, drowning the
-    # other 78. It stays oracle-verified in the registry at every SF.
+    # near-duplicate mass (measured separately at sf0.1: Spark ~40 s after the round-4
+    # hashed-set verify rewrite vs DuckDB 224 s for the old string-set
+    # oracle on the dominant subtree) and one ~40-second query would
+    # drown the other 90. It stays oracle-verified in the registry at every SF.
 ]
 
 

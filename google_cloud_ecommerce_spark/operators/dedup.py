@@ -123,24 +123,38 @@ def dedup_minhash_lsh(
     if not 1 <= n_bands <= N_BANDS:
         raise ValueError(f"n_bands must be in [1, {N_BANDS}]")
     docs = _docs(spark, sf_dir)
-    sigs = docs.select(
+    # The per-doc HASHED token set is the single primitive: signatures
+    # are min-folds over it, and verification intersects it directly —
+    # hash-set Jaccard is exactly the quantity MinHash estimates, and
+    # intersecting fixed-width int64 arrays instead of re-hashing token
+    # strings per candidate pair is ~3x cheaper at equal output
+    # (round-4 A/B at sf0.1: 155 s -> 51 s over the same 11M
+    # candidates; 31-bit collisions are deterministic and identical in
+    # the oracle, which mirrors the hashed sets).
+    hsets = docs.select(
         "doc_id",
         F.expr(
-            f"transform(array_distinct({tokens_expr('text')}), t -> {token_hash_expr('t')})"
+            f"array_distinct(transform(array_distinct({tokens_expr('text')}), "
+            f"t -> {token_hash_expr('t')}))"
         ).alias("hs"),
-    ).select("doc_id", F.expr(_minhash_sig_expr()).alias("sig"))
+    )
+    sigs = hsets.select("doc_id", "hs", F.expr(_minhash_sig_expr()).alias("sig"))
 
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_bands - 1}), b -> "
                 f"named_struct('band', b, 'key', sig[2*b] * {MERSENNE31}L + sig[2*b+1]))"
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
+    # Candidates dedupe on the BARE id pair first: a pair colliding in
+    # k bands otherwise evaluates its signature comparison k times
+    # before the distinct (measured 41.7M collisions vs 11M distinct
+    # pairs at sf0.1 — 3.8x wasted work). The per-doc sets and sigs
+    # join back after the distinct.
     left = bands.alias("l")
     right = bands.alias("r")
     cands = (
@@ -153,38 +167,38 @@ def dedup_minhash_lsh(
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.expr(
-                f"CAST(size(filter(zip_with(l.sig, r.sig, (x, y) -> x = y), v -> v)) AS BIGINT)"
-            ).alias("n_sig_match"),
         )
         .distinct()
     )
 
-    # Exact-Jaccard verification restricted to CANDIDATE pairs: join the
-    # (few) band-collision pairs back to the per-doc distinct-token
-    # arrays and intersect arrays pairwise. Memory and shuffle are
-    # O(candidates), never O(corpus^2) — a token-level inverted-index
-    # self-join blows up on any common token (a stop word shared by half
-    # the corpus alone contributes |corpus/2|^2 pairs).
-    tok_arrays = docs.select(
-        "doc_id", F.expr(f"array_distinct({tokens_expr('text')})").alias("toks")
+    # Verification restricted to CANDIDATE pairs: join the band-collision
+    # pairs back to the per-doc hashed sets and intersect pairwise.
+    # Memory and shuffle are O(candidates), never O(corpus^2) — a
+    # token-level inverted-index self-join blows up on any common token
+    # (a stop word shared by half the corpus alone contributes
+    # |corpus/2|^2 pairs).
+    a_side = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b_side = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("sig").alias("sig_b"),
     )
     verified = (
-        cands.join(
-            tok_arrays.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")),
-            "doc_a",
-        )
-        .join(
-            tok_arrays.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")),
-            "doc_b",
-        )
+        cands.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            "n_sig_match",
-            F.expr("size(array_intersect(toks_a, toks_b))").alias("n_inter"),
-            F.expr("size(toks_a)").alias("na"),
-            F.expr("size(toks_b)").alias("nb"),
+            F.expr(
+                "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS BIGINT)"
+            ).alias("n_sig_match"),
+            F.expr("size(array_intersect(hs_a, hs_b))").alias("n_inter"),
+            F.expr("size(hs_a)").alias("na"),
+            F.expr("size(hs_b)").alias("nb"),
         )
         .select(
             "doc_a",
@@ -200,33 +214,35 @@ def dedup_minhash_lsh(
 
 
 def _dedup_minhash_sql() -> str:
+    # hashed-set Jaccard, mirroring the Spark side exactly (the hashed
+    # token set is the shared primitive for both the signatures and the
+    # verification intersect)
     return f"""
         WITH hs AS (
             SELECT doc_id,
-                   list_transform(list_distinct({tokens_sql('text')}),
-                                  t -> {token_hash_sql('t')}) AS hs
+                   list_distinct(list_transform(
+                       list_distinct({tokens_sql('text')}),
+                       t -> {token_hash_sql('t')})) AS hs
             FROM documents
         ), sigs AS (
-            SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hs
+            SELECT doc_id, hs, {_minhash_sig_sql()} AS sig FROM hs
         ), bands AS (
-            SELECT doc_id, sig, b AS band,
+            SELECT doc_id, b AS band,
                    sig[2*b + 1] * {MERSENNE31}::BIGINT + sig[2*b + 2] AS key
             FROM sigs, unnest(range(0, {N_BANDS})) AS t(b)
         ), cands AS (
-            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-                   CAST(len(list_filter(range(1, {N_MINHASH + 1}),
-                        i -> l.sig[i] = r.sig[i])) AS BIGINT) AS n_sig_match
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-        ), tok_arrays AS (
-            SELECT doc_id, list_distinct({tokens_sql('text')}) AS toks FROM documents
         ), scored AS (
-            SELECT c.doc_a, c.doc_b, c.n_sig_match,
-                   len(list_intersect(ta.toks, tb.toks)) AS n_inter,
-                   len(ta.toks) AS na, len(tb.toks) AS nb
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_filter(range(1, {N_MINHASH + 1}),
+                        i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_sig_match,
+                   len(list_intersect(sa.hs, sb.hs)) AS n_inter,
+                   len(sa.hs) AS na, len(sb.hs) AS nb
             FROM cands c
-            JOIN tok_arrays ta ON c.doc_a = ta.doc_id
-            JOIN tok_arrays tb ON c.doc_b = tb.doc_id
+            JOIN sigs sa ON c.doc_a = sa.doc_id
+            JOIN sigs sb ON c.doc_b = sb.doc_id
         )
         SELECT doc_a, doc_b, n_sig_match,
                ROUND(n_inter * 1.0 / (na + nb - n_inter), 6) AS jaccard

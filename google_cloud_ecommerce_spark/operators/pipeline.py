@@ -1132,9 +1132,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage, the near-dup drop join, its own rollup); pinning makes each
     # stage materialize once instead of re-running its upstream chain
     # per consumer. (The funnel's wall-clock at sf0.1 is dominated by
-    # the minhash verify on the corpus's dense near-duplicate mass —
-    # Spark 99 s vs DuckDB 224 s on that subtree — which runs once
-    # either way.)
+    # the minhash verify on the corpus's dense near-duplicate mass,
+    # ~40 s at sf0.1 after the hashed-set verify rewrite — which runs
+    # once either way.)
     s1 = (
         docs.join(keepers, "doc_id")
         .select("doc_id", "source")

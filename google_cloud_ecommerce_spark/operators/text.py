@@ -2251,3 +2251,103 @@ HELDOUT_PERPLEXITY_SQL = f"""
 
 QUERIES["heldout_perplexity"] = heldout_perplexity
 ORACLE["heldout_perplexity"] = HELDOUT_PERPLEXITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# skipgram_pmi — pointwise mutual information over the skip-gram pair
+# distribution: PMI(a,b) = ln( n_ab * N / (n_a * n_b) ) with n_a / n_b
+# the center/context marginals and N the total pair count. The classic
+# word-association statistic — and the quantity SGNS embeddings
+# implicitly factorize (shifted by ln k), which makes this the
+# analytical companion to skipgram_pairs: what the embedding model
+# WOULD learn, computed exactly.
+#
+# Scale shape: one pair aggregate (shared shape with skipgram_pairs),
+# two marginal aggregates joined back on their single token key, one
+# 1-row broadcast for N. The ln argument is an exact integer ratio —
+# one ln per output row, rounded to 4, the same last-ulp exposure as
+# every other libm call the registry already carries (documented:
+# ~1e-12 per-row flip probability).
+# ---------------------------------------------------------------------------
+
+
+def skipgram_pmi(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: int = SKIPGRAM_WINDOW,
+    min_count: int = SKIPGRAM_MIN_COUNT,
+) -> DataFrame:
+    pairs = skipgram_pairs(
+        spark, sf_dir, window=window, min_count=1
+    ).select("center", "context", "n_pairs")
+    n_a = pairs.groupBy("center").agg(F.sum("n_pairs").alias("n_center"))
+    n_b = pairs.groupBy("context").agg(F.sum("n_pairs").alias("n_context"))
+    total = pairs.agg(F.sum("n_pairs").alias("n_total"))
+    return (
+        pairs.filter(F.col("n_pairs") >= min_count)
+        .join(n_a, "center")
+        .join(n_b, "context")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "center",
+            "context",
+            "n_pairs",
+            (
+                # + 0.0 normalizes IEEE signed zero: a tiny negative
+                # PMI rounds to -0.0 in DuckDB but 0.0 in Spark
+                F.round(
+                    F.expr(
+                        "ln(CAST(n_pairs AS DOUBLE) * n_total"
+                        " / (n_center * n_context))"
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
+
+
+def _skipgram_pmi_sql() -> str:
+    w, mc = SKIPGRAM_WINDOW, SKIPGRAM_MIN_COUNT
+    base = f"""
+            SELECT g.center AS center, g.context AS context,
+                   count(*) AS n_pairs
+            FROM (
+                SELECT unnest(flatten(list_transform(range(1, len(toks) + 1),
+                    i -> list_transform(
+                        list_filter(range(greatest(1, i - {w}),
+                                          least(len(toks), i + {w}) + 1),
+                                    j -> j != i),
+                        j -> struct_pack(center := toks[i],
+                                         context := toks[j]))))) AS g
+                FROM (SELECT {tokens_sql('lower(text)')} AS toks
+                      FROM documents) t
+                WHERE len(toks) >= 2
+            ) p GROUP BY 1, 2
+    """
+    return f"""
+        WITH pairs AS ({base}),
+        n_a AS (
+            SELECT center, CAST(SUM(n_pairs) AS BIGINT) AS n_center
+            FROM pairs GROUP BY 1
+        ), n_b AS (
+            SELECT context, CAST(SUM(n_pairs) AS BIGINT) AS n_context
+            FROM pairs GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM pairs
+        )
+        SELECT p.center, p.context, p.n_pairs,
+               ROUND(ln(CAST(p.n_pairs AS DOUBLE) * n_total
+                        / (n_center * n_context)), 4) + 0.0 AS pmi
+        FROM pairs p
+        JOIN n_a USING (center)
+        JOIN n_b USING (context)
+        CROSS JOIN tot
+        WHERE p.n_pairs >= {mc}
+    """
+
+
+QUERIES["skipgram_pmi"] = skipgram_pmi
+ORACLE["skipgram_pmi"] = _skipgram_pmi_sql()

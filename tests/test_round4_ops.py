@@ -306,3 +306,21 @@ def test_token_zipf_block_split_path(spark, tmp_path):
     sxx = sum(x * x for x in xs)
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert row.zipf_slope == pytest.approx(slope, abs=1e-3)
+
+
+def test_skipgram_pmi_closed_form(spark, tmp_path):
+    """'a b a b a b': the (a,b) PMI matches ln(n_ab * N / (n_a n_b))
+    computed by hand; symmetric pairs agree; independence ~ PMI 0."""
+    import math
+
+    from google_cloud_ecommerce_spark.operators.text import skipgram_pmi
+
+    sf = _write_docs(spark, tmp_path, [(1, "a b a b a b", "en", "s", 11)])
+    out = {(r.center, r.context): r for r in skipgram_pmi(spark, sf, min_count=1).collect()}
+    n_total = sum(r.n_pairs for r in out.values())
+    for (c, x), r in out.items():
+        n_c = sum(v.n_pairs for (cc, _), v in out.items() if cc == c)
+        n_x = sum(v.n_pairs for (_, xx), v in out.items() if xx == x)
+        expect = round(math.log(r.n_pairs * n_total / (n_c * n_x)), 4) + 0.0
+        assert r.pmi == pytest.approx(expect, abs=1e-9), (c, x)
+    assert out[("a", "b")].pmi == out[("b", "a")].pmi

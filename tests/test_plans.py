@@ -640,3 +640,4 @@ def test_pq_and_ivf_assignments_are_window_free(spark, sf_smoke):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     for spec in specs:
         assert "q_id" in spec, f"unexpected non-q_id window: {spec[:80]}"
+

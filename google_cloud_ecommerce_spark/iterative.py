@@ -9,11 +9,15 @@ analysis time grows quadratically and the lineage blows the driver.
 
 ``iterate`` is the one shared loop. It applies ``step`` ``rounds``
 times and — only once the round index passes ``checkpoint_every`` —
-pins the evolving state with a LAZY ``localCheckpoint`` every
-``checkpoint_every`` rounds. Lazy means nothing executes at query-build
-time (bench timings keep measuring the whole pipeline); the first
-action materializes each pinned prefix once and later rounds replan
-from the pinned result instead of the full history.
+pins the evolving state with a ``localCheckpoint(eager=False)`` every
+``checkpoint_every`` rounds. Caveat, measured on Spark 4.1 under AQE:
+creating a checkpointed frame materializes its upstream query stages
+even with ``eager=False`` (AdaptiveSparkPlanExec resolves its final
+plan when the RDD is requested) — "lazy" only skips the final
+block-materialization pass. The pin therefore executes INSIDE the
+registry/bench call that builds the query, so timings still measure
+the whole pipeline, and later rounds replan from the pinned result
+instead of the full unrolled history.
 
 States that are not a bare DataFrame (e.g. BPE carries (vocab,
 per-round bests)) pass a custom ``pin`` that checkpoints just the

@@ -911,14 +911,27 @@ PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN = 4, 5  # t = 0.8 as an exact ratio
 
 
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # lazy checkpoint: the exploded posting list feeds the df table, the
-    # per-doc sizes, the prefix ranking, AND both sides of the verify
-    # join — five references that would each re-run the shingle
-    # generation without truncation
+    # the posting list carries HASHED shingles (the minhash rewrite's
+    # discipline): every downstream stage — df counts, prefix ranking,
+    # the candidate self-join, the verify intersect — shuffles and
+    # compares fixed-width int64 keys instead of ~20-byte 3-word
+    # strings; 31-bit collisions are deterministic and mirrored by the
+    # oracle. The checkpoint pins the exploded list: it feeds the df
+    # table, the per-doc sizes, the prefix ranking, AND both sides of
+    # the verify join — five references that would each re-run the
+    # shingle generation without truncation.
     sh = (
         _docs(spark, sf_dir)
         .select("doc_id", F.expr(tokens_expr("text")).alias("toks"))
-        .select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform({_SHINGLE_SPARK}, "
+                    f"s -> {token_hash_expr('s')}))"
+                )
+            ).alias("shingle"),
+        )
         .localCheckpoint(eager=False)
     )
     df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -1011,12 +1024,16 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_prefix_filter_sql() -> str:
-    # ground truth: full inverted index, NO prefix filter — parity
-    # proves the prefix candidates are lossless
+    # ground truth: full inverted index over the same HASHED shingles,
+    # NO prefix filter — parity proves the prefix candidates are
+    # lossless
     return f"""
         WITH docs_t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
         sh AS (
-            SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM docs_t
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform({_SHINGLE_SQL},
+                          s -> {token_hash_sql('s')}))) AS shingle
+            FROM docs_t
         ), sizes AS (
             SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
         ), inter AS (

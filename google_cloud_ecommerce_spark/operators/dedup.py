@@ -390,10 +390,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle); the cap is relative to corpus size so it stays
     meaningful at any scale factor.
     """
+    # hashed shingles (the minhash/prefix-filter discipline): every
+    # shuffle below moves int64 keys, not 3-word strings; collisions
+    # are deterministic and mirrored by the oracle
     sh = (
         _docs(spark, sf_dir)
         .select("doc_id", F.expr(tokens_expr("text")).alias("toks"))
-        .select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform({_SHINGLE_SPARK}, "
+                    f"s -> {token_hash_expr('s')}))"
+                )
+            ).alias("shingle"),
+        )
     )
     max_df = _docs(spark, sf_dir).agg(
         F.greatest(
@@ -436,7 +447,10 @@ def _dedup_ngram_sql() -> str:
     return f"""
         WITH docs_t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
         sh_all AS (
-            SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM docs_t
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform({_SHINGLE_SQL},
+                          s -> {token_hash_sql('s')}))) AS shingle
+            FROM docs_t
         ), params AS (
             SELECT greatest({NGRAM_MAX_DF_FLOOR},
                             CAST(ceil(count(*) * {NGRAM_MAX_DF_FRAC}) AS BIGINT))

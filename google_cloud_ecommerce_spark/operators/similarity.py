@@ -1930,3 +1930,123 @@ def _matryoshka_recall_sql() -> str:
 
 QUERIES["matryoshka_recall"] = matryoshka_recall
 ORACLE["matryoshka_recall"] = _matryoshka_recall_sql()
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_dim_sweep — the truncation-dimension SELECTION CURVE (the
+# dedup_threshold_sweep discipline applied to MRL): recall@k vs the
+# full-dimension exact ranking at a grid of prefix dims, in ONE query,
+# so choosing the cheapest acceptable truncated index is one report,
+# not one run per candidate dim. mean_recall = total overlap /
+# (n_queries * k) — a ratio of exact integers, deterministic division.
+# ---------------------------------------------------------------------------
+
+MRL_SWEEP_DIMS = (8, 16, 32)
+
+
+def matryoshka_dim_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    dims: tuple = MRL_SWEEP_DIMS,
+    top_k: int = TOP_K,
+    n_query_vecs: int = N_QUERY_VECS,
+) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    full = _brute_topk(
+        emb,
+        f"sqrt({dot_expr('v', 'v')})",
+        lambda a, b: dot_expr(a, b),
+        top_k,
+        n_query_vecs,
+    )
+    truncs = None
+    for d in dims:
+        tslice = f"slice(v, 1, {int(d)})"
+        t = _brute_topk(
+            emb,
+            f"sqrt({dot_expr(tslice, tslice)})",
+            lambda a, b, d=d: dot_expr(
+                f"slice({a}, 1, {int(d)})", f"slice({b}, 1, {int(d)})"
+            ),
+            top_k,
+            n_query_vecs,
+        ).withColumn("trunc_dim", F.lit(int(d)).cast("long"))
+        truncs = t if truncs is None else truncs.unionByName(t)
+    overlap = truncs.join(full, ["q_id", "neighbor_id"]).groupBy(
+        "trunc_dim"
+    ).agg(F.count("*").alias("n_overlap"))
+    n_q = full.agg(F.count_distinct("q_id").alias("n_q"))  # lazy 1-row
+    grid = spark.createDataFrame(
+        [(int(d),) for d in dims], "trunc_dim long"
+    )
+    return (
+        grid.join(overlap, "trunc_dim", "left")
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            "trunc_dim",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0))
+                / (F.col("n_q") * F.lit(float(top_k))),
+                4,
+            ).alias("mean_recall"),
+        )
+    )
+
+
+def _matryoshka_dim_sweep_sql() -> str:
+    k, nq = TOP_K, N_QUERY_VECS
+    trunc_ctes, unions = [], []
+    for d in MRL_SWEEP_DIMS:
+        trunc_ctes.append(f"""t{d} AS (
+            SELECT {d} AS trunc_dim, p.vec_id AS q_id, c.vec_id AS neighbor_id
+            FROM n c JOIN n p ON p.vec_id < {nq} AND c.vec_id != p.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY p.vec_id
+                ORDER BY {dot_sql('p.v', 'c.v', d)}
+                         / (sqrt({dot_sql('p.v', 'p.v', d)})
+                            * sqrt({dot_sql('c.v', 'c.v', d)})) DESC,
+                         c.vec_id
+            ) <= {k}
+        )""")
+        unions.append(f"SELECT * FROM t{d}")
+    all_t = ",\n        ".join(trunc_ctes)
+    u = " UNION ALL ".join(unions)
+    dims_rows = ", ".join(f"({d})" for d in MRL_SWEEP_DIMS)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS nrm FROM e
+        ), fullk AS (
+            SELECT p.vec_id AS q_id, c.vec_id AS neighbor_id
+            FROM n c JOIN n p ON p.vec_id < {nq} AND c.vec_id != p.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY p.vec_id
+                ORDER BY {dot_sql('p.v', 'c.v')} / (p.nrm * c.nrm) DESC,
+                         c.vec_id
+            ) <= {k}
+        ),
+        {all_t},
+        truncs AS ({u}),
+        ov AS (
+            SELECT t.trunc_dim, count(*) AS n_overlap
+            FROM truncs t JOIN fullk f
+              ON t.q_id = f.q_id AND t.neighbor_id = f.neighbor_id
+            GROUP BY 1
+        ), nq AS (
+            SELECT count(DISTINCT q_id) AS n_q FROM fullk
+        )
+        SELECT CAST(g.trunc_dim AS BIGINT) AS trunc_dim,
+               CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+               ROUND(COALESCE(ov.n_overlap, 0)
+                     / CAST(n_q * {k} AS DOUBLE), 4) AS mean_recall
+        FROM (VALUES {dims_rows}) AS g(trunc_dim)
+        LEFT JOIN ov ON g.trunc_dim = ov.trunc_dim
+        CROSS JOIN nq
+    """
+
+
+QUERIES["matryoshka_dim_sweep"] = matryoshka_dim_sweep
+ORACLE["matryoshka_dim_sweep"] = _matryoshka_dim_sweep_sql()

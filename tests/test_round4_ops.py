@@ -324,3 +324,21 @@ def test_skipgram_pmi_closed_form(spark, tmp_path):
         expect = round(math.log(r.n_pairs * n_total / (n_c * n_x)), 4) + 0.0
         assert r.pmi == pytest.approx(expect, abs=1e-9), (c, x)
     assert out[("a", "b")].pmi == out[("b", "a")].pmi
+
+
+def test_matryoshka_sweep_monotone_and_caps(spark, sf_smoke):
+    """Recall grows (weakly) with the truncation dim, caps at 1, and
+    the full-dim entry of a sweep that includes EMBED_DIM is exactly 1."""
+    from google_cloud_ecommerce_spark.operators._common import EMBED_DIM
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        matryoshka_dim_sweep,
+    )
+
+    rows = {
+        r.trunc_dim: r.mean_recall
+        for r in matryoshka_dim_sweep(
+            spark, sf_smoke, dims=(8, 32, EMBED_DIM)
+        ).collect()
+    }
+    assert rows[EMBED_DIM] == 1.0
+    assert 0.0 <= rows[8] <= rows[32] <= 1.0

@@ -1834,3 +1834,138 @@ def _cdc_chunk_dedup_sql() -> str:
 
 QUERIES["cdc_chunk_dedup"] = cdc_chunk_dedup
 ORACLE["cdc_chunk_dedup"] = _cdc_chunk_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# lsh_band_sweep — the BANDING selection curve (dedup_threshold_sweep's
+# discipline applied to the band budget): on the deterministic
+# doc_id % RECALL_SAMPLE_MOD sample, every pair's FIRST matching band
+# index is computed once from the signatures, and the curve unrolls
+# per band budget b = 1..N_BANDS — candidate count (verification cost)
+# and recall against the exact >= threshold ground truth. One
+# signature pass prices every banding config; dedup_recall_report is
+# the single-config deep check, this is the dial.
+# ---------------------------------------------------------------------------
+
+
+def lsh_band_sweep(
+    spark: SparkSession, sf_dir: str, *, sample_mod: int = RECALL_SAMPLE_MOD
+) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % sample_mod == 0)
+    toks = docs.select(
+        "doc_id", F.expr(f"array_distinct({tokens_expr('text')})").alias("toks")
+    )
+    sigs = toks.select(
+        "doc_id",
+        "toks",
+        F.expr(f"transform(toks, t -> {token_hash_expr('t')})").alias("hs"),
+    ).select("doc_id", "toks", F.expr(_minhash_sig_expr()).alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    first_match = (
+        f"array_min(filter(transform(sequence(0, {N_BANDS - 1}), bb -> "
+        f"CASE WHEN a.sig[2*bb] = b.sig[2*bb] "
+        f"AND a.sig[2*bb+1] = b.sig[2*bb+1] THEN bb END), "
+        f"x -> x IS NOT NULL))"
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.expr("size(array_intersect(a.toks, b.toks))").alias("ni"),
+            F.expr("size(a.toks)").alias("na"),
+            F.expr("size(b.toks)").alias("nb"),
+            F.expr(first_match).alias("first_match"),
+        )
+        .select(
+            (
+                F.round(
+                    F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 6
+                )
+                >= JACCARD_THRESHOLD
+            ).alias("is_true"),
+            "first_match",
+        )
+    )
+    grid = pairs.select(
+        "is_true",
+        "first_match",
+        F.explode(F.expr(f"sequence(1, {N_BANDS})")).alias("n_bands"),
+    ).select(
+        "n_bands",
+        "is_true",
+        (
+            F.col("first_match").isNotNull()
+            & (F.col("first_match") < F.col("n_bands"))
+        ).alias("caught"),
+    )
+    g = grid.groupBy("n_bands").agg(
+        F.sum(F.when(F.col("caught"), 1).otherwise(0)).alias("n_candidates"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("n_true_pairs"),
+        F.sum(
+            F.when(F.col("is_true") & F.col("caught"), 1).otherwise(0)
+        ).alias("n_caught"),
+    )
+    return g.select(
+        F.col("n_bands").cast("long").alias("n_bands"),
+        "n_candidates",
+        "n_true_pairs",
+        "n_caught",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.expr(
+                "CAST((2 * n_caught * 1000000 + n_true_pairs) "
+                "div (2 * n_true_pairs) AS DOUBLE) / 1000000"
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("recall"),
+    )
+
+
+def _lsh_band_sweep_sql() -> str:
+    m = RECALL_SAMPLE_MOD
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, list_distinct({tokens_sql('text')}) AS toks
+            FROM documents WHERE doc_id % {m} = 0
+        ), hs AS (
+            SELECT doc_id, toks,
+                   list_transform(toks, t -> {token_hash_sql('t')}) AS hs
+            FROM toks
+        ), sigs AS (
+            SELECT doc_id, toks, {_minhash_sig_sql()} AS sig FROM hs
+        ), pairs AS (
+            SELECT ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
+                         / (len(a.toks) + len(b.toks)
+                            - len(list_intersect(a.toks, b.toks))), 6)
+                       >= {JACCARD_THRESHOLD} AS is_true,
+                   list_min(list_filter(list_transform(range(0, {N_BANDS}),
+                       bb -> CASE WHEN a.sig[2*bb + 1] = b.sig[2*bb + 1]
+                                  AND a.sig[2*bb + 2] = b.sig[2*bb + 2]
+                             THEN bb END), x -> x IS NOT NULL)) AS first_match
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        ), grid AS (
+            SELECT n_bands, is_true,
+                   first_match IS NOT NULL AND first_match < n_bands AS caught
+            FROM pairs, unnest(range(1, {N_BANDS} + 1)) t(n_bands)
+        ), g AS (
+            SELECT n_bands,
+                   CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_candidates,
+                   CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_true_pairs,
+                   CAST(SUM(CASE WHEN is_true AND caught THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_caught
+            FROM grid GROUP BY 1
+        )
+        SELECT CAST(n_bands AS BIGINT) AS n_bands, n_candidates,
+               n_true_pairs, n_caught,
+               CASE WHEN n_true_pairs > 0 THEN
+                   CAST((2 * n_caught * 1000000 + n_true_pairs)
+                        // (2 * n_true_pairs) AS DOUBLE) / 1000000
+               ELSE 1.0 END AS recall
+        FROM g
+    """
+
+
+QUERIES["lsh_band_sweep"] = lsh_band_sweep
+ORACLE["lsh_band_sweep"] = _lsh_band_sweep_sql()

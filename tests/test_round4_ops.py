@@ -342,3 +342,29 @@ def test_matryoshka_sweep_monotone_and_caps(spark, sf_smoke):
     }
     assert rows[EMBED_DIM] == 1.0
     assert 0.0 <= rows[8] <= rows[32] <= 1.0
+
+
+def test_lsh_band_sweep_monotone(spark, sf_smoke):
+    """More bands can only catch more: candidates and recall are
+    non-decreasing in the band budget, recall caps at 1, and the
+    full-budget row agrees with dedup_recall_report."""
+    from google_cloud_ecommerce_spark.operators.dedup import (
+        N_BANDS,
+        dedup_recall_report,
+        lsh_band_sweep,
+    )
+
+    rows = sorted(lsh_band_sweep(spark, sf_smoke).collect(), key=lambda r: r.n_bands)
+    assert [r.n_bands for r in rows] == list(range(1, N_BANDS + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_candidates >= prev.n_candidates
+        assert cur.n_caught >= prev.n_caught
+        assert prev.n_true_pairs == cur.n_true_pairs
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+    full = dedup_recall_report(spark, sf_smoke).collect()[0]
+    last = rows[-1]
+    assert (last.n_candidates, last.n_caught, last.recall) == (
+        full.n_candidates,
+        full.n_caught,
+        full.recall,
+    )

@@ -161,8 +161,6 @@ def test_jsonl_roundtrip_identity(spark, sf_smoke):
     length matches the compact serialization exactly."""
     import json
 
-    from pyspark.sql import functions as F
-
     from google_cloud_ecommerce_spark.catalog import load_table
     from google_cloud_ecommerce_spark.operators.pipeline import jsonl_roundtrip
 

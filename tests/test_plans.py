@@ -641,3 +641,22 @@ def test_pq_and_ivf_assignments_are_window_free(spark, sf_smoke):
     for spec in specs:
         assert "q_id" in spec, f"unexpected non-q_id window: {spec[:80]}"
 
+
+
+def test_semdedup_pair_join_is_salted(spark, sf_smoke):
+    """Round-4 pin: the semdedup pair join shuffles on (cluster_id,
+    subkey, salt) — the salt fans each bucket's pair space across
+    tasks (k * n_sub keys alone serialize each bucket into one task),
+    and the per-pair cosine is a flat scalar multiply-add chain, never
+    an interpreted aggregate/zip_with fold in the join condition."""
+    from google_cloud_ecommerce_spark.operators import dedup
+
+    df = dedup.semdedup_clusters(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    salted = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "salt" in l and "subkey" in l
+    ]
+    assert len(salted) >= 2, "pair join lost its salted partitioning"
+    join_line = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
+    assert "zip_with" not in join_line, "pair cosine fell back to a HOF"

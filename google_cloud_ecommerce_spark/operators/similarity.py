@@ -2050,3 +2050,139 @@ def _matryoshka_dim_sweep_sql() -> str:
 
 QUERIES["matryoshka_dim_sweep"] = matryoshka_dim_sweep
 ORACLE["matryoshka_dim_sweep"] = _matryoshka_dim_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# ivf_balance_report — cell-occupancy health check of the IVF layout
+# (the "rebalance or re-train the coarse quantizer?" signal every
+# disk-resident ANN deployment watches; Jégou et al. PAMI 2011 §V note
+# cell imbalance directly bounds worst-case probe cost). Per cell:
+# vector count, corpus fraction, and load factor vs the perfectly
+# balanced cell size (n_vectors * n_cells / total). load_factor >> 1
+# means one probe touches far more than total/n_cells vectors — the
+# same pathology as a skewed shuffle key.
+#
+# Scale shape: one shuffle-free assignment pass (broadcast centroid
+# row, per-row argmin — the round-4 rewrite in _assigned), one hash
+# aggregate keyed by cell id (|cells| rows), one 1-row broadcast for
+# the totals. The corpus never shuffles.
+#
+# Cross-engine determinism: counts are integers; the two ratios are a
+# single double division over exact integer products, identical IEEE
+# in both engines; ROUND(.,4) for display only.
+# ---------------------------------------------------------------------------
+
+
+def ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        _assigned(spark, sf_dir, n_probe=1)
+        .filter(F.col("c_rank") == 1)
+        .groupBy("c_id")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    totals = cells.agg(
+        F.sum("n_vectors").alias("total"), F.count("*").alias("n_cells")
+    )
+    return cells.join(F.broadcast(totals)).select(
+        F.col("c_id").cast("bigint").alias("c_id"),
+        "n_vectors",
+        F.round(
+            F.col("n_vectors").cast("double") / F.col("total"), 4
+        ).alias("frac"),
+        F.round(
+            (F.col("n_vectors") * F.col("n_cells")).cast("double") / F.col("total"), 4
+        ).alias("load_factor"),
+    )
+
+
+def _ivf_balance_report_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        ), cents AS (
+            SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n
+            WHERE vec_id >= {CENTROID_LO} AND vec_id < {CENTROID_HI}
+        ), assigned AS (
+            SELECT n.vec_id, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {dot_sql('n.v', 'c.cv')} / (n.norm * c.cnorm) DESC, c.c_id
+                   ) AS c_rank
+            FROM n CROSS JOIN cents c
+        ), cells AS (
+            SELECT c_id, count(*) AS n_vectors FROM assigned
+            WHERE c_rank = 1 GROUP BY c_id
+        ), totals AS (
+            SELECT SUM(n_vectors) AS total, count(*) AS n_cells FROM cells
+        )
+        SELECT CAST(c_id AS BIGINT) AS c_id, n_vectors,
+               ROUND(CAST(n_vectors AS DOUBLE) / total, 4) AS frac,
+               ROUND(CAST(n_vectors * n_cells AS DOUBLE) / total, 4) AS load_factor
+        FROM cells CROSS JOIN totals
+    """
+
+
+QUERIES["ivf_balance_report"] = ivf_balance_report
+ORACLE["ivf_balance_report"] = _ivf_balance_report_sql()
+
+
+# ---------------------------------------------------------------------------
+# pq_distortion_report — per-(subspace, code) quantization error of the
+# trained PQ codebook: vector count and mean squared reconstruction
+# distance per codeword. The codebook-quality dashboard behind "is K
+# big enough / did training converge" — rising per-code distortion is
+# the retrain signal, wildly uneven code usage the dead-codeword one.
+#
+# Scale shape: reuses the pq_encode chain (subvector explode is M rows
+# per vector; assignment is shuffle-free via the broadcast codebook
+# row); the only shuffle is the final hash aggregate on (m, c_id) —
+# M*K output rows.
+#
+# Cross-engine determinism: sq_dist comes from the shared identical
+# fold; the mean runs over ROUND(.,6)-quantized decimals so the
+# accumulation order can't flip a bit (the same policy as the k-means
+# update step), then one double division.
+# ---------------------------------------------------------------------------
+
+
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    sub = _pq_subvecs(emb).localCheckpoint(eager=False)
+    cents = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("c_id"), F.col("sv").alias("cv")
+    )
+    trained = _pq_update_step(_pq_assign_step(sub, cents))
+    final = _pq_assign_step(sub, trained)
+    return (
+        final.groupBy("m", "c_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (
+                F.sum(F.round("sq_dist", 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_sq_dist"),
+        )
+        .select(
+            F.col("m").cast("int").alias("m"),
+            F.col("c_id").cast("bigint").alias("c_id"),
+            "n_vectors",
+            F.round("avg_sq_dist", 4).alias("avg_sq_dist"),
+        )
+    )
+
+
+def _pq_distortion_report_sql() -> str:
+    return f"""
+        WITH {_PQ_E_CTE}, {_pq_common_ctes()}
+        SELECT CAST(m AS INT) AS m, CAST(c_id AS BIGINT) AS c_id,
+               count(*) AS n_vectors,
+               ROUND(CAST(SUM(CAST(ROUND(sq_dist, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 4) AS avg_sq_dist
+        FROM m2 GROUP BY 1, 2
+    """
+
+
+QUERIES["pq_distortion_report"] = pq_distortion_report
+ORACLE["pq_distortion_report"] = _pq_distortion_report_sql()

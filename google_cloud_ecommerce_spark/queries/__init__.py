@@ -19,6 +19,7 @@ def _modules():
         multimodal,
         pandas_ops,
         pipeline,
+        retrieval,
         similarity,
         text,
     )
@@ -55,6 +56,7 @@ def _modules():
         multimodal,
         pandas_ops,
         pipeline,
+        retrieval,
         wire,
         sql_udf,
         streaming_jobs,

@@ -133,6 +133,16 @@ HEADLINE = [
     "matryoshka_recall",
     "heldout_perplexity",
     "cdc_chunk_dedup",
+    # round-5 additions: retrieval fusion + context packing, the
+    # IVF/PQ index-health reports, per-dim embedding moments,
+    # length-sorted batching, and the ORC container roundtrip.
+    "hybrid_search_rrf",
+    "rag_context_pack",
+    "ivf_balance_report",
+    "pq_distortion_report",
+    "embedding_dim_stats",
+    "length_bucket_batches",
+    "orc_roundtrip",
     # dedup_recall_report also stays out: its ground truth is an
     # all-pairs exact Jaccard over the doc_id%5 sample — quadratic BY
     # DESIGN (~5 s at sf0.1), the price of measuring banding recall.

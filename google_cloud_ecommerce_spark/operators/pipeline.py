@@ -1666,3 +1666,124 @@ JSONL_ROUNDTRIP_SQL = """
 
 QUERIES["jsonl_roundtrip"] = jsonl_roundtrip
 ORACLE["jsonl_roundtrip"] = JSONL_ROUNDTRIP_SQL
+
+
+# ---------------------------------------------------------------------------
+# length_bucket_batches — length-sorted batching (the "sort by length
+# to minimize padding" loader trick): documents are globally ordered
+# by token count (doc_id tie-break), dealt into fixed-size batches in
+# that order, and each batch reports its padding waste — the tokens a
+# fixed-shape (batch_size x max_len) tensor would burn on pad ids.
+# Against random batching the waste collapses because near-equal
+# lengths land in the same batch; the per-batch report IS the evidence.
+#
+# Scale shape: the global order comes from range_partition_rank
+# (repartitionByRange + per-partition ids + broadcast prefix offsets —
+# operators/ranking.py), never an unpartitioned window; the batch id is
+# closed-form rank arithmetic and the report is one hash aggregate on
+# batch_id. The oracle expresses the same thing with the window form
+# (oracles don't need the scale posture, they need the same values).
+# ---------------------------------------------------------------------------
+
+LB_BATCH_SIZE = 16
+
+
+def length_bucket_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    batch_size: int = LB_BATCH_SIZE,
+) -> DataFrame:
+    from google_cloud_ecommerce_spark.operators.ranking import range_partition_rank
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"CAST(size({tokens_expr('text')}) AS BIGINT)").alias("n_tokens"),
+    )
+    ranked = range_partition_rank(docs, ["n_tokens", "doc_id"], out_col="r")
+    b = int(batch_size)
+    return (
+        ranked.withColumn("batch_id", F.expr(f"CAST(r DIV {b} AS BIGINT)"))
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn(
+            "padding_waste",
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).cast("long"),
+        )
+    )
+
+
+def _length_bucket_batches_sql() -> str:
+    return f"""
+        WITH dt AS (
+            SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), ranked AS (
+            SELECT n_tokens,
+                   (row_number() OVER (ORDER BY n_tokens, doc_id) - 1)
+                       // {LB_BATCH_SIZE} AS batch_id
+            FROM dt
+        )
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               count(*) AS n_docs,
+               MIN(n_tokens) AS min_tokens,
+               MAX(n_tokens) AS max_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(count(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+                   AS padding_waste
+        FROM ranked GROUP BY 1
+    """
+
+
+QUERIES["length_bucket_batches"] = length_bucket_batches
+ORACLE["length_bucket_batches"] = _length_bucket_batches_sql()
+
+
+# ---------------------------------------------------------------------------
+# orc_roundtrip — the columnar-interchange identity for the ORC
+# format (Spark's second first-class columnar container after
+# parquet): write the documents table to ORC, read it back, and
+# aggregate a content checksum per (lang, source). The checksum —
+# a sum of the shared md5-derived 31-bit text hashes — proves every
+# row and the text payload survived the container byte-for-byte; the
+# oracle computes the identical aggregate over the ORIGINAL parquet,
+# so any loss or corruption in the ORC path is a parity failure.
+#
+# Scale shape: the write is a plain partitioned sink and the read a
+# plain partitioned scan; the only shuffle is the final tiny hash
+# aggregate on (lang, source).
+# ---------------------------------------------------------------------------
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.expr(token_hash_expr("text"))).cast("long").alias("text_checksum"),
+    )
+
+
+ORC_ROUNDTRIP_SQL = f"""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM({token_hash_sql('text')}) AS BIGINT) AS text_checksum
+    FROM documents GROUP BY 1, 2
+"""
+
+
+QUERIES["orc_roundtrip"] = orc_roundtrip
+ORACLE["orc_roundtrip"] = ORC_ROUNDTRIP_SQL

@@ -64,7 +64,7 @@ def _ranked(
         .agg(F.coalesce(F.sum("__e_n"), F.lit(0)).alias("__offset"))
     )
     total = counts.agg(F.sum("__n").alias("__n_total"))
-    ranked = (
+    return (
         with_pid.join(F.broadcast(offsets), "__pid")
         .crossJoin(F.broadcast(total))
         .withColumn(
@@ -73,7 +73,41 @@ def _ranked(
                 "long"
             ),
         )
+        .drop("__mid", "__pid", "__offset")
     )
+
+
+def range_partition_rank(
+    df: DataFrame,
+    order_exprs: list[Column | str],
+    out_col: str = "rank",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = the 0-based global rank over the total order
+    given by ``order_exprs`` — the window-free replacement for
+    ``row_number() OVER (ORDER BY ...) - 1``. Same machinery as the
+    ntile form; the order MUST be total for deterministic ranks."""
+    return (
+        _ranked(df, order_exprs, n_parts)
+        .withColumn(out_col, F.col("__r"))
+        .drop("__r", "__n_total")
+    )
+
+
+def range_partition_ntile(
+    df: DataFrame,
+    order_exprs: list[Column | str],
+    n_tiles: int,
+    out_col: str = "tile",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = ntile(n_tiles) over the global order given by
+    ``order_exprs`` (ascending by default; pass ``F.desc(...)`` columns
+    for descending keys). The order MUST be total (include a unique
+    tie-breaker) for deterministic tiles. No single-partition window —
+    every stage is parallel; only per-partition counts (one row each)
+    are broadcast."""
+    ranked = _ranked(df, order_exprs, n_parts)
     # ntile semantics: the first (N % t) tiles hold (N DIV t + 1) rows.
     # When N < t the WHEN branch covers every row (CASE is lazy, so the
     # DIV-by-zero ELSE arm never evaluates).
@@ -84,6 +118,4 @@ def _ranked(
         f"ELSE (__r - (__n_total % {t}) * (__n_total DIV {t} + 1)) DIV (__n_total DIV {t}) "
         f"     + (__n_total % {t}) + 1 END"
     )
-    return ranked.withColumn(out_col, tile.cast("long")).drop(
-        "__mid", "__pid", "__offset", "__n_total", "__r"
-    )
+    return ranked.withColumn(out_col, tile.cast("long")).drop("__n_total", "__r")

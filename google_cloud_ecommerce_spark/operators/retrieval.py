@@ -303,10 +303,10 @@ def _rag_context_pack_sql() -> str:
             FROM documents
         ), packed AS (
             SELECT t.q_id, t.rank, t.doc_id, dt.n_tokens, t.cos,
-                   SUM(dt.n_tokens) OVER (
+                   CAST(SUM(dt.n_tokens) OVER (
                        PARTITION BY t.q_id ORDER BY t.rank
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cum_tokens
+                   ) AS BIGINT) AS cum_tokens
             FROM top t JOIN dt ON dt.doc_id = t.doc_id
         )
         SELECT q_id, rank, doc_id, n_tokens, cum_tokens, ROUND(cos, 4) AS cosine

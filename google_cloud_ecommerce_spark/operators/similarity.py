@@ -2186,3 +2186,83 @@ def _pq_distortion_report_sql() -> str:
 
 QUERIES["pq_distortion_report"] = pq_distortion_report
 ORACLE["pq_distortion_report"] = _pq_distortion_report_sql()
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats — per-dimension moment profile of the embedding
+# corpus (mean / std / min / max per coordinate): the diagonal-
+# whitening statistics every retrieval stack computes before cosine
+# search (center + scale), and the drift/corruption dashboard for an
+# embedding column (a dimension whose std collapses to 0 or whose
+# range explodes is a broken encoder).
+#
+# Scale shape: one posexplode (dim rows per vector) + one hash
+# aggregate keyed by dimension — EMBED_DIM output rows; map-side
+# combine does almost all the work.
+#
+# Cross-engine determinism: sums run over ROUND(.,6)-quantized
+# decimals (exact, order-free); mean/variance are computed from those
+# exact sums by ONE identical double expression; min/max pick raw
+# stored values. Outputs rounded for display only.
+# ---------------------------------------------------------------------------
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    per = (
+        e.select(F.posexplode("v").alias("pos", "val"))
+        .withColumn("q", F.expr("CAST(round(val, 6) AS DECIMAL(18,6))"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("q").alias("s"),
+            F.sum(F.expr("q * q")).alias("ssq"),
+            F.min("val").alias("mn"),
+            F.max("val").alias("mx"),
+        )
+    )
+    var = (
+        "(CAST(ssq AS DOUBLE) / n) - "
+        "(CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)"
+    )
+    return per.select(
+        "dim",
+        F.expr("round(CAST(s AS DOUBLE) / n, 6)").alias("mean"),
+        F.expr(
+            f"round(sqrt(CASE WHEN {var} < 0 THEN 0.0 ELSE {var} END), 6)"
+        ).alias("std"),
+        F.expr("round(mn, 6)").alias("min_val"),
+        F.expr("round(mx, 6)").alias("max_val"),
+    )
+
+
+def _embedding_dim_stats_sql() -> str:
+    var = (
+        "(CAST(ssq AS DOUBLE) / n) - "
+        "(CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), per AS (
+            SELECT CAST(pos AS INT) AS dim,
+                   count(*) AS n,
+                   SUM(CAST(ROUND(v[pos], 6) AS DECIMAL(18,6))) AS s,
+                   SUM(CAST(ROUND(v[pos], 6) AS DECIMAL(18,6))
+                       * CAST(ROUND(v[pos], 6) AS DECIMAL(18,6))) AS ssq,
+                   MIN(v[pos]) AS mn,
+                   MAX(v[pos]) AS mx
+            FROM e, unnest(range(1, {EMBED_DIM + 1})) t(pos)
+            GROUP BY 1
+        )
+        SELECT dim,
+               ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+               ROUND(sqrt(CASE WHEN {var} < 0 THEN 0.0 ELSE {var} END), 6) AS std,
+               ROUND(mn, 6) AS min_val,
+               ROUND(mx, 6) AS max_val
+        FROM per
+    """
+
+
+QUERIES["embedding_dim_stats"] = embedding_dim_stats
+ORACLE["embedding_dim_stats"] = _embedding_dim_stats_sql()

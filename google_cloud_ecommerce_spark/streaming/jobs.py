@@ -1452,3 +1452,54 @@ def _streaming_rate_limit_oracle() -> str:
 
 
 ORACLE["streaming_rate_limit"] = _streaming_rate_limit_oracle()
+
+
+# ---------------------------------------------------------------------------
+# streaming_heavy_hitters — the streaming top-N frequent-keys job:
+# per-user running counts maintained in update mode across the replay
+# (each micro-batch re-emits only the users it touched), final top-N
+# extracted from the last state of each key. The batch oracle is the
+# exact top-N over the same events — update-mode counts are exact, so
+# the streaming path must land on the identical hitter set.
+#
+# Scale posture: the running count state is O(distinct users); the
+# final extraction is max(struct) per user (one hash aggregate over
+# the bounded memory-sink table) followed by orderBy(...).limit(N),
+# which Spark plans as TakeOrderedAndProject — a distributed top-k,
+# never a single-partition window.
+# ---------------------------------------------------------------------------
+
+HH_TOP_N = 20
+
+
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    try:
+        stream = read_replay_stream(spark, replay)
+        agg = stream.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+        )
+        sunk = _run_to_memory(agg, "update")
+        final = (
+            sunk.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "sv")).alias("last"))
+            .select(
+                "user_id",
+                F.col("last.n_events").alias("n_events"),
+                F.col("last.sv").cast("double").alias("sum_value"),
+            )
+        )
+        top = final.orderBy(F.desc("n_events"), F.asc("user_id")).limit(HH_TOP_N)
+        return _pin_result(top)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
+QUERIES["streaming_heavy_hitters"] = streaming_heavy_hitters
+ORACLE["streaming_heavy_hitters"] = f"""
+    SELECT user_id, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    ORDER BY n_events DESC, user_id LIMIT {HH_TOP_N}
+"""

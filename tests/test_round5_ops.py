@@ -102,3 +102,95 @@ def test_pq_distortion_report_partitions_each_subspace(spark, sf_smoke):
         assert r.avg_sq_dist >= 0.0
         per_m[r.m] = per_m.get(r.m, 0) + r.n_vectors
     assert per_m == {m: n_corpus for m in range(PQ_M)}
+
+
+def test_length_bucket_batches_crafted(spark, tmp_path):
+    """Lengths 1..5 with batch_size=2 deal into ((1,2),(3,4),(5)):
+    waste 1, 1, 0 — pinning the sort order, batch arithmetic, and the
+    padding formula."""
+    from google_cloud_ecommerce_spark.operators.pipeline import length_bucket_batches
+
+    rows = [
+        (i, " ".join(["w"] * n), "en", "s", 2 * n)
+        for i, n in enumerate([3, 1, 5, 2, 4])
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.batch_id: (r.n_docs, r.min_tokens, r.max_tokens, r.sum_tokens, r.padding_waste)
+        for r in length_bucket_batches(spark, str(tmp_path), batch_size=2).collect()
+    }
+    assert out == {0: (2, 1, 2, 3, 1), 1: (2, 3, 4, 7, 1), 2: (1, 5, 5, 5, 0)}
+
+
+def test_embedding_dim_stats_matches_numpy(spark, sf_smoke):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from google_cloud_ecommerce_spark.operators.similarity import embedding_dim_stats
+
+    tbl = pq.read_table(f"{sf_smoke}/embeddings.parquet")
+    m = np.array(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    rows = {r.dim: r for r in embedding_dim_stats(spark, sf_smoke).collect()}
+    assert set(rows) == set(range(1, m.shape[1] + 1))
+    for d in range(m.shape[1]):
+        r = rows[d + 1]
+        assert r.mean == pytest.approx(m[:, d].mean(), abs=1e-4)
+        assert r.std == pytest.approx(m[:, d].std(), abs=1e-4)
+        assert r.min_val == pytest.approx(m[:, d].min(), abs=1e-5)
+        assert r.max_val == pytest.approx(m[:, d].max(), abs=1e-5)
+
+
+def test_orc_roundtrip_preserves_content(spark, sf_smoke):
+    """The ORC write/read aggregate must equal the same aggregate over
+    the original parquet — row counts AND the md5 text checksum."""
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.operators._common import token_hash_expr
+    from google_cloud_ecommerce_spark.operators.pipeline import orc_roundtrip
+
+    got = {
+        (r.lang, r.source): (r.n_docs, r.sum_chars, r.text_checksum)
+        for r in orc_roundtrip(spark, sf_smoke).collect()
+    }
+    want = {
+        (r.lang, r.source): (r.n_docs, r.sum_chars, r.text_checksum)
+        for r in load_table(spark, sf_smoke, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.expr(token_hash_expr("text"))).cast("long").alias("text_checksum"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_heavy_hitters_is_exact_topn(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.streaming.jobs import (
+        HH_TOP_N,
+        streaming_heavy_hitters,
+    )
+
+    got = [
+        (r.user_id, r.n_events) for r in streaming_heavy_hitters(spark, sf_smoke).collect()
+    ]
+    want = [
+        (r.user_id, r.n_events)
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(HH_TOP_N)
+        .collect()
+    ]
+    assert got == want

@@ -167,6 +167,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def invalidate_table(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Drop the cached plan AND Spark's file-listing cache for one
+    table — required when the source files are replaced out-of-band
+    within a session (a fingerprint mismatch proves exactly that)."""
+    _PLAN_CACHE.pop((spark.sparkContext.applicationId, sf_dir, name), None)
+    spark.catalog.refreshByPath(os.path.join(sf_dir, f"{name}.parquet"))
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
 ) -> dict[str, DataFrame]:

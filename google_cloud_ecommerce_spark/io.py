@@ -272,3 +272,102 @@ def read_json_permissive(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (co-located) table layout — the ingest-time partitioning
+# that removes the join shuffle entirely: both sides written with
+# bucketBy(N, key) + sortBy(key) scan straight into a SortMergeJoin
+# with NO Exchange on either side (one task per bucket). This is the
+# 100 TB answer for a join both of whose sides are fact-sized (too big
+# to broadcast): pay the shuffle once at ingest, never per query.
+# The layout persists under spark-warehouse/bucketed/<table>/<sf>/ with
+# the same fingerprint-marker discipline as the ANN index layouts
+# (operators/similarity.py): stale or missing layouts rebuild; a fresh
+# session re-registers the catalog entry over the existing files via
+# CREATE TABLE ... CLUSTERED BY ... LOCATION.
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 8
+_BUCKET_ROOT = None  # resolved lazily so import carries no path cost
+
+
+def _bucket_root():
+    global _BUCKET_ROOT
+    if _BUCKET_ROOT is None:
+        from pathlib import Path
+
+        _BUCKET_ROOT = Path(__file__).resolve().parents[1] / "spark-warehouse" / "bucketed"
+    return _BUCKET_ROOT
+
+
+def _bucket_fingerprint(sf_dir: str, table: str) -> str:
+    import os
+    from pathlib import Path
+
+    src = Path(sf_dir) / f"{table}.parquet"
+    if src.is_dir():
+        stats = sorted(
+            (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+            for p in src.rglob("*")
+            if p.is_file()
+        )
+        return repr(stats)
+    st = os.stat(src)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Return ``table`` as a catalog-registered bucketed table (bucketed
+    AND sorted by ``key`` into ``n_buckets``), building the layout on
+    first use per source fingerprint."""
+    import hashlib
+    import os
+    import re
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+
+    sf_tag = re.sub(r"[^a-zA-Z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    loc_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    name = f"bk_{table}_{sf_tag}_{loc_tag}"
+    loc = _bucket_root() / table / f"{sf_tag}_{loc_tag}"
+    marker = loc / "_SOURCE"
+    content = f"{_bucket_fingerprint(sf_dir, table)}|b{n_buckets}:{key}:v1"
+
+    fresh = marker.exists() and marker.read_text() == content
+    if spark.catalog.tableExists(name):
+        if fresh:
+            return spark.table(name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if fresh:
+        # files are current from a prior session — re-register over them
+        src = load_table(spark, sf_dir, table)
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema)
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+        return spark.table(name)
+    # a fingerprint change means the source files were replaced
+    # out-of-band — drop the cached plan + stale file listings first
+    from google_cloud_ecommerce_spark.catalog import invalidate_table
+
+    invalidate_table(spark, sf_dir, table)
+    src = load_table(spark, sf_dir, table)
+    (
+        src.write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", str(loc))
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    marker.write_text(content)
+    return spark.table(name)

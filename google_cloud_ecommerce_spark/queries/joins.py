@@ -390,3 +390,45 @@ CONVERSION_LATENCY_SQL = """
 
 QUERIES["conversion_latency_percentiles"] = conversion_latency_percentiles
 ORACLE["conversion_latency_percentiles"] = CONVERSION_LATENCY_SQL
+
+
+# ---------------------------------------------------------------------------
+# bucketed_join_revenue — the co-located (zero-shuffle) join: orders
+# and customer are both stored bucketed+sorted on the customer key
+# (io.ensure_bucketed_table), so the SortMergeJoin consumes the bucket
+# layout directly — NO Exchange on either side, one task per bucket
+# (plan-asserted in tests/test_plans.py). This is the ingest-time
+# answer for fact-to-fact joins that are too big to broadcast: at
+# 100 TB the shuffle is paid once when the table lands, not per query.
+# The reference pays the equivalent cost per run by re-reading CSV
+# into pandas chunks (write_session_batch.py:133-134).
+#
+# The merge hint pins SMJ so the demonstration is stable even when
+# the small fixture side would broadcast; at scale neither side fits
+# a broadcast and SMJ-over-buckets is the plan AQE would pick anyway.
+# ---------------------------------------------------------------------------
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.io import ensure_bucketed_table
+
+    cust = ensure_bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    orders = ensure_bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    j = orders.hint("merge").join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_revenue"),
+    )
+
+
+QUERIES["bucketed_join_revenue"] = bucketed_join_revenue
+ORACLE["bucketed_join_revenue"] = """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+"""

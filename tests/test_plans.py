@@ -660,3 +660,18 @@ def test_semdedup_pair_join_is_salted(spark, sf_smoke):
     assert len(salted) >= 2, "pair join lost its salted partitioning"
     join_line = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
     assert "zip_with" not in join_line, "pair cosine fell back to a HOF"
+
+
+def test_bucketed_join_has_no_exchange_before_smj(spark, sf_smoke):
+    """Round-5 pin: the co-located join consumes the bucketBy layout
+    directly — both scans report Bucketed: true and the ONLY Exchange
+    in the plan is the final tiny group-by, never a join-side shuffle."""
+    from google_cloud_ecommerce_spark.queries.joins import bucketed_join_revenue
+
+    df = bucketed_join_revenue(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    join_part = plan[plan.find("SortMergeJoin"):]
+    assert "Exchange" not in join_part, "join side shuffled despite buckets"
+    assert plan.count("Exchange") <= 1  # the final group-by only

@@ -194,3 +194,27 @@ def test_streaming_heavy_hitters_is_exact_topn(spark, sf_smoke):
         .collect()
     ]
     assert got == want
+
+
+def test_bucketed_table_rebuilds_on_stale_marker(spark, tmp_path):
+    """A source-fingerprint change must force a layout rebuild; an
+    unchanged fingerprint must reuse the files (marker untouched)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from google_cloud_ecommerce_spark.io import ensure_bucketed_table
+
+    src = spark.range(100).select(
+        F.col("id").alias("o_custkey"), (F.col("id") * 2).alias("o_totalprice")
+    )
+    src.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    t1 = ensure_bucketed_table(spark, str(tmp_path), "orders", "o_custkey")
+    assert t1.count() == 100
+    # mutate the source -> fingerprint changes -> rebuild with new rows
+    time.sleep(0.01)
+    spark.range(50).select(
+        F.col("id").alias("o_custkey"), (F.col("id") * 2).alias("o_totalprice")
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    t2 = ensure_bucketed_table(spark, str(tmp_path), "orders", "o_custkey")
+    assert t2.count() == 50

@@ -919,3 +919,46 @@ EVENTS_CUBE_ROLLUP_SQL = """
 
 QUERIES["events_cube_rollup"] = events_cube_rollup
 ORACLE["events_cube_rollup"] = EVENTS_CUBE_ROLLUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# day_pruned_scan — the time-partitioned lakehouse read: one day's
+# traffic profile off the day-partitioned event layout
+# (io.ensure_day_partitioned_events). The day predicate resolves at
+# FILE LISTING time (PartitionFilters on the scan — asserted in
+# tests/test_plans.py and by inputFiles in tests/test_round5_ops.py):
+# 29 of 30 day directories are never opened. At 100 TB this is the
+# difference between scanning ~1/30th of the table and all of it —
+# the single highest-leverage layout decision for an event store.
+# Day and hour are materialized at layout-build time under the UTC
+# pin, so the query output is session/process-TZ stable.
+# ---------------------------------------------------------------------------
+
+PRUNE_DAY = "2024-01-15"  # present at every fixture SF (days span 01-01..01-30)
+
+
+def day_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+
+    loc = ensure_day_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(loc)
+    return (
+        ev.filter(F.col("day") == F.to_date(F.lit(PRUNE_DAY)))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+QUERIES["day_pruned_scan"] = day_pruned_scan
+ORACLE["day_pruned_scan"] = f"""
+    SELECT event_type, CAST(hour(ts) AS INT) AS hour, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{PRUNE_DAY}'
+    GROUP BY 1, 2
+"""

@@ -675,3 +675,19 @@ def test_bucketed_join_has_no_exchange_before_smj(spark, sf_smoke):
     join_part = plan[plan.find("SortMergeJoin"):]
     assert "Exchange" not in join_part, "join side shuffled despite buckets"
     assert plan.count("Exchange") <= 1  # the final group-by only
+
+
+def test_day_pruned_scan_prunes_partitions(spark, sf_smoke):
+    """Round-5 pin: the day predicate reaches the partitioned scan as a
+    PartitionFilter and only the matching day directory is read."""
+    from google_cloud_ecommerce_spark.queries.scale import PRUNE_DAY, day_pruned_scan
+
+    df = day_pruned_scan(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # the day predicate must be a PARTITION filter (listing-time prune),
+    # not a data filter evaluated after reading
+    assert f"(day#" in scan and PRUNE_DAY in scan.split("PartitionFilters")[1].split(
+        "PushedFilters"
+    )[0]
+    assert "DataFilters: []" in scan

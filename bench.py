@@ -143,6 +143,14 @@ HEADLINE = [
     "embedding_dim_stats",
     "length_bucket_batches",
     "orc_roundtrip",
+    # round-5 continued: late-interaction retrieval, contrastive
+    # negatives, the vocab-size selection curve, and the two lakehouse
+    # layout reads (bucketed co-located join, day-pruned scan).
+    "maxsim_retrieval",
+    "hard_negative_mining",
+    "vocab_prune_coverage",
+    "bucketed_join_revenue",
+    "day_pruned_scan",
     # dedup_recall_report also stays out: its ground truth is an
     # all-pairs exact Jaccard over the doc_id%5 sample — quadratic BY
     # DESIGN (~5 s at sf0.1), the price of measuring banding recall.

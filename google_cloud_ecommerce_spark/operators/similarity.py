@@ -2266,3 +2266,164 @@ def _embedding_dim_stats_sql() -> str:
 
 QUERIES["embedding_dim_stats"] = embedding_dim_stats
 ORACLE["embedding_dim_stats"] = _embedding_dim_stats_sql()
+
+
+# ---------------------------------------------------------------------------
+# maxsim_retrieval — ColBERT-style late interaction (Khattab &
+# Zaharia, SIGIR 2020) at the document level: each "document" is a
+# BAG of chunk vectors (here: consecutive vec_id groups of
+# MAXSIM_CHUNK fixture vectors), a query is one vector, and the
+# query-document score is the MAX over the document's chunk cosines.
+# MaxSim rewards documents with one highly-relevant passage instead of
+# averaging it away — the retrieval aggregation a chunked RAG corpus
+# actually wants.
+#
+# Scale shape: queries broadcast; one map-side cosine per (chunk,
+# query); the max collapses chunks to documents in one hash aggregate
+# BEFORE the per-query top-k window, so the window input is |docs|,
+# not |chunks|.
+# ---------------------------------------------------------------------------
+
+MAXSIM_CHUNK = 4  # vectors per "document"
+MAXSIM_TOP_K = 10
+
+
+def maxsim_retrieval(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    top_k: int = MAXSIM_TOP_K,
+    n_query_vecs: int = N_QUERY_VECS,
+) -> DataFrame:
+    corpus = _with_norm(_emb(spark, sf_dir))
+    queries = corpus.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .withColumn(
+            "cos", F.expr(dot_expr("qv", "v")) / (F.col("qnorm") * F.col("norm"))
+        )
+        .groupBy("q_id", F.expr(f"vec_id DIV {MAXSIM_CHUNK}").alias("doc_id"))
+        .agg(F.max("cos").alias("maxsim"), F.count("*").alias("n_chunks"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "q_id", "doc_id", "rank", "n_chunks", F.round("maxsim", 4).alias("maxsim")
+        )
+    )
+
+
+def _maxsim_retrieval_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id // {MAXSIM_CHUNK} AS doc_id,
+                   {dot_sql('q.v', 'c.v')} / (q.norm * c.norm) AS cos
+            FROM n q CROSS JOIN n c
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ), docs AS (
+            SELECT q_id, doc_id, MAX(cos) AS maxsim,
+                   count(*) AS n_chunks
+            FROM scored GROUP BY 1, 2
+        )
+        SELECT q_id, CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY maxsim DESC, doc_id
+               ) AS BIGINT) AS rank,
+               n_chunks,
+               ROUND(maxsim, 4) AS maxsim
+        FROM docs
+        QUALIFY rank <= {MAXSIM_TOP_K}
+    """
+
+
+QUERIES["maxsim_retrieval"] = maxsim_retrieval
+ORACLE["maxsim_retrieval"] = _maxsim_retrieval_sql()
+
+
+# ---------------------------------------------------------------------------
+# hard_negative_mining — contrastive-training negatives: for each
+# query vector, the top-k most similar vectors with a DIFFERENT label
+# (the negatives a dual-encoder finds hardest, per DPR/ANCE training
+# practice — random negatives are trivially separable; the hard ones
+# define the decision boundary). Output carries both labels so the
+# training job can audit the mined pairs.
+#
+# Scale shape: identical to similarity_topk (broadcast queries,
+# map-side cosine, per-query top-k window) with the label-mismatch
+# predicate fused into the join — Catalyst evaluates it before any
+# distance math.
+# ---------------------------------------------------------------------------
+
+HNM_TOP_K = 5
+
+
+def hard_negative_mining(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    top_k: int = HNM_TOP_K,
+    n_query_vecs: int = N_QUERY_VECS,
+) -> DataFrame:
+    corpus = _with_norm(_emb(spark, sf_dir))
+    queries = corpus.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("label") != F.col("q_label"))
+        .withColumn(
+            "cos", F.expr(dot_expr("qv", "v")) / (F.col("qnorm") * F.col("norm"))
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            "rank",
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+def _hard_negative_mining_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, label, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        ), scored AS (
+            SELECT q.vec_id AS q_id, q.label AS q_label,
+                   c.vec_id AS neg_id, c.label AS neg_label,
+                   {dot_sql('q.v', 'c.v')} / (q.norm * c.norm) AS cos
+            FROM n q JOIN n c ON c.label != q.label
+            WHERE q.vec_id < {N_QUERY_VECS}
+        )
+        SELECT q_id, q_label, neg_id, neg_label,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, neg_id
+               ) AS BIGINT) AS rank,
+               ROUND(cos, 4) AS cosine
+        FROM scored
+        QUALIFY rank <= {HNM_TOP_K}
+    """
+
+
+QUERIES["hard_negative_mining"] = hard_negative_mining
+ORACLE["hard_negative_mining"] = _hard_negative_mining_sql()

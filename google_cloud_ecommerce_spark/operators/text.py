@@ -2351,3 +2351,96 @@ def _skipgram_pmi_sql() -> str:
 
 QUERIES["skipgram_pmi"] = skipgram_pmi
 ORACLE["skipgram_pmi"] = _skipgram_pmi_sql()
+
+
+# ---------------------------------------------------------------------------
+# vocab_prune_coverage — the vocabulary-size selection curve: what
+# fraction of all token OCCURRENCES the top-V vocabulary entries cover,
+# at a V grid. The companion to token_zipf_fit (same histogram) and
+# the number a tokenizer/embedding-table budget decision actually
+# needs: coverage(V) flattens exactly where extra vocab stops paying.
+#
+# Scale shape: vocabulary ranks are NEVER materialized per token — the
+# frequency histogram (|distinct frequencies| rows, tiny) carries
+# (freq, class size, tokens-ranked-before) via the same triangular
+# broadcast prefix as token_zipf_fit; coverage at each budget is the
+# closed form sum(f * clamp(V - before, 0, c)) — exact integers, no
+# sort, no window, nothing proportional to vocabulary size past the
+# first aggregate.
+# ---------------------------------------------------------------------------
+
+VOCAB_BUDGETS = (1, 2, 4, 8, 16, 32)
+
+
+def vocab_prune_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
+    )
+    freqs = toks.groupBy("token").agg(F.count("*").alias("f"))
+    hist = freqs.groupBy("f").agg(F.count("*").alias("c"))
+    earlier = hist.select(F.col("f").alias("e_f"), F.col("c").alias("e_c"))
+    pref = (
+        hist.join(F.broadcast(earlier), F.col("e_f") > F.col("f"), "left")
+        .groupBy("f", "c")
+        .agg(F.coalesce(F.sum("e_c"), F.lit(0)).alias("before"))
+    )
+    budgets = ", ".join(str(v) for v in VOCAB_BUDGETS)
+    per = (
+        pref.select(
+            "f", "c", "before", F.explode(F.expr(f"array({budgets})")).alias("v_budget")
+        )
+        .withColumn("take", F.expr("least(greatest(v_budget - before, 0L), c)"))
+        .groupBy("v_budget")
+        .agg(F.sum(F.expr("f * take")).alias("covered_tokens"))
+    )
+    totals = hist.agg(
+        F.sum(F.expr("f * c")).alias("total_tokens"),
+        F.sum("c").alias("n_vocab"),
+    )
+    return per.join(F.broadcast(totals)).select(
+        F.col("v_budget").cast("int").alias("v_budget"),
+        F.col("covered_tokens").cast("long").alias("covered_tokens"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("n_vocab").cast("long").alias("n_vocab"),
+        F.expr(
+            "round(CAST(covered_tokens AS DOUBLE) / total_tokens, 6)"
+        ).alias("coverage"),
+    )
+
+
+def _vocab_prune_coverage_sql() -> str:
+    budgets = ", ".join(f"({v})" for v in VOCAB_BUDGETS)
+    return f"""
+        WITH toks AS (
+            SELECT unnest({tokens_sql('lower(text)')}) AS token FROM documents
+        ), freqs AS (
+            SELECT token, count(*) AS f FROM toks GROUP BY 1
+        ), hist AS (
+            SELECT f, count(*) AS c FROM freqs GROUP BY 1
+        ), pref AS (
+            SELECT f, c,
+                   CAST(COALESCE(SUM(c) OVER (
+                       ORDER BY f DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS before
+            FROM hist
+        ), per AS (
+            SELECT g.v_budget,
+                   CAST(SUM(f * least(greatest(g.v_budget - before, 0), c))
+                        AS BIGINT) AS covered_tokens
+            FROM pref CROSS JOIN (VALUES {budgets}) AS g(v_budget)
+            GROUP BY 1
+        ), totals AS (
+            SELECT CAST(SUM(f * c) AS BIGINT) AS total_tokens,
+                   CAST(SUM(c) AS BIGINT) AS n_vocab
+            FROM hist
+        )
+        SELECT CAST(v_budget AS INT) AS v_budget, covered_tokens,
+               total_tokens, n_vocab,
+               ROUND(CAST(covered_tokens AS DOUBLE) / total_tokens, 6) AS coverage
+        FROM per CROSS JOIN totals
+    """
+
+
+QUERIES["vocab_prune_coverage"] = vocab_prune_coverage
+ORACLE["vocab_prune_coverage"] = _vocab_prune_coverage_sql()

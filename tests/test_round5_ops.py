@@ -218,3 +218,84 @@ def test_bucketed_table_rebuilds_on_stale_marker(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
     t2 = ensure_bucketed_table(spark, str(tmp_path), "orders", "o_custkey")
     assert t2.count() == 50
+
+
+def _emb_matrix(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    m = np.array(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    ids = np.asarray(tbl.column("vec_id").to_pylist())
+    labels = np.asarray(tbl.column("label").to_pylist())
+    order = np.argsort(ids)
+    return m[order], ids[order], labels[order]
+
+
+def test_maxsim_retrieval_matches_numpy(spark, sf_smoke):
+    import numpy as np
+
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        MAXSIM_CHUNK,
+        N_QUERY_VECS,
+        maxsim_retrieval,
+    )
+
+    m, ids, _ = _emb_matrix(sf_smoke)
+    norms = np.linalg.norm(m, axis=1)
+    got = {(r.q_id, r.doc_id): r.maxsim for r in maxsim_retrieval(spark, sf_smoke).collect()}
+    for q in range(N_QUERY_VECS):
+        cos = (m @ m[q]) / (norms * norms[q])
+        docs = {}
+        for vid, c in zip(ids, cos):
+            d = vid // MAXSIM_CHUNK
+            docs[d] = max(docs.get(d, -2.0), c)
+        top = sorted(docs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        for d, c in top:
+            assert got[(q, d)] == pytest.approx(c, abs=5e-5)
+
+
+def test_hard_negatives_never_share_the_query_label(spark, sf_smoke):
+    import numpy as np
+
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        HNM_TOP_K,
+        N_QUERY_VECS,
+        hard_negative_mining,
+    )
+
+    m, ids, labels = _emb_matrix(sf_smoke)
+    norms = np.linalg.norm(m, axis=1)
+    rows = hard_negative_mining(spark, sf_smoke).collect()
+    assert all(r.neg_label != r.q_label for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == HNM_TOP_K
+        cos = (m @ m[q]) / (norms * norms[q])
+        cand = [
+            (c, vid)
+            for vid, c, l in zip(ids, cos, labels)
+            if l != labels[q]
+        ]
+        want = sorted(cand, key=lambda t: (-t[0], t[1]))[:HNM_TOP_K]
+        got = sorted(((r.rank, r.neg_id) for r in rs))
+        assert [nid for _, nid in got] == [vid for _, vid in want]
+
+
+def test_vocab_coverage_is_monotone_and_saturates(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.operators.text import vocab_prune_coverage
+
+    rows = sorted(
+        vocab_prune_coverage(spark, sf_smoke).collect(), key=lambda r: r.v_budget
+    )
+    covs = [r.coverage for r in rows]
+    assert covs == sorted(covs)
+    assert all(0.0 < c <= 1.0 for c in covs)
+    # the largest budget exceeds the fixture vocabulary -> full coverage
+    last = rows[-1]
+    assert last.v_budget >= last.n_vocab and last.coverage == 1.0
+    assert all(r.total_tokens == rows[0].total_tokens for r in rows)

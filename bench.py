@@ -151,6 +151,7 @@ HEADLINE = [
     "vocab_prune_coverage",
     "bucketed_join_revenue",
     "day_pruned_scan",
+    "mmr_diversified_topk",
     # dedup_recall_report also stays out: its ground truth is an
     # all-pairs exact Jaccard over the doc_id%5 sample — quadratic BY
     # DESIGN (~5 s at sf0.1), the price of measuring banding recall.

@@ -323,3 +323,200 @@ ORACLE = {
     "hybrid_search_rrf": _hybrid_search_rrf_sql(),
     "rag_context_pack": _rag_context_pack_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# mmr_diversified_topk — Maximal Marginal Relevance (Carbonell &
+# Goldstein, SIGIR 1998): greedy re-ranking of the per-query top-POOL
+# candidates that trades relevance against redundancy —
+# score(d) = LAMBDA * rel(d) - (1 - LAMBDA) * max sim(d, selected).
+# The de-duplication step a RAG context actually needs: rag_context_pack
+# above fills the budget with the most RELEVANT docs, MMR fills it with
+# relevant docs that aren't five copies of each other.
+#
+# Scale shape: the greedy loop runs over the per-query POOL only —
+# pool and its pairwise sims are (queries x POOL)-sized and pinned with
+# one lazy localCheckpoint each (re-derived per greedy round
+# otherwise); the corpus is touched exactly once, by the same
+# broadcast-query scan as similarity_topk. K unrolled rounds (the
+# repo's iterative-operator discipline, < CHECKPOINT_EVERY).
+#
+# Cross-engine determinism: rel and sim are the shared bit-identical
+# cosine folds; LAMBDA and (1 - LAMBDA) are inlined from the SAME
+# Python floats into both engines (0.75/0.25 — exact binary, so the
+# score expression is IEEE-identical); argmax ties break on doc id via
+# struct-max / row_number. Output values rounded for display only.
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.75  # exact in binary; 1-lambda = 0.25 exact too
+MMR_POOL = 20
+MMR_K = 5
+
+
+def mmr_diversified_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    pool: int = MMR_POOL,
+    k: int = MMR_K,
+    n_query_vecs: int = N_QUERY_VECS,
+) -> DataFrame:
+    lam, oml = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
+    corpus = _with_norm(_emb(spark, sf_dir))
+    queries = corpus.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    rank_w = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    pool_df = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "rel", F.expr(dot_expr("qv", "v")) / (F.col("qnorm") * F.col("norm"))
+        )
+        .withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") <= pool)
+        .select("q_id", "vec_id", "rel", "v", "norm")
+        .localCheckpoint(eager=False)
+    )
+    a, b = pool_df.alias("a"), pool_df.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.q_id") == F.col("b.q_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.q_id").alias("q_id"),
+            F.col("a.vec_id").alias("d"),
+            F.col("b.vec_id").alias("o"),
+            (
+                F.expr(dot_expr("a.v", "b.v")) / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # round 1: pure relevance argmax (struct-max, doc-id tie-break)
+    sel = (
+        pool_df.groupBy("q_id")
+        .agg(F.max(F.struct(F.col("rel"), (-F.col("vec_id")).alias("negd"))).alias("m"))
+        .select(
+            "q_id",
+            (-F.col("m.negd")).alias("doc_id"),
+            F.col("m.rel").alias("rel"),
+            F.lit(1).cast("int").alias("round"),
+            F.col("m.rel").alias("mmr_score"),
+        )
+    )
+    for i in range(2, int(k) + 1):
+        chosen = sel.select("q_id", F.col("doc_id").alias("o"))
+        maxsim = (
+            sims.join(chosen, ["q_id", "o"])
+            .groupBy("q_id", "d")
+            .agg(F.max("sim").alias("ms"))
+        )
+        cand = (
+            pool_df.join(
+                sel.select("q_id", F.col("doc_id").alias("vec_id")),
+                ["q_id", "vec_id"],
+                "left_anti",
+            )
+            .join(
+                maxsim.select(
+                    F.col("q_id").alias("mq"), F.col("d").alias("md"), "ms"
+                ),
+                (F.col("q_id") == F.col("mq")) & (F.col("vec_id") == F.col("md")),
+            )
+            .withColumn("score", F.expr(f"{lam} * rel - {oml} * ms"))
+        )
+        pick = (
+            cand.groupBy("q_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score"), (-F.col("vec_id")).alias("negd"), F.col("rel")
+                    )
+                ).alias("m")
+            )
+            .select(
+                "q_id",
+                (-F.col("m.negd")).alias("doc_id"),
+                F.col("m.rel").alias("rel"),
+                F.lit(i).cast("int").alias("round"),
+                F.col("m.score").alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "q_id",
+        "round",
+        "doc_id",
+        F.round("rel", 4).alias("rel"),
+        F.round("mmr_score", 4).alias("mmr_score"),
+    )
+
+
+def _mmr_sql() -> str:
+    lam, oml = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
+    rounds = []
+    sel_union = "sel1"
+    for i in range(2, MMR_K + 1):
+        rounds.append(f"""u{i} AS (
+            SELECT * FROM {sel_union}
+        ), m{i} AS (
+            SELECT s.q_id, s.d, MAX(s.sim) AS ms
+            FROM sims s JOIN u{i} x ON x.q_id = s.q_id AND x.doc_id = s.o
+            GROUP BY 1, 2
+        ), c{i} AS (
+            SELECT p.q_id, p.d, p.rel, {lam} * p.rel - {oml} * m.ms AS score
+            FROM pool p
+            JOIN m{i} m ON m.q_id = p.q_id AND m.d = p.d
+            LEFT JOIN u{i} x ON x.q_id = p.q_id AND x.doc_id = p.d
+            WHERE x.doc_id IS NULL
+        ), sel{i} AS (
+            SELECT q_id, d AS doc_id, rel, {i} AS round, score AS mmr_score
+            FROM c{i}
+            QUALIFY row_number() OVER (
+                PARTITION BY q_id ORDER BY score DESC, d
+            ) = 1
+        )""")
+        sel_union = f"(SELECT q_id, doc_id FROM u{i} UNION ALL SELECT q_id, doc_id FROM sel{i})"
+    chain = ", ".join(rounds)
+    final = "\n        UNION ALL\n".join(
+        f"        SELECT q_id, round, doc_id, ROUND(rel, 4) AS rel,"
+        f" ROUND(mmr_score, 4) AS mmr_score FROM sel{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS d, c.v, c.norm,
+                   {dot_sql('q.v', 'c.v')} / (q.norm * c.norm) AS rel
+            FROM n q JOIN n c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ), pool AS (
+            SELECT q_id, d, rel, v, norm FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY q_id ORDER BY rel DESC, d
+            ) <= {MMR_POOL}
+        ), sims AS (
+            SELECT a.q_id, a.d, b.d AS o,
+                   {dot_sql('a.v', 'b.v')} / (a.norm * b.norm) AS sim
+            FROM pool a JOIN pool b
+              ON a.q_id = b.q_id AND a.d != b.d
+        ), sel1 AS (
+            SELECT q_id, d AS doc_id, rel, 1 AS round, rel AS mmr_score
+            FROM pool
+            QUALIFY row_number() OVER (
+                PARTITION BY q_id ORDER BY rel DESC, d
+            ) = 1
+        ), {chain}
+{final}
+    """
+
+
+QUERIES["mmr_diversified_topk"] = mmr_diversified_topk
+ORACLE["mmr_diversified_topk"] = _mmr_sql()

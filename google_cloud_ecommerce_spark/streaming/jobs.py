@@ -1503,3 +1503,61 @@ ORACLE["streaming_heavy_hitters"] = f"""
     FROM events GROUP BY 1
     ORDER BY n_events DESC, user_id LIMIT {HH_TOP_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_lakehouse_ingest — the streaming-into-the-lakehouse path:
+# each micro-batch lands via foreachBatch into its own epoch directory,
+# day-partitioned INSIDE the epoch (epoch=N/day=D/...). Epoch-scoped
+# overwrite makes redelivery idempotent (the exactly-once discipline of
+# io.foreach_batch_parquet_sink) while the day partitioning gives every
+# downstream reader the listing-time pruning of day_pruned_scan — the
+# two layout disciplines composed. The verification read scans the
+# whole tree through partition discovery (epoch and day both become
+# columns) and aggregates per day; the batch oracle over the source
+# events must match exactly.
+# ---------------------------------------------------------------------------
+
+
+def streaming_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    out = tempfile.mkdtemp(prefix="spark_graft_lakehouse_")
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_lakehouse_ckpt_")
+    try:
+        stream = read_replay_stream(spark, replay)
+
+        def write_epoch(batch_df, epoch_id: int) -> None:
+            (
+                batch_df.withColumn("day", F.to_date("ts"))
+                .write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(f"{out}/epoch={epoch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(write_epoch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        landed = spark.read.parquet(out)  # partition discovery: epoch, day
+        final = landed.groupBy("day").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        return _pin_result(final)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+QUERIES["streaming_lakehouse_ingest"] = streaming_lakehouse_ingest
+ORACLE["streaming_lakehouse_ingest"] = """
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+"""

@@ -299,3 +299,46 @@ def test_vocab_coverage_is_monotone_and_saturates(spark, sf_smoke):
     last = rows[-1]
     assert last.v_budget >= last.n_vocab and last.coverage == 1.0
     assert all(r.total_tokens == rows[0].total_tokens for r in rows)
+
+
+def test_mmr_matches_numpy_greedy(spark, sf_smoke):
+    """Full reimplementation check: the unrolled DataFrame greedy must
+    select exactly the docs a direct numpy MMR selects, in order."""
+    import numpy as np
+
+    from google_cloud_ecommerce_spark.operators.retrieval import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        mmr_diversified_topk,
+    )
+    from google_cloud_ecommerce_spark.operators.similarity import N_QUERY_VECS
+
+    m, ids, _ = _emb_matrix(sf_smoke)
+    norms = np.linalg.norm(m, axis=1)
+    got = {}
+    for r in mmr_diversified_topk(spark, sf_smoke).collect():
+        got.setdefault(r.q_id, {})[r.round] = r.doc_id
+    for q in range(N_QUERY_VECS):
+        rel = (m @ m[q]) / (norms * norms[q])
+        cand = [(r, vid) for vid, r in zip(ids, rel) if vid != q]
+        pool = sorted(cand, key=lambda t: (-t[0], t[1]))[:MMR_POOL]
+        pool_ids = [vid for _, vid in pool]
+        rel_of = dict((vid, r) for r, vid in pool)
+        sel = []
+        for i in range(1, MMR_K + 1):
+            best = None
+            for vid in pool_ids:
+                if vid in sel:
+                    continue
+                if not sel:
+                    score = rel_of[vid]
+                else:
+                    ms = max(
+                        float(m[vid] @ m[s] / (norms[vid] * norms[s])) for s in sel
+                    )
+                    score = MMR_LAMBDA * rel_of[vid] - (1.0 - MMR_LAMBDA) * ms
+                if best is None or score > best[0] or (score == best[0] and vid < best[1]):
+                    best = (score, vid)
+            sel.append(best[1])
+            assert got[q][i] == best[1], (q, i, got[q], sel)

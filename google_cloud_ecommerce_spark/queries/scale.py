@@ -962,3 +962,117 @@ ORACLE["day_pruned_scan"] = f"""
     WHERE CAST(ts AS DATE) = DATE '{PRUNE_DAY}'
     GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# zonemap_skip_report — does the z-order layout actually skip? Zone
+# maps (per-block min/max, the Iceberg/Delta/Parquet row-group stats
+# every lakehouse prunes with) are only as good as the physical
+# clustering: this report blocks the table two ways — by z-value range
+# (the zorder_write layout above) and by a round-robin control
+# (event_id % NBLOCKS, the "no clustering" strawman) — and counts how
+# many blocks a 2-dimensional range predicate can prove empty from
+# min/max alone. Z-order keeps BOTH dimensions' per-block ranges
+# tight, so the z-blocked layout skips most blocks while the control
+# skips none — the measured justification for paying the z-order sort
+# at ingest.
+#
+# Scale shape: one scan, two hash aggregates keyed by block id
+# (NBLOCKS rows each), one 1-row summary per layout. Everything
+# integer-exact.
+# ---------------------------------------------------------------------------
+
+ZM_NBLOCKS = 256
+ZM_SPAN = (2 ** (2 * ZORDER_BITS)) // ZM_NBLOCKS
+ZM_X_LO, ZM_X_HI = 40, 80
+ZM_Y_LO, ZM_Y_HI = 5, 12
+
+
+def zonemap_skip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _zorder_cols(load_table(spark, sf_dir, "events"))
+    match = (
+        f"CAST(x_bucket BETWEEN {ZM_X_LO} AND {ZM_X_HI} "
+        f"AND y_day BETWEEN {ZM_Y_LO} AND {ZM_Y_HI} AS LONG)"
+    )
+    skipped = (
+        f"CAST(max_x < {ZM_X_LO} OR min_x > {ZM_X_HI} "
+        f"OR max_y < {ZM_Y_LO} OR min_y > {ZM_Y_HI} AS LONG)"
+    )
+
+    def summary(block_expr: str, layout: str) -> DataFrame:
+        blocks = (
+            rows.withColumn("block", F.expr(block_expr).cast("long"))
+            .groupBy("block")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("x_bucket").alias("min_x"),
+                F.max("x_bucket").alias("max_x"),
+                F.min("y_day").alias("min_y"),
+                F.max("y_day").alias("max_y"),
+                F.sum(F.expr(match)).alias("n_match"),
+            )
+            .withColumn("is_skipped", F.expr(skipped))
+        )
+        return blocks.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").alias("n_blocks"),
+            F.sum("is_skipped").cast("long").alias("n_skipped"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.sum(
+                F.when(F.col("is_skipped") == 0, F.col("n_rows")).otherwise(F.lit(0))
+            ).cast("long").alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matching"),
+        )
+
+    z = summary(f"zval DIV {ZM_SPAN}", "zorder")
+    rr = summary(f"event_id % {ZM_NBLOCKS}", "roundrobin")
+    return z.unionByName(rr).withColumn(
+        "scan_frac",
+        F.expr("round(CAST(rows_scanned AS DOUBLE) / rows_total, 6)"),
+    )
+
+
+ZONEMAP_SKIP_SQL = f"""
+    WITH rows_z AS (
+        SELECT event_id,
+               CAST(user_id % {2**ZORDER_BITS} AS BIGINT) AS x_bucket,
+               CAST((dayofmonth(ts) - 1) % {2**ZORDER_BITS} AS BIGINT) AS y_day,
+               CAST({_zorder_terms(f'user_id % {2**ZORDER_BITS}',
+                                   f'(dayofmonth(ts) - 1) % {2**ZORDER_BITS}', '//')}
+                    AS BIGINT) AS zval
+        FROM events
+    ), tagged AS (
+        SELECT *, zval // {ZM_SPAN} AS blk_z, event_id % {ZM_NBLOCKS} AS blk_r,
+               CAST(x_bucket BETWEEN {ZM_X_LO} AND {ZM_X_HI}
+                    AND y_day BETWEEN {ZM_Y_LO} AND {ZM_Y_HI} AS BIGINT) AS m
+        FROM rows_z
+    ), per AS (
+        SELECT layout, block, count(*) AS n_rows,
+               MIN(x_bucket) AS min_x, MAX(x_bucket) AS max_x,
+               MIN(y_day) AS min_y, MAX(y_day) AS max_y,
+               CAST(SUM(m) AS BIGINT) AS n_match
+        FROM (
+            SELECT 'zorder' AS layout, blk_z AS block, x_bucket, y_day, m FROM tagged
+            UNION ALL
+            SELECT 'roundrobin' AS layout, blk_r AS block, x_bucket, y_day, m FROM tagged
+        ) GROUP BY 1, 2
+    ), flagged AS (
+        SELECT *, CAST(max_x < {ZM_X_LO} OR min_x > {ZM_X_HI}
+                       OR max_y < {ZM_Y_LO} OR min_y > {ZM_Y_HI} AS BIGINT)
+                   AS is_skipped
+        FROM per
+    )
+    SELECT layout, count(*) AS n_blocks,
+           CAST(SUM(is_skipped) AS BIGINT) AS n_skipped,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN is_skipped = 0 THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matching,
+           ROUND(CAST(SUM(CASE WHEN is_skipped = 0 THEN n_rows ELSE 0 END) AS DOUBLE)
+                 / SUM(n_rows), 6) AS scan_frac
+    FROM flagged GROUP BY 1
+"""
+
+
+QUERIES["zonemap_skip_report"] = zonemap_skip_report
+ORACLE["zonemap_skip_report"] = ZONEMAP_SKIP_SQL

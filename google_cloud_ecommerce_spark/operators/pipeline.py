@@ -1787,3 +1787,66 @@ ORC_ROUNDTRIP_SQL = f"""
 
 QUERIES["orc_roundtrip"] = orc_roundtrip
 ORACLE["orc_roundtrip"] = ORC_ROUNDTRIP_SQL
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture_weights — temperature-scaled language sampling
+# (the mT5 / XLM-R mixing rule): p_lang ∝ share^(1/T), which lifts
+# low-resource languages without letting them dominate. T is fixed at
+# 2 so the fractional power is sqrt — IEEE-exact in both engines,
+# dodging the libm pow() last-ulp hazard entirely. The boost column
+# (weight / raw share) is the per-language oversampling factor a
+# training loader applies.
+#
+# Scale shape: one map-side count aggregate to |langs| rows; the
+# normalizing sum folds over the langs sorted by name (array fold —
+# never a partition-order double sum); everything else is per-row
+# arithmetic on the tiny aggregate.
+# ---------------------------------------------------------------------------
+
+
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
+    packed = counts.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(lang, n_docs))), "
+            "named_struct('total', CAST(0 AS BIGINT), 'ssum', CAST(0.0 AS DOUBLE)), "
+            "(acc, s) -> named_struct("
+            "'total', acc.total + s.n_docs, "
+            "'ssum', acc.ssum + sqrt(CAST(s.n_docs AS DOUBLE))))"
+        ).alias("t")
+    ).select(F.col("t.total").alias("total"), F.col("t.ssum").alias("ssum"))
+    return counts.join(F.broadcast(packed)).select(
+        "lang",
+        "n_docs",
+        F.expr("round(CAST(n_docs AS DOUBLE) / total, 6)").alias("raw_share"),
+        F.expr("round(sqrt(CAST(n_docs AS DOUBLE)) / ssum, 6)").alias("temp_weight"),
+        F.expr(
+            "round((sqrt(CAST(n_docs AS DOUBLE)) / ssum) "
+            "/ (CAST(n_docs AS DOUBLE) / total), 4)"
+        ).alias("boost"),
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = """
+    WITH counts AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+    ), packed AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang),
+                                  x -> x)),
+                   (acc, x) -> acc + x) AS ssum
+        FROM counts
+    )
+    SELECT lang, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS raw_share,
+           ROUND(sqrt(CAST(n_docs AS DOUBLE)) / ssum, 6) AS temp_weight,
+           ROUND((sqrt(CAST(n_docs AS DOUBLE)) / ssum)
+                 / (CAST(n_docs AS DOUBLE) / total), 4) AS boost
+    FROM counts CROSS JOIN packed
+"""
+
+
+QUERIES["temperature_mixture_weights"] = temperature_mixture_weights
+ORACLE["temperature_mixture_weights"] = TEMPERATURE_MIXTURE_SQL

@@ -984,7 +984,7 @@ ORACLE["day_pruned_scan"] = f"""
 
 ZM_NBLOCKS = 256
 ZM_SPAN = (2 ** (2 * ZORDER_BITS)) // ZM_NBLOCKS
-ZM_X_LO, ZM_X_HI = 40, 80
+ZM_X_LO, ZM_X_HI = 3, 9
 ZM_Y_LO, ZM_Y_HI = 5, 12
 
 

@@ -342,3 +342,38 @@ def test_mmr_matches_numpy_greedy(spark, sf_smoke):
                     best = (score, vid)
             sel.append(best[1])
             assert got[q][i] == best[1], (q, i, got[q], sel)
+
+
+def test_temperature_weights_lift_low_resource_langs(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        temperature_mixture_weights,
+    )
+
+    rows = temperature_mixture_weights(spark, sf_smoke).collect()
+    assert rows
+    assert sum(r.temp_weight for r in rows) == pytest.approx(1.0, abs=1e-3)
+    assert sum(r.raw_share for r in rows) == pytest.approx(1.0, abs=1e-3)
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        # temperature flattening: below-average languages get boosted,
+        # above-average ones damped (strictly, unless exactly average)
+        if r.raw_share < mean_share - 1e-9:
+            assert r.boost > 1.0
+        if r.raw_share > mean_share + 1e-9:
+            assert r.boost < 1.0
+
+
+def test_zonemap_zorder_skips_and_control_cannot(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.queries.scale import zonemap_skip_report
+
+    rows = {r.layout: r for r in zonemap_skip_report(spark, sf_smoke).collect()}
+    z, rr = rows["zorder"], rows["roundrobin"]
+    assert z.rows_total == rr.rows_total
+    assert z.rows_matching == rr.rows_matching  # skipping never loses rows
+    assert z.n_skipped > 0 and z.rows_scanned < z.rows_total
+    # clustering must beat the round-robin control (tiny control blocks
+    # can skip a few rows by luck at the smallest SF, so compare
+    # fractions rather than demanding zero skips)
+    assert z.scan_frac < rr.scan_frac
+    assert z.rows_scanned >= z.rows_matching
+    assert rr.rows_scanned >= rr.rows_matching

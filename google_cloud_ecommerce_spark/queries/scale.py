@@ -1076,3 +1076,70 @@ ZONEMAP_SKIP_SQL = f"""
 
 QUERIES["zonemap_skip_report"] = zonemap_skip_report
 ORACLE["zonemap_skip_report"] = ZONEMAP_SKIP_SQL
+
+
+# ---------------------------------------------------------------------------
+# partition_delete_rewrite — row-level DELETE as copy-on-write over
+# the day-partitioned layout (the Delta/Iceberg mutation model without
+# a table format): the delete predicate touches ONE day, so dynamic
+# partition overwrite (partitionOverwriteMode=dynamic) rewrites ONLY
+# that day's directory with the surviving rows — every other partition
+# is untouched bytes. At 100 TB this is the difference between
+# rewriting ~3 TB and rewriting the table. The verification read
+# re-aggregates the mutated copy; the oracle applies the same DELETE
+# to the source rows directly, so a row lost or duplicated by the
+# rewrite is a parity failure.
+# ---------------------------------------------------------------------------
+
+COW_DELETE_DAY = "2024-01-10"
+COW_DELETE_VALUE_MIN = 500.0  # delete: day = X AND value > 500
+
+
+def partition_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+
+    src = ensure_day_partitioned_events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="spark_graft_cow_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    # copy-on-write working copy (one-time ingest cost at fixture scale;
+    # on a real lakehouse the "copy" is the table itself)
+    base = spark.read.parquet(src)
+    base.write.mode("overwrite").partitionBy("day").parquet(out)
+    # the DELETE: rewrite only the affected partition with survivors.
+    # (Dynamic overwrite only replaces partitions PRESENT in the write;
+    # a delete that empties a partition entirely needs an explicit
+    # directory drop — real table formats write a delete marker. The
+    # fixture predicate always leaves survivors on the target day.)
+    survivors = base.filter(
+        (F.col("day") == F.to_date(F.lit(COW_DELETE_DAY)))
+        & ~(F.col("value") > COW_DELETE_VALUE_MIN)
+    )
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    mutated = spark.read.parquet(out)
+    return mutated.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+PARTITION_DELETE_SQL = f"""
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE NOT (CAST(ts AS DATE) = DATE '{COW_DELETE_DAY}'
+               AND value > {COW_DELETE_VALUE_MIN})
+    GROUP BY 1
+"""
+
+
+QUERIES["partition_delete_rewrite"] = partition_delete_rewrite
+ORACLE["partition_delete_rewrite"] = PARTITION_DELETE_SQL

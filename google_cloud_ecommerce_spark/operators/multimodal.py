@@ -716,3 +716,95 @@ def _media_phash_clusters_sql() -> str:
 
 QUERIES["media_phash_clusters"] = media_phash_clusters
 ORACLE["media_phash_clusters"] = _media_phash_clusters_sql()
+
+
+# ---------------------------------------------------------------------------
+# media_autocorrelation — lag-L autocorrelation of the decoded PCM
+# signal: the classic periodicity/pitch feature (and the first thing
+# an audio-dedup or silence-detection pass computes). The REAL
+# RIFF/WAVE decode path runs in executors (same chunk walker as
+# media_wav_decode); the numerator and energy are exact int64 sums
+# over the decoded samples, so the oracle — which re-derives the
+# closed-form signal per (doc, i) — must match bit-for-bit; the
+# normalized coefficient is one double division.
+#
+# Scale shape: mapInPandas over Arrow batches (payloads never leave
+# executors), output is one row per document — no shuffle at all
+# until someone aggregates downstream.
+# ---------------------------------------------------------------------------
+
+AUTOCORR_LAG = 8
+
+
+def decode_wav_samples(payload: bytes) -> "np.ndarray":
+    """Chunk-walk a RIFF/WAVE payload and return the raw int16 PCM."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    if data is None:
+        raise ValueError("missing data chunk")
+    return np.frombuffer(data, dtype="<i2")
+
+
+def media_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lag = AUTOCORR_LAG
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                wav = encode_wav(_wav_samples(doc_id, n_chars))
+                v = decode_wav_samples(wav).astype(np.int64)
+                n = len(v)
+                if n <= lag:
+                    continue
+                num = int((v[:-lag] * v[lag:]).sum())
+                ssq = int((v * v).sum())
+                rows.append(
+                    (doc_id, n, num, ssq, round(float(num) / float(ssq), 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "autocorr_raw", "energy", "r_lag"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id bigint, n_samples bigint, autocorr_raw bigint, "
+        "energy bigint, r_lag double",
+    )
+
+
+MEDIA_AUTOCORRELATION_SQL = f"""
+    WITH s AS (
+        SELECT doc_id,
+               4 * least(n_chars, {WAV_MAX_CHARS}) AS n,
+               unnest(range(0, 4 * least(n_chars, {WAV_MAX_CHARS}))) AS i
+        FROM documents
+    ), x AS (
+        SELECT doc_id, n, i,
+               ((doc_id * 31 + 37 * i) % 65536 - 32768) AS v,
+               ((doc_id * 31 + 37 * (i + {AUTOCORR_LAG})) % 65536 - 32768) AS v_lag
+        FROM s
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN i + {AUTOCORR_LAG} < n THEN v * v_lag ELSE 0 END)
+                AS BIGINT) AS autocorr_raw,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           ROUND(CAST(SUM(CASE WHEN i + {AUTOCORR_LAG} < n THEN v * v_lag ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(SUM(v * v) AS DOUBLE), 6) AS r_lag
+    FROM x
+    WHERE n > {AUTOCORR_LAG}
+    GROUP BY 1, 2
+"""
+
+
+QUERIES["media_autocorrelation"] = media_autocorrelation
+ORACLE["media_autocorrelation"] = MEDIA_AUTOCORRELATION_SQL

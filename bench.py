@@ -154,6 +154,8 @@ HEADLINE = [
     "mmr_diversified_topk",
     "zonemap_skip_report",
     "temperature_mixture_weights",
+    "similarity_sq_topk",
+    "retrieval_ndcg_report",
     # dedup_recall_report also stays out: its ground truth is an
     # all-pairs exact Jaccard over the doc_id%5 sample — quadratic BY
     # DESIGN (~5 s at sf0.1), the price of measuring banding recall.

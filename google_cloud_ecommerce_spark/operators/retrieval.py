@@ -515,3 +515,142 @@ def _mmr_sql() -> str:
 
 QUERIES["mmr_diversified_topk"] = mmr_diversified_topk
 ORACLE["mmr_diversified_topk"] = _mmr_sql()
+
+
+# ---------------------------------------------------------------------------
+# retrieval_ndcg_report — ranking quality of the exact cosine top-k,
+# scored as nDCG@k with the embedding labels as relevance judgments
+# (a neighbor is relevant iff it shares the query's label — the
+# standard proxy-labeled retrieval eval). The discount weights
+# 1/log2(rank+1) and their prefix sums (the ideal DCG table) are
+# computed ONCE in Python and inlined as literals into BOTH engines,
+# so no libm log runs per row anywhere; the DCG fold runs over the
+# rank-sorted hit list in both engines (never a partition-order sum).
+#
+# Scale shape: same broadcast-query scan + per-query top-k window as
+# similarity_topk, plus one |labels|-row broadcast for the per-label
+# relevant-candidate counts.
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+_NDCG_W = []
+for _i in range(1, NDCG_K + 1):
+    import math as _math
+
+    _NDCG_W.append(1.0 / _math.log2(_i + 1))
+_NDCG_PREFIX = []
+_acc = 0.0
+for _w in _NDCG_W:
+    _acc += _w
+    _NDCG_PREFIX.append(_acc)
+
+
+def retrieval_ndcg_report(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    top_k: int = NDCG_K,
+    n_query_vecs: int = N_QUERY_VECS,
+) -> DataFrame:
+    from google_cloud_ecommerce_spark.operators._common import spark_double_array
+
+    corpus = _with_norm(_emb(spark, sf_dir))
+    queries = corpus.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("label").alias("q_label"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    top = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cos", F.expr(dot_expr("qv", "v")) / (F.col("qnorm") * F.col("norm"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "q_id",
+            "q_label",
+            "rank",
+            (F.col("label") == F.col("q_label")).cast("long").alias("rel"),
+        )
+    )
+    w_arr = spark_double_array(_NDCG_W)
+    p_arr = spark_double_array(_NDCG_PREFIX)
+    # per-label candidate counts (how many relevant docs EXIST per query)
+    label_counts = (
+        corpus.groupBy("label").agg(F.count("*").alias("n_label"))
+    )
+    per_q = top.groupBy("q_id", "q_label").agg(
+        F.sum("rel").cast("long").alias("n_relevant_at_k"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(rank, rel))), "
+            f"CAST(0.0 AS DOUBLE), "
+            f"(acc, s) -> acc + s.rel * element_at({w_arr}, s.rank))"
+        ).alias("dcg"),
+    )
+    return (
+        per_q.join(
+            F.broadcast(label_counts), per_q["q_label"] == label_counts["label"]
+        )
+        # self is excluded from candidates: a query can match n_label - 1
+        .withColumn("n_possible", (F.col("n_label") - 1).cast("long"))
+        .withColumn(
+            "idcg",
+            F.expr(f"element_at({p_arr}, CAST(least(n_possible, {int(top_k)}) AS INT))"),
+        )
+        .select(
+            "q_id",
+            "q_label",
+            "n_relevant_at_k",
+            "n_possible",
+            F.round("dcg", 6).alias("dcg"),
+            F.round(F.expr("dcg / idcg"), 6).alias("ndcg"),
+        )
+    )
+
+
+def _retrieval_ndcg_sql() -> str:
+    from google_cloud_ecommerce_spark.operators._common import sql_double_array
+
+    w_arr = sql_double_array(_NDCG_W)
+    p_arr = sql_double_array(_NDCG_PREFIX)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, label, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        ), top AS (
+            SELECT q.vec_id AS q_id, q.label AS q_label,
+                   CAST(c.label = q.label AS BIGINT) AS rel,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {dot_sql('q.v', 'c.v')} / (q.norm * c.norm) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM n q JOIN n c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS}
+            QUALIFY rank <= {NDCG_K}
+        ), lc AS (
+            SELECT label, count(*) AS n_label FROM e GROUP BY 1
+        ), per_q AS (
+            SELECT q_id, q_label,
+                   CAST(SUM(rel) AS BIGINT) AS n_relevant_at_k,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(list(rel * list_extract({w_arr}, rank)
+                                           ORDER BY rank), x -> x)),
+                       (acc, x) -> acc + x) AS dcg
+            FROM top GROUP BY 1, 2
+        )
+        SELECT p.q_id, p.q_label, p.n_relevant_at_k,
+               CAST(lc.n_label - 1 AS BIGINT) AS n_possible,
+               ROUND(p.dcg, 6) AS dcg,
+               ROUND(p.dcg / list_extract({p_arr},
+                     CAST(least(lc.n_label - 1, {NDCG_K}) AS INT)), 6) AS ndcg
+        FROM per_q p JOIN lc ON lc.label = p.q_label
+    """
+
+
+QUERIES["retrieval_ndcg_report"] = retrieval_ndcg_report
+ORACLE["retrieval_ndcg_report"] = _retrieval_ndcg_sql()

@@ -2427,3 +2427,115 @@ def _hard_negative_mining_sql() -> str:
 
 QUERIES["hard_negative_mining"] = hard_negative_mining
 ORACLE["hard_negative_mining"] = _hard_negative_mining_sql()
+
+
+# ---------------------------------------------------------------------------
+# similarity_sq_topk — brute-force top-k over the int8 scalar-quantized
+# codes (the embedding_quantize layout): the integer dot product reads
+# 4x fewer bytes than float32 and is exact int64 arithmetic; the score
+# rescales it by the two stored per-vector scales and norms. This is
+# the memory-bandwidth-optimal brute force — the middle rung between
+# full-precision scan and PQ/ADC — and, because the int dot is EXACT,
+# the one approximate search whose scores are bit-identical across
+# engines by construction.
+#
+# Scale shape: identical to similarity_topk (broadcast quantized
+# queries, map-side integer dot, per-query top-k window); at 100 TB
+# the scan reads codes + two doubles per vector, never the floats.
+# ---------------------------------------------------------------------------
+
+SQ_TOP_K = 10
+
+
+def _sq_codes(df: DataFrame) -> DataFrame:
+    return (
+        _with_norm(df)
+        .withColumn("max_abs", F.expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("scale", F.lit(float(QUANT_BITS_MAX)) / F.col("max_abs"))
+        .withColumn(
+            "q", F.expr("transform(v, x -> CAST(round(x * scale, 0) AS BIGINT))")
+        )
+        .select("vec_id", "q", "scale", "norm")
+    )
+
+
+def similarity_sq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    top_k: int = SQ_TOP_K,
+    n_query_vecs: int = N_QUERY_VECS,
+) -> DataFrame:
+    codes = _sq_codes(_emb(spark, sf_dir))
+    queries = codes.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qq"),
+        F.col("scale").alias("qscale"),
+        F.col("norm").alias("qnorm"),
+    )
+    int_dot = (
+        "aggregate(zip_with(qq, q, (a, b) -> a * b), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    scored = (
+        codes.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn("qdot", F.expr(int_dot))
+        .withColumn(
+            "approx_cos",
+            F.expr("(CAST(qdot AS DOUBLE) / (qscale * scale)) / (qnorm * norm)"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("approx_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            "qdot",
+            F.round("approx_cos", 4).alias("approx_cos"),
+        )
+    )
+
+
+def _similarity_sq_topk_sql() -> str:
+    int_dot = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {EMBED_DIM + 1}), i -> q.q[i] * c.q[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), s AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm,
+                   {QUANT_BITS_MAX}.0 / list_max(list_transform(v, x -> abs(x)))
+                       AS scale
+            FROM e
+        ), codes AS (
+            SELECT vec_id,
+                   list_transform(v, x -> CAST(round(x * scale, 0) AS BIGINT)) AS q,
+                   scale, norm
+            FROM s
+        ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   CAST({int_dot} AS BIGINT) AS qdot,
+                   (CAST({int_dot} AS DOUBLE) / (q.scale * c.scale))
+                       / (q.norm * c.norm) AS approx_cos
+            FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS}
+        )
+        SELECT q_id, neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY approx_cos DESC, neighbor_id
+               ) AS BIGINT) AS rank,
+               qdot,
+               ROUND(approx_cos, 4) AS approx_cos
+        FROM scored
+        QUALIFY rank <= {SQ_TOP_K}
+    """
+
+
+QUERIES["similarity_sq_topk"] = similarity_sq_topk
+ORACLE["similarity_sq_topk"] = _similarity_sq_topk_sql()

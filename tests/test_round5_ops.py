@@ -377,3 +377,49 @@ def test_zonemap_zorder_skips_and_control_cannot(spark, sf_smoke):
     assert z.scan_frac < rr.scan_frac
     assert z.rows_scanned >= z.rows_matching
     assert rr.rows_scanned >= rr.rows_matching
+
+
+def test_sq_topk_tracks_exact_topk(spark, sf_smoke):
+    """int8 quantization at dim 64 is gentle — the SQ top-10 should
+    overlap the exact top-10 heavily, and the integer dot must equal a
+    numpy recomputation of the same quantization exactly."""
+    import numpy as np
+
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        similarity_sq_topk,
+        similarity_topk,
+    )
+
+    exact = {}
+    for r in similarity_topk(spark, sf_smoke).collect():
+        exact.setdefault(r.q_id, set()).add(r.neighbor_id)
+    sq = {}
+    rows = similarity_sq_topk(spark, sf_smoke).collect()
+    for r in rows:
+        sq.setdefault(r.q_id, set()).add(r.neighbor_id)
+    for q in exact:
+        overlap = len(exact[q] & sq[q]) / len(exact[q])
+        assert overlap >= 0.8, (q, exact[q], sq[q])
+
+    m, ids, _ = _emb_matrix(sf_smoke)
+    scale = 127.0 / np.abs(m).max(axis=1)
+    codes = np.round(m * scale[:, None]).astype(np.int64)
+    for r in rows[:20]:
+        assert r.qdot == int(codes[r.q_id] @ codes[r.neighbor_id])
+
+
+def test_ndcg_bounds_and_perfect_case(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.operators.retrieval import (
+        NDCG_K,
+        retrieval_ndcg_report,
+    )
+
+    rows = retrieval_ndcg_report(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+        assert 0 <= r.n_relevant_at_k <= min(NDCG_K, r.n_possible)
+        assert r.dcg >= 0.0
+        # finding zero relevant docs must score exactly zero
+        if r.n_relevant_at_k == 0:
+            assert r.dcg == 0.0 and r.ndcg == 0.0

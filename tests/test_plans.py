@@ -691,3 +691,36 @@ def test_day_pruned_scan_prunes_partitions(spark, sf_smoke):
         "PushedFilters"
     )[0]
     assert "DataFilters: []" in scan
+
+
+def test_round5_retrieval_plan_shapes(spark, sf_smoke):
+    """Round-5 pins: (a) maxsim collapses chunks to docs in a hash
+    aggregate BEFORE the per-query top-k window (the window input is
+    |docs|, not |chunks|); (b) the SQ search broadcasts the quantized
+    query side and partitions its ranking window on q_id; (c) the nDCG
+    report broadcasts the |labels|-row count table; none of them emit
+    a cartesian product."""
+    from google_cloud_ecommerce_spark.operators.retrieval import (
+        retrieval_ndcg_report,
+    )
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        maxsim_retrieval,
+        similarity_sq_topk,
+    )
+
+    plan = maxsim_retrieval(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    win = plan.find("Window")
+    agg_after_window_input = plan.find("HashAggregate", win)
+    assert win != -1 and agg_after_window_input != -1, "maxsim lost its pre-window aggregate"
+
+    plan = similarity_sq_topk(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("q_id" in s for s in specs)
+
+    plan = retrieval_ndcg_report(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # queries + label counts

@@ -79,3 +79,51 @@ ORACLE = {
         GROUP BY 1, 2
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# SQL TABLE function (Spark 4 ``CREATE FUNCTION ... RETURNS TABLE``):
+# a parameterized view — the declarative, Catalyst-inlined counterpart
+# of a Python UDTF. ``events_value_profile(lo, hi)`` aggregates the
+# events table inside one value band; the report query calls it once
+# per band and unions the slices. Like the scalar SQL UDFs above it
+# costs nothing at scale: each invocation inlines into a plain
+# filtered aggregate with the band predicate pushed to the scan.
+# ---------------------------------------------------------------------------
+
+VALUE_PROFILE_TF_DDL = """
+    CREATE OR REPLACE TEMPORARY FUNCTION events_value_profile(lo DOUBLE, hi DOUBLE)
+    RETURNS TABLE(event_type STRING, n_events BIGINT, sum_value DOUBLE)
+    RETURN SELECT event_type, count(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           FROM events
+           WHERE value >= lo AND value < hi
+           GROUP BY event_type
+"""
+
+_TF_BANDS = ((0.0, 100.0, "low"), (100.0, 400.0, "mid"), (400.0, 1e9, "high"))
+
+
+def sql_table_function_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(VALUE_PROFILE_TF_DDL)
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS band, * FROM events_value_profile({lo!r}, {hi!r})"
+        for lo, hi, name in _TF_BANDS
+    )
+    return spark.sql(union)
+
+
+def _sql_table_function_profile_sql() -> str:
+    union = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS band, event_type, count(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           FROM events WHERE value >= {lo!r} AND value < {hi!r}
+           GROUP BY event_type"""
+        for lo, hi, name in _TF_BANDS
+    )
+    return union
+
+
+QUERIES["sql_table_function_profile"] = sql_table_function_profile
+ORACLE["sql_table_function_profile"] = _sql_table_function_profile_sql()

@@ -156,6 +156,9 @@ HEADLINE = [
     "temperature_mixture_weights",
     "similarity_sq_topk",
     "retrieval_ndcg_report",
+    "sql_table_function_profile",
+    "media_autocorrelation",
+    "expanded_keyword_search",
     # dedup_recall_report also stays out: its ground truth is an
     # all-pairs exact Jaccard over the doc_id%5 sample — quadratic BY
     # DESIGN (~5 s at sf0.1), the price of measuring banding recall.

@@ -654,3 +654,150 @@ def _retrieval_ndcg_sql() -> str:
 
 QUERIES["retrieval_ndcg_report"] = retrieval_ndcg_report
 ORACLE["retrieval_ndcg_report"] = _retrieval_ndcg_sql()
+
+
+# ---------------------------------------------------------------------------
+# expanded_keyword_search — query expansion by co-occurrence lift: for
+# each base term, the top-E partner tokens by document-level lift
+# (df_together * N / (df_term * df_partner) — the exp(PMI) ordering
+# without a per-row libm log) join the query at half weight, and
+# documents are scored by the weighted term-frequency sum. The
+# classic pseudo-relevance trick that lifts recall when the base term
+# alone is too sparse — the sparse-side counterpart of hybrid fusion.
+#
+# Scale shape: document frequencies and co-occurrence counts come from
+# one distinct-token explode and one token-keyed self-join restricted
+# to the base terms (the co-occurrence table is |terms| x |vocab|
+# bounded, not vocab^2); the chosen expansion rows (terms x (1+E))
+# broadcast into one counts-side join; per-doc scores are exact
+# DECIMAL sums of integer tf x one-decimal weights, so no float
+# accumulation order exists at all.
+# ---------------------------------------------------------------------------
+
+EXP_TERMS = ("spark", "join")
+EXP_PARTNERS = 2
+EXP_TOP_K = 10
+EXP_MIN_CODF = 2
+
+
+def expanded_keyword_search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_partners: int = EXP_PARTNERS,
+    top_k: int = EXP_TOP_K,
+) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(tokens_expr("lower(text)"))).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    doc_toks = counts.select("doc_id", "tok")  # distinct by construction
+    nd = doc_toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = doc_toks.groupBy("tok").agg(F.count("*").alias("df"))
+    base = doc_toks.filter(F.col("tok").isin(*EXP_TERMS)).select(
+        F.col("tok").alias("q_term"), "doc_id"
+    )
+    co = (
+        base.join(doc_toks, "doc_id")
+        .filter(F.col("tok") != F.col("q_term"))
+        .groupBy("q_term", "tok")
+        .agg(F.count("*").alias("co_df"))
+        .filter(F.col("co_df") >= EXP_MIN_CODF)
+    )
+    lift = (
+        co.join(F.broadcast(dfreq.withColumnRenamed("tok", "q_tok")),
+                F.col("q_tok") == F.col("q_term"))
+        .withColumnRenamed("df", "df_q")
+        .join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(nd))
+        .withColumn(
+            "lift",
+            F.expr("CAST(co_df * n_docs AS DOUBLE) / CAST(df_q * df AS DOUBLE)"),
+        )
+    )
+    pw = Window.partitionBy("q_term").orderBy(F.desc("lift"), F.asc("tok"))
+    partners = (
+        lift.withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= n_partners)
+        .select("q_term", "tok", F.expr("CAST(0.5 AS DECIMAL(3,1))").alias("w"))
+    )
+    selves = spark.createDataFrame(
+        [(t, t) for t in EXP_TERMS], "q_term string, tok string"
+    ).select("q_term", "tok", F.expr("CAST(1.0 AS DECIMAL(3,1))").alias("w"))
+    weights = partners.unionByName(selves)
+    scored = (
+        counts.join(F.broadcast(weights), "tok")
+        .groupBy("q_term", "doc_id")
+        .agg(F.sum(F.expr("tf * w")).alias("score_dec"))
+    )
+    sw = Window.partitionBy("q_term").orderBy(F.desc("score_dec"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(sw).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "q_term",
+            "doc_id",
+            "rank",
+            F.col("score_dec").cast("double").alias("score"),
+        )
+    )
+
+
+def _expanded_keyword_search_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in EXP_TERMS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({tokens_sql('lower(text)')}) AS tok FROM documents
+        ), counts AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), doc_toks AS (
+            SELECT DISTINCT doc_id, tok FROM counts
+        ), nd AS (
+            SELECT count(DISTINCT doc_id) AS n_docs FROM doc_toks
+        ), dfreq AS (
+            SELECT tok, count(*) AS df FROM doc_toks GROUP BY 1
+        ), base AS (
+            SELECT tok AS q_term, doc_id FROM doc_toks
+            WHERE tok IN (SELECT term FROM (VALUES {terms}) AS bt(term))
+        ), co AS (
+            SELECT b.q_term, t.tok, count(*) AS co_df
+            FROM base b JOIN doc_toks t ON t.doc_id = b.doc_id
+            WHERE t.tok != b.q_term
+            GROUP BY 1, 2
+            HAVING count(*) >= {EXP_MIN_CODF}
+        ), lift AS (
+            SELECT c.q_term, c.tok,
+                   CAST(c.co_df * nd.n_docs AS DOUBLE)
+                       / CAST(dq.df * dp.df AS DOUBLE) AS lift
+            FROM co c
+            JOIN dfreq dq ON dq.tok = c.q_term
+            JOIN dfreq dp ON dp.tok = c.tok
+            CROSS JOIN nd
+        ), partners AS (
+            SELECT q_term, tok, CAST(0.5 AS DECIMAL(3,1)) AS w FROM lift
+            QUALIFY row_number() OVER (
+                PARTITION BY q_term ORDER BY lift DESC, tok
+            ) <= {EXP_PARTNERS}
+        ), weights AS (
+            SELECT * FROM partners
+            UNION ALL
+            SELECT term AS q_term, term AS tok,
+                   CAST(1.0 AS DECIMAL(3,1)) AS w
+            FROM (VALUES {terms}) AS bt(term)
+        ), scored AS (
+            SELECT w.q_term, c.doc_id, SUM(c.tf * w.w) AS score_dec
+            FROM counts c JOIN weights w ON w.tok = c.tok
+            GROUP BY 1, 2
+        )
+        SELECT q_term, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q_term ORDER BY score_dec DESC, doc_id
+               ) AS BIGINT) AS rank,
+               CAST(score_dec AS DOUBLE) AS score
+        FROM scored
+        QUALIFY rank <= {EXP_TOP_K}
+    """
+
+
+QUERIES["expanded_keyword_search"] = expanded_keyword_search
+ORACLE["expanded_keyword_search"] = _expanded_keyword_search_sql()

@@ -159,6 +159,7 @@ HEADLINE = [
     "sql_table_function_profile",
     "media_autocorrelation",
     "expanded_keyword_search",
+    "jdbc_roundtrip",
     # dedup_recall_report also stays out: its ground truth is an
     # all-pairs exact Jaccard over the doc_id%5 sample — quadratic BY
     # DESIGN (~5 s at sf0.1), the price of measuring banding recall.

@@ -1561,3 +1561,73 @@ ORACLE["streaming_lakehouse_ingest"] = """
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_jdbc_sink — the reference's stream-to-database edge
+# (Pub/Sub -> Beam -> BigQuery, write_session_stream.py:107-112) run
+# against a REAL embedded database: each micro-batch appends to an
+# in-memory Apache Derby table through the batched JDBC writer.
+# JDBC appends are at-least-once under retries, so the read-back side
+# applies the idempotent-consumer discipline: aggregates count
+# DISTINCT event ids, which makes redelivery harmless — the same
+# at-least-once -> exactly-once upgrade streaming_dedup_counts makes
+# in-plan, pushed to the consumer. The batch oracle over the source
+# events must match exactly.
+# ---------------------------------------------------------------------------
+
+
+def streaming_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from google_cloud_ecommerce_spark.io import read_jdbc, write_jdbc
+    from google_cloud_ecommerce_spark.queries.scale import (
+        _DERBY_DRIVER,
+        _derby_drop,
+        _derby_url,
+    )
+
+    import tempfile
+
+    db = f"g{uuid.uuid4().hex[:12]}"
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_jdbc_ckpt_")
+    try:
+        stream = read_replay_stream(spark, replay).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+
+        first = {"v": True}
+
+        def write_epoch(batch_df, epoch_id: int) -> None:
+            mode = "overwrite" if first["v"] else "append"
+            first["v"] = False
+            url = _derby_url(db, create=True) if mode == "overwrite" else _derby_url(db)
+            write_jdbc(batch_df, url, "events_sink", mode=mode, driver=_DERBY_DRIVER)
+
+        q = (
+            stream.writeStream.foreachBatch(write_epoch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        back = read_jdbc(spark, _derby_url(db), "events_sink", driver=_DERBY_DRIVER)
+        final = back.groupBy("event_type").agg(
+            F.count_distinct("event_id").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        pinned = _pin_result(final)
+        _derby_drop(spark, db)
+        return pinned
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+QUERIES["streaming_jdbc_sink"] = streaming_jdbc_sink
+ORACLE["streaming_jdbc_sink"] = """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+"""

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     InputPartition,
@@ -88,6 +89,10 @@ def _wire_files(path: str) -> list[str]:
 class WireBatchReader(DataSourceReader):
     def __init__(self, options):
         self.path = options["path"]
+        # committed_only: read ONLY files listed in _commit-<batchId>
+        # manifests (the streaming writer's exactly-once discipline) —
+        # orphan files from failed/retried epochs are invisible.
+        self.committed_only = options.get("committed_only", "false") == "true"
         self.event_type_eq: str | None = None
 
     def pushFilters(self, filters):
@@ -109,6 +114,14 @@ class WireBatchReader(DataSourceReader):
         return unsupported
 
     def partitions(self):
+        if self.committed_only:
+            files: list[str] = []
+            for m in sorted(
+                f for f in os.listdir(self.path) if f.startswith("_commit-")
+            ):
+                with open(os.path.join(self.path, m), encoding="utf-8") as fh:
+                    files.extend(line.strip() for line in fh if line.strip())
+            return [InputPartition(f) for f in sorted(files)]
         return [InputPartition(f) for f in _wire_files(self.path)]
 
     def read(self, partition: InputPartition):
@@ -164,6 +177,27 @@ class WireCommit(WriterCommitMessage):
     n_messages: int
 
 
+def _write_wire_file(path: str, iterator) -> WireCommit:
+    os.makedirs(path, exist_ok=True)
+    out = os.path.join(path, f"part-{uuid.uuid4().hex}.wire")
+    n = 0
+    with open(out, "w", encoding="utf-8") as fh:
+        for row in iterator:
+            fields = []
+            for v in row:
+                if v is None:
+                    fields.append("")
+                elif isinstance(v, dt.datetime):
+                    fields.append(v.strftime(_TS_FMT))
+                elif isinstance(v, float):
+                    fields.append(repr(v))
+                else:
+                    fields.append(str(v))
+            fh.write(",".join(fields) + "\n")
+            n += 1
+    return WireCommit(out, n)
+
+
 class WireBatchWriter(DataSourceWriter):
     """The publish sink: one message file per task (micro-batch epoch ≈
     one publish burst, replacing the reference's RPC per event)."""
@@ -172,29 +206,43 @@ class WireBatchWriter(DataSourceWriter):
         self.path = options["path"]
 
     def write(self, iterator) -> WireCommit:
-        os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.wire")
-        n = 0
-        with open(out, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fields = []
-                for v in row:
-                    if v is None:
-                        fields.append("")
-                    elif isinstance(v, dt.datetime):
-                        fields.append(v.strftime(_TS_FMT))
-                    elif isinstance(v, float):
-                        fields.append(repr(v))
-                    else:
-                        fields.append(str(v))
-                fh.write(",".join(fields) + "\n")
-                n += 1
-        return WireCommit(out, n)
+        return _write_wire_file(self.path, iterator)
 
     def commit(self, messages) -> None:
         pass
 
     def abort(self, messages) -> None:  # pragma: no cover - error path
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class WireStreamWriter(DataSourceStreamWriter):
+    """The STREAMING publish sink — the fourth quadrant of the Python
+    Data Source API (batch/stream x read/write). Tasks write message
+    files; ``commit(messages, batchId)`` publishes the epoch by writing
+    an atomic ``_commit-<batchId>`` manifest listing exactly the files
+    that belong to it. A failed/retried epoch leaves orphan files that
+    no manifest references, so a ``committed_only`` read sees each
+    message exactly once — the file-based analogue of a transactional
+    producer."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> WireCommit:
+        return _write_wire_file(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = os.path.join(self.path, f"_commit-{batchId}")
+        tmp = f"{manifest}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for m in messages:
+                if m is not None:
+                    fh.write(m.file + "\n")
+        os.replace(tmp, manifest)
+
+    def abort(self, messages, batchId: int) -> None:  # pragma: no cover
         for m in messages:
             if m is not None and os.path.exists(m.file):
                 os.remove(m.file)
@@ -216,6 +264,9 @@ class WireDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return WireBatchWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> WireStreamWriter:
+        return WireStreamWriter(self.options)
 
 
 def register(spark: SparkSession) -> None:
@@ -338,3 +389,60 @@ ORACLE = {
         FROM events GROUP BY 1
     """,
 }
+
+
+def wire_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish sink face: a replayed event stream PUBLISHES through the
+    Python Data Source streaming writer (per-epoch manifest commit),
+    and the verification read consumes committed_only — so a message
+    only counts if its epoch's manifest landed. The batch oracle over
+    the source events must match exactly."""
+    import shutil
+    import tempfile
+
+    from google_cloud_ecommerce_spark.streaming.jobs import _pin_result
+    from google_cloud_ecommerce_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_dir,
+    )
+
+    _safe_register(spark)
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    out = tempfile.mkdtemp(prefix="spark_graft_wire_sink_")
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_wire_sink_ckpt_")
+    try:
+        stream = read_replay_stream(spark, replay).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        q = (
+            stream.writeStream.format(WIRE_FORMAT)
+            .option("path", out)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        back = (
+            spark.read.format(WIRE_FORMAT)
+            .option("committed_only", "true")
+            .load(out)
+        )
+        final = back.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        return _pin_result(final)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+QUERIES["wire_stream_sink"] = wire_stream_sink
+ORACLE["wire_stream_sink"] = """
+    SELECT event_type, count(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+"""

@@ -124,3 +124,24 @@ def test_wire_null_in_every_field_roundtrips(spark, tmp_path):
     assert sorted(map(tuple, back.collect()), key=key) == sorted(
         map(tuple, src.collect()), key=key
     )
+
+
+def test_stream_sink_manifest_hides_orphan_files(spark, tmp_path):
+    """committed_only reads see exactly the files the epoch manifests
+    list — an orphan file from a failed/retried epoch is invisible,
+    while the plain batch read (no manifest discipline) sees both."""
+    from google_cloud_ecommerce_spark.sources.wire import WIRE_FORMAT, _safe_register
+
+    _safe_register(spark)
+    d = tmp_path / "msgs"
+    d.mkdir()
+    committed = d / "part-aaaa.wire"
+    committed.write_text("1,2024-01-01 00:00:00.000000,7,view,1.5,\n")
+    orphan = d / "part-bbbb.wire"
+    orphan.write_text("2,2024-01-01 00:00:01.000000,8,cart,2.5,\n")
+    (d / "_commit-0").write_text(str(committed) + "\n")
+
+    seen = spark.read.format(WIRE_FORMAT).option("committed_only", "true").load(str(d))
+    assert [r.event_id for r in seen.collect()] == [1]
+    all_rows = spark.read.format(WIRE_FORMAT).load(str(d))
+    assert sorted(r.event_id for r in all_rows.collect()) == [1, 2]

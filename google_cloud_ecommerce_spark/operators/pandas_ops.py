@@ -240,3 +240,81 @@ EVENT_TYPE_STATS_ARROW_SQL = """
 
 QUERIES["event_type_stats_arrow"] = event_type_stats_arrow
 ORACLE["event_type_stats_arrow"] = EVENT_TYPE_STATS_ARROW_SQL
+
+
+# ---------------------------------------------------------------------------
+# ngram_udtf_polymorphic — the POLYMORPHIC UDTF corner of the Spark 4
+# Python UDTF API: a static ``analyze()`` decides the output schema at
+# PLAN time from the call's literal argument (n), so ONE registered
+# function serves any n-gram width with typed per-position columns
+# (w1..wn) plus the joined gram. doc_tokens_udtf above proves the
+# fixed-schema row->table bridge; this proves the schema-from-arguments
+# bridge (AnalyzeResult), which is what separates Spark 4 UDTFs from
+# classic generators. Per-row Python — the slow path by design; the
+# JVM form is the nested-lambda window used by skipgram_pairs.
+# ---------------------------------------------------------------------------
+
+NGRAM_UDTF_N = 3
+
+
+def ngram_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(n: AnalyzeArgument, text: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            fields = [StructField("pos", LongType())]
+            fields += [StructField(f"w{i + 1}", StringType()) for i in range(width)]
+            fields.append(StructField("gram", StringType()))
+            return AnalyzeResult(schema=StructType(fields))
+
+        def eval(self, n: int, text: str):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(len(toks) - n + 1):
+                window = toks[i : i + n]
+                yield (i + 1, *window, " ".join(window))
+
+    spark.udtf.register("graft_ngrams", NGrams)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("_udtf_docs_ng")
+    grams = spark.sql(
+        f"SELECT d.doc_id, t.pos, t.w1, t.w{NGRAM_UDTF_N}, t.gram "
+        f"FROM _udtf_docs_ng d, LATERAL graft_ngrams({NGRAM_UDTF_N}, d.text) t"
+    )
+    return (
+        grams.groupBy("gram", "w1", F.col(f"w{NGRAM_UDTF_N}").alias("w_last"))
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+NGRAM_UDTF_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT array_to_string(list_slice(toks, i, i + {NGRAM_UDTF_N} - 1), ' ')
+                   AS gram,
+               toks[i] AS w1,
+               toks[i + {NGRAM_UDTF_N} - 1] AS w_last
+        FROM toks, unnest(range(1, len(toks) - {NGRAM_UDTF_N} + 2)) t(i)
+        WHERE len(toks) >= {NGRAM_UDTF_N}
+    )
+    SELECT gram, w1, w_last, count(*) AS n_occurrences
+    FROM grams GROUP BY 1, 2, 3
+    ORDER BY n_occurrences DESC, gram LIMIT 20
+"""
+
+
+QUERIES["ngram_udtf_polymorphic"] = ngram_udtf_polymorphic
+ORACLE["ngram_udtf_polymorphic"] = NGRAM_UDTF_SQL

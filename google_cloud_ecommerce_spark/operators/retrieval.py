@@ -52,6 +52,22 @@ from google_cloud_ecommerce_spark.operators.text import (
     _docs,
 )
 
+
+def _require_oracle_default(**pairs: tuple[int, int]) -> None:
+    """Reject knob overrides that diverge from the module constants the
+    registry oracles were generated against (ADVICE r5: a silent
+    override breaks Spark/DuckDB parity, and an ndcg top_k above NDCG_K
+    indexes past the precomputed weight arrays). The knobs stay in the
+    signatures as documentation of the scale parameters; re-tuning them
+    means regenerating the paired SQL, so a mismatch is an error."""
+    bad = {k: v for k, v in pairs.items() if v[0] != v[1]}
+    if bad:
+        detail = ", ".join(f"{k}={v[0]} (oracle: {v[1]})" for k, v in bad.items())
+        raise ValueError(
+            f"override diverges from the oracle constants: {detail}; "
+            "regenerate the paired SQL oracle before re-tuning"
+        )
+
 # ---------------------------------------------------------------------------
 # hybrid_search_rrf — reciprocal-rank fusion (Cormack et al., SIGIR
 # 2009) of a sparse (single-term BM25) and a dense (exact cosine)
@@ -78,6 +94,7 @@ def hybrid_search_rrf(
     """Defaults are the fixture literals the registry oracle is inlined
     against; at scale `pool` bounds both per-ranker windows and the
     fusion join stays queries x pool rows."""
+    _require_oracle_default(pool=(pool, RRF_POOL), top_k=(top_k, RRF_TOP_K))
     # --- sparse side: per-term BM25 over one corpus scan ------------------
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
@@ -240,6 +257,9 @@ def rag_context_pack(
     top_k: int = RAG_TOP_K,
     token_budget: int = RAG_TOKEN_BUDGET,
 ) -> DataFrame:
+    _require_oracle_default(
+        top_k=(top_k, RAG_TOP_K), token_budget=(token_budget, RAG_TOKEN_BUDGET)
+    )
     corpus = _with_norm(_emb(spark, sf_dir))
     queries = corpus.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"),
@@ -365,6 +385,11 @@ def mmr_diversified_topk(
     k: int = MMR_K,
     n_query_vecs: int = N_QUERY_VECS,
 ) -> DataFrame:
+    _require_oracle_default(
+        pool=(pool, MMR_POOL),
+        k=(k, MMR_K),
+        n_query_vecs=(n_query_vecs, N_QUERY_VECS),
+    )
     lam, oml = float(MMR_LAMBDA), float(1.0 - MMR_LAMBDA)
     k = int(k)
     corpus = _with_norm(_emb(spark, sf_dir))
@@ -552,6 +577,9 @@ def retrieval_ndcg_report(
     top_k: int = NDCG_K,
     n_query_vecs: int = N_QUERY_VECS,
 ) -> DataFrame:
+    _require_oracle_default(
+        top_k=(top_k, NDCG_K), n_query_vecs=(n_query_vecs, N_QUERY_VECS)
+    )
     from google_cloud_ecommerce_spark.operators._common import spark_double_array
 
     corpus = _with_norm(_emb(spark, sf_dir))
@@ -596,9 +624,15 @@ def retrieval_ndcg_report(
         )
         # self is excluded from candidates: a query can match n_label - 1
         .withColumn("n_possible", (F.col("n_label") - 1).cast("long"))
+        # n_possible = 0 (a query whose label is unique in the corpus) has
+        # no achievable DCG: index the prefix table at >= 1 to avoid the
+        # always-throwing element_at(arr, 0), and emit ndcg = 0 directly
         .withColumn(
             "idcg",
-            F.expr(f"element_at({p_arr}, CAST(least(n_possible, {int(top_k)}) AS INT))"),
+            F.expr(
+                f"element_at({p_arr}, "
+                f"CAST(greatest(1, least(n_possible, {int(top_k)})) AS INT))"
+            ),
         )
         .select(
             "q_id",
@@ -606,7 +640,13 @@ def retrieval_ndcg_report(
             "n_relevant_at_k",
             "n_possible",
             F.round("dcg", 6).alias("dcg"),
-            F.round(F.expr("dcg / idcg"), 6).alias("ndcg"),
+            F.round(
+                F.expr(
+                    "CASE WHEN n_possible = 0 THEN CAST(0.0 AS DOUBLE) "
+                    "ELSE dcg / idcg END"
+                ),
+                6,
+            ).alias("ndcg"),
         )
     )
 
@@ -646,8 +686,10 @@ def _retrieval_ndcg_sql() -> str:
         SELECT p.q_id, p.q_label, p.n_relevant_at_k,
                CAST(lc.n_label - 1 AS BIGINT) AS n_possible,
                ROUND(p.dcg, 6) AS dcg,
-               ROUND(p.dcg / list_extract({p_arr},
-                     CAST(least(lc.n_label - 1, {NDCG_K}) AS INT)), 6) AS ndcg
+               ROUND(CASE WHEN lc.n_label - 1 = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE p.dcg / list_extract({p_arr},
+                          CAST(greatest(1, least(lc.n_label - 1, {NDCG_K})) AS INT))
+                     END, 6) AS ndcg
         FROM per_q p JOIN lc ON lc.label = p.q_label
     """
 
@@ -687,13 +729,30 @@ def expanded_keyword_search(
     n_partners: int = EXP_PARTNERS,
     top_k: int = EXP_TOP_K,
 ) -> DataFrame:
+    _require_oracle_default(
+        n_partners=(n_partners, EXP_PARTNERS), top_k=(top_k, EXP_TOP_K)
+    )
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(tokens_expr("lower(text)"))).alias("tok")
     )
-    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # `counts` feeds dfreq, base, co AND the final scoring join; without a
+    # pin Catalyst re-plans the tokenize+explode+groupBy subtree per use
+    # (12 corpus scans, VERDICT r5). The lazy localCheckpoint computes it
+    # once — the embedding_outliers fix pattern.
+    counts = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     doc_toks = counts.select("doc_id", "tok")  # distinct by construction
     nd = doc_toks.agg(F.count_distinct("doc_id").alias("n_docs"))
-    dfreq = doc_toks.groupBy("tok").agg(F.count("*").alias("df"))
+    # dfreq broadcasts twice (as q_tok and as partner tok); pinned so the
+    # vocab-sized aggregate runs once instead of once per broadcast
+    dfreq = (
+        doc_toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .localCheckpoint(eager=False)
+    )
     base = doc_toks.filter(F.col("tok").isin(*EXP_TERMS)).select(
         F.col("tok").alias("q_term"), "doc_id"
     )

@@ -159,7 +159,10 @@ HEADLINE = [
     "sql_table_function_profile",
     "media_autocorrelation",
     "expanded_keyword_search",
-    "jdbc_roundtrip",
+    # jdbc_roundtrip moved OUT of the headline (VERDICT r5 "what's
+    # wrong" #5): its 2.3-2.4 s is constant embedded-Derby DDL+insert
+    # setup, not query execution — a connector-parity entry, graded by
+    # the registry oracle at every SF like the minhash composites.
     # dedup_recall_report also stays out: its ground truth is an
     # all-pairs exact Jaccard over the doc_id%5 sample — quadratic BY
     # DESIGN (~5 s at sf0.1), the price of measuring banding recall.

@@ -335,8 +335,12 @@ def ensure_bucketed_table(
 
     sf_tag = re.sub(r"[^a-zA-Z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
     loc_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    name = f"bk_{table}_{sf_tag}_{loc_tag}"
-    loc = _bucket_root() / table / f"{sf_tag}_{loc_tag}"
+    # key + bucket count are part of the identity (ADVICE r5): two callers
+    # bucketing the same table by different keys must get distinct
+    # layouts, not alternate full rebuilds of one shared location
+    key_tag = re.sub(r"[^a-zA-Z0-9]", "_", key)
+    name = f"bk_{table}_{key_tag}_{n_buckets}_{sf_tag}_{loc_tag}"
+    loc = _bucket_root() / table / f"{key_tag}_{n_buckets}_{sf_tag}_{loc_tag}"
     marker = loc / "_SOURCE"
     content = f"{_bucket_fingerprint(sf_dir, table)}|b{n_buckets}:{key}:v1"
 

@@ -64,74 +64,78 @@ def _modules():
 
 
 # The correctness driver oracle-checks the FIRST 50 registry entries only.
-# Round-5 rotation policy (continuing VERDICT r3 "Next round #1"; the
-# round-4 window committed its 50 slots to the first never-checked
-# wave): all 50 slots again go to never-driver-checked names — the
-# LLM-pipeline additions from round 4 (dedup sweeps, ANN recall/
-# quantization reports, text scoring/tokenizer ops, span corruption,
-# epoch sharding, leakage guards), the 10 never-checked streaming
-# entries, and the 12 most plan-distinctive relational/stats shapes.
-# The 24 deferred names are TPC-H-flavored lookalikes of already
-# driver-green siblings; they take the round-6 window. Exactly 50
+# Round-6 rotation (VERDICT r5 "what's wrong" #4): CORRECTNESS_r04 never
+# landed, so the round-4 window was never driver-validated and the real
+# never-driver-checked tail is 101 names, not the 51 the round-5
+# hand-off assumed. All 50 slots go to the highest-value members of
+# that tail: the whole retrieval family (the one family with zero
+# driver anchor), the round-4 pipeline/dedup/similarity/text/multimodal
+# wave, the UDTF/pandas API-surface entries, and the 8 never-checked
+# streaming entries. Deferred to round 7 (51 names): the 26 relational
+# TPC-H-flavored lookalikes of driver-green siblings, the 13
+# judge-independently-verified entries (VERDICT r5 spot-check), and 12
+# shapes structurally identical to a driver-green sibling. Exactly 50
 # names, all with oracles.
 PRIORITY: tuple[str, ...] = (
-    # --- dedup sweeps / reports (operators/dedup.py) ---
-    "dedup_threshold_sweep",
-    "dup_cluster_histogram",
-    "cross_source_dedup_matrix",
-    "dedup_recall_report",
-    "cdc_chunk_dedup",
-    "lsh_band_sweep",
-    # --- similarity / embedding reports (operators/similarity.py) ---
-    "embedding_projection",
-    "ann_recall_report",
-    "embedding_outliers",
-    "matryoshka_recall",
-    "matryoshka_dim_sweep",
+    # --- retrieval (operators/retrieval.py — zero driver anchors yet) ---
+    "hybrid_search_rrf",
+    "rag_context_pack",
+    "mmr_diversified_topk",
+    "maxsim_retrieval",
+    "hard_negative_mining",
+    "retrieval_ndcg_report",
+    "expanded_keyword_search",
+    # --- dedup (operators/dedup.py) ---
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_segments",
+    # --- similarity / ANN (operators/similarity.py) ---
+    "label_centroids",
+    "similarity_filtered_topk",
+    "similarity_ivf_index_topk",
+    "similarity_sq_topk",
+    "ivf_balance_report",
+    "pq_distortion_report",
+    "embedding_dim_stats",
     # --- text analysis (operators/text.py) ---
-    "quality_classifier_score",
-    "ngram_novelty",
-    "tokenizer_fertility",
-    "adaptive_quality_gates",
-    "gate_attribution",
-    "skipgram_pairs",
-    "token_zipf_fit",
-    "heldout_perplexity",
-    "skipgram_pmi",
+    "doc_fingerprint",
+    "corpus_stats",
+    "text_repetition",
+    "bpe_tokenize",
+    "lm_score",
+    "lm_bigram_score",
+    "countmin_estimates",
+    "text_index_search",
+    "vocab_prune_coverage",
     # --- multimodal (operators/multimodal.py) ---
-    "media_chunks",
-    "media_phash_clusters",
+    "media_bmp_thumbnail",
+    "media_autocorrelation",
+    # --- UDF/UDTF API surface + mixing ---
+    "doc_tokens_udtf",
+    "text_normalize_pandas",
+    "ngram_udtf_polymorphic",
+    "sql_table_function_profile",
+    "temperature_mixture_weights",
     # --- curation pipelines (operators/pipeline.py) ---
-    "span_corruption_masks",
-    "importance_sampling_weights",
-    "epoch_shuffle_shards",
-    "packing_capacity_sweep",
-    "eval_split_leakage",
-    "jsonl_roundtrip",
-    # --- relational / stats (plan-distinctive shapes) ---
-    "rfm_segments",
-    "kanon_suppression",
-    "stratified_hash_sample",
-    "rolling_weekly_active_users",
-    "user_activity_bitmap",
-    "daily_value_gapfill",
-    "rolling_median_daily_value",
-    "cusum_changepoints",
-    "ab_test_report",
-    "series_similarity",
-    "functional_dependencies",
-    "conversion_latency_percentiles",
+    "pretraining_corpus_prep",
+    "corpus_mixture_sample",
+    "balanced_group_sample",
+    "corpus_to_training_batches",
+    "target_encoding",
+    "negative_samples",
+    "corpus_quality_dashboard",
+    # --- batching / formats ---
+    "length_bucket_batches",
+    "orc_roundtrip",
     # --- streaming (batch-equivalent oracles) ---
-    "streaming_purchase_attribution_outer",
-    "streaming_band_enrichment",
-    "streaming_incremental_mv",
-    "streaming_two_level_window",
-    "streaming_view_purchase_full_outer",
-    "streaming_dedup_within_watermark",
-    "streaming_similarity_topk",
-    "streaming_kmv_sketch",
-    "streaming_media_features",
-    "streaming_rate_limit",
+    "streaming_dedup_counts",
+    "streaming_session_state",
+    "streaming_view_purchase_join",
+    "streaming_update_mode_counts",
+    "streaming_corpus_prep",
+    "streaming_quantile_sketch",
+    "streaming_lakehouse_ingest",
+    "streaming_jdbc_sink",
 )
 
 

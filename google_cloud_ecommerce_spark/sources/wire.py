@@ -240,6 +240,23 @@ class WireStreamWriter(DataSourceStreamWriter):
             for m in messages:
                 if m is not None:
                     fh.write(m.file + "\n")
+        # A second query (or a restart with a fresh checkpoint) reusing
+        # this batchId would silently clobber the earlier manifest and
+        # drop its files from committed_only reads — fail loudly instead;
+        # a restart resuming the SAME checkpoint re-delivers the same
+        # files, so an identical manifest is idempotent and fine.
+        if os.path.exists(manifest):
+            with open(manifest, encoding="utf-8") as fh:
+                prior = fh.read()
+            with open(tmp, encoding="utf-8") as fh:
+                mine = fh.read()
+            if prior != mine:
+                os.remove(tmp)
+                raise RuntimeError(
+                    f"epoch manifest {manifest} already committed with "
+                    "different files; refusing to clobber (two writers on "
+                    "one path, or a restart with a fresh checkpoint)"
+                )
         os.replace(tmp, manifest)
 
     def abort(self, messages, batchId: int) -> None:  # pragma: no cover
@@ -328,8 +345,13 @@ def _safe_register(spark: SparkSession) -> None:
 
 def wire_format_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch face: equality filter pushed INTO the Python reader (rows
-    pruned at parse time), then a typed aggregate per day."""
+    pruned at parse time), then a typed aggregate per day. The result is
+    pinned executor-side (parquet write + re-read, never a driver
+    collect) before the temp wire dir is deleted — the same
+    ``_pin_result`` discipline the streaming entries use."""
     import shutil
+
+    from google_cloud_ecommerce_spark.streaming.jobs import _pin_result
 
     _safe_register(spark)
     wire_dir = write_wire_dir(spark, sf_dir, n_files=4)
@@ -345,8 +367,7 @@ def wire_format_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_value"),
             )
         )
-        rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return _pin_result(res)
     finally:
         shutil.rmtree(wire_dir, ignore_errors=True)
 

@@ -118,3 +118,19 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_smoke, tmp_path):
     # neither dimension degenerates to always-full-range
     assert sum(x < side for x in xs) > len(xs) // 2
     assert sum(y < 31 for y in ys) > len(ys) // 2
+
+
+def test_distinct_bucket_keys_get_distinct_layouts(spark, sf_smoke):
+    """Two callers bucketing one table by different keys (or counts)
+    must coexist as separate catalog tables/locations — ADVICE r5: a
+    shared identity silently rebuilt the full layout on every
+    alternation."""
+    from google_cloud_ecommerce_spark.io import ensure_bucketed_table
+
+    by_cust = ensure_bucketed_table(spark, sf_smoke, "orders", "o_custkey", 4)
+    by_key = ensure_bucketed_table(spark, sf_smoke, "orders", "o_orderkey", 4)
+    tables = {t.name for t in spark.catalog.listTables() if t.name.startswith("bk_orders_")}
+    assert len({n for n in tables if "o_custkey_4" in n or "o_orderkey_4" in n}) == 2
+    # alternating back is a pure catalog hit — same row counts, no rebuild
+    again = ensure_bucketed_table(spark, sf_smoke, "orders", "o_custkey", 4)
+    assert again.count() == by_cust.count() == by_key.count()

@@ -38,44 +38,28 @@ _FAMILY_ANCHORS = {
 }
 
 
-# The 50 names the ROUND-4 window submitted to the driver. Frozen here
-# because CORRECTNESS_r04.json had not landed in-repo when the round-5
-# window was authored; these count as driver-checked for the
-# no-wasted-slot invariant.
-_R4_WINDOW = frozenset({
-    "corpus_curation_pipeline", "pretraining_corpus_prep",
-    "corpus_to_training_batches", "corpus_quality_dashboard",
-    "corpus_mixture_sample", "balanced_group_sample", "target_encoding",
-    "negative_samples", "semdedup_clusters", "dedup_simhash",
-    "dedup_embedding_cosine", "incremental_dedup", "dedup_keeper_selection",
-    "dedup_segments", "similarity_pq_topk", "similarity_ivfpq_topk",
-    "similarity_ivf_index_topk", "similarity_filtered_topk",
-    "similarity_buckets", "embedding_label_stats", "label_centroids",
-    "embedding_quantize", "embedding_top_component", "gopher_gates",
-    "lm_score", "lm_bigram_score", "bpe_tokenize", "text_index_search",
-    "token_frequencies", "bigram_frequencies", "doc_fingerprint",
-    "corpus_stats", "keyword_search", "text_repetition",
-    "countmin_estimates", "media_features", "media_bmp_thumbnail",
-    "media_frame_sample", "media_bmp_stream_sample", "media_manifest",
-    "doc_tokens_udtf", "text_normalize_pandas", "decile_lift_chart",
-    "value_quantile_sketch", "streaming_corpus_prep",
-    "streaming_dedup_counts", "streaming_session_state",
-    "streaming_view_purchase_join", "streaming_update_mode_counts",
-    "streaming_quantile_sketch",
-})
+# NOTE (round 6): the round-5 `_R4_WINDOW` freeze — counting the
+# round-4 window's 50 names as driver-checked although
+# CORRECTNESS_r04.json never landed — was the evidence-plan bug VERDICT
+# r5 "what's wrong" #4 called out. It is gone: driver-checked means a
+# row in a CORRECTNESS file that actually exists in-repo (r01, r02,
+# r03, r05 — 157 names), and the round-6 window draws from the real
+# 101-name never-checked tail.
 
 
-def _driver_checked_names(rounds: tuple[str, ...] = ("01", "02", "03", "04")) -> set[str]:
-    """Names with a driver row in the given rounds (missing files skipped),
-    plus the frozen round-4 window. Pinned to the rounds known when the
-    current window was authored — globbing every CORRECTNESS file would
-    make the no-wasted-slot test fail the moment the driver records the
-    current window itself."""
+def _driver_checked_names(
+    rounds: tuple[str, ...] = ("01", "02", "03", "05"),
+) -> set[str]:
+    """Names with a driver row in the given rounds (missing files
+    skipped). Pinned to the rounds known when the current window was
+    authored — globbing every CORRECTNESS file would make the
+    no-wasted-slot test fail the moment the driver records the current
+    window itself."""
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    names: set[str] = set(_R4_WINDOW)
+    names: set[str] = set()
     for r in rounds:
         path = os.path.join(repo, f"CORRECTNESS_r{r}.json")
         if os.path.exists(path):

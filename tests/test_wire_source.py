@@ -145,3 +145,22 @@ def test_stream_sink_manifest_hides_orphan_files(spark, tmp_path):
     assert [r.event_id for r in seen.collect()] == [1]
     all_rows = spark.read.format(WIRE_FORMAT).load(str(d))
     assert sorted(r.event_id for r in all_rows.collect()) == [1, 2]
+
+
+def test_stream_sink_commit_refuses_foreign_manifest_clobber(tmp_path):
+    """A reused batchId (second query on the same path, or a restart
+    with a fresh checkpoint) must not silently replace an earlier
+    epoch's manifest — its files would vanish from committed_only
+    reads. Identical re-commits stay idempotent."""
+    import pytest
+
+    from google_cloud_ecommerce_spark.sources.wire import WireCommit, WireStreamWriter
+
+    w = WireStreamWriter({"path": str(tmp_path)})
+    w.commit([WireCommit(file=str(tmp_path / "a.wire"), n_messages=1)], batchId=0)
+    # idempotent re-delivery of the same epoch: fine
+    w.commit([WireCommit(file=str(tmp_path / "a.wire"), n_messages=1)], batchId=0)
+    with pytest.raises(RuntimeError, match="refusing to clobber"):
+        w.commit([WireCommit(file=str(tmp_path / "b.wire"), n_messages=1)], batchId=0)
+    # the original manifest survives the refused clobber
+    assert (tmp_path / "_commit-0").read_text().strip() == str(tmp_path / "a.wire")

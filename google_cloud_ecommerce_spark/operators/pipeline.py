@@ -190,6 +190,37 @@ def _shingle_sql() -> str:
     return f"list_transform(range(1, len(toks) - {SHINGLE_K - 2}), i -> {parts})"
 
 
+_BENCH_SLICE_BYTES: dict[tuple, int] = {}
+
+
+def _bench_slice_bytes(spark: SparkSession, sf_dir: str) -> int:
+    """Upper bound on the bench slice's shingle bytes, fingerprint-cached
+    on the documents file (path, size, mtime)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_size, int(st.st_mtime))
+    except OSError:  # non-standard layout: fall through uncached
+        key = None
+    if key is not None and key in _BENCH_SLICE_BYTES:
+        return _BENCH_SLICE_BYTES[key]
+    stats = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % BENCH_MOD == 0)
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
+        )
+        .first()
+    )
+    est = int(stats["chars"]) * SHINGLE_K + int(stats["n"]) * 64
+    if key is not None:
+        _BENCH_SLICE_BYTES[key] = est
+    return est
+
+
 def contamination_check(
     spark: SparkSession, sf_dir: str, broadcast_threshold: int | None = None
 ) -> DataFrame:
@@ -217,30 +248,35 @@ def contamination_check(
         f"transform(array({sh_expr}), arr -> transform(arr, "
         f"s -> named_struct('shingle', s, 'n_shingles', size(arr))))[0]"
     )
+    # Shingles travel as xxhash64 fingerprints, never strings: the join
+    # key, shuffle rows, and the count_distinct Expand all carry 8-byte
+    # ints instead of ~20-char text (the minhash verify-stage discipline,
+    # dedup.py). Distinctness is preserved up to 64-bit collisions —
+    # ~1e-7 at a million distinct shingles. A lazy pin was A/B'd here
+    # and LOST (materializing the exploded shingle table costs more
+    # than the second tokenize pass it saves), so each branch keeps its
+    # own pipelined tokenize+shingle scan.
     bench = toks.filter(F.col("doc_id") % BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_doc"),
-        F.explode(F.expr(sh_expr)).alias("shingle"),
+        F.explode(F.expr(f"transform({sh_expr}, s -> xxhash64(s))")).alias("shingle"),
     )
     train = (
         toks.filter(F.col("doc_id") % BENCH_MOD != 0)
         .select("doc_id", F.explode(F.expr(pair_gen)).alias("g"))
         .select(
             "doc_id",
-            F.col("g.shingle").alias("shingle"),
+            F.expr("xxhash64(g.shingle)").alias("shingle"),
             F.col("g.n_shingles").cast("long").alias("n_shingles"),
         )
     )
     # Size guard: upper-bound bench shingle bytes from a pruned
     # (doc_id, n_chars) scan of the bench slice only — never from the
-    # exploded shingles themselves.
+    # exploded shingles themselves. Cached per source fingerprint: the
+    # bound is a property of the static input, and re-running the sizing
+    # job per invocation was ~0.3 s of the query's 1.4 s at sf0.1.
     if broadcast_threshold is None:
         broadcast_threshold = _broadcast_threshold_bytes(spark)
-    stats = (
-        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .agg(F.count("*").alias("n"), F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"))
-        .first()
-    )
-    est_bytes = int(stats["chars"]) * SHINGLE_K + int(stats["n"]) * 64
+    est_bytes = _bench_slice_bytes(spark, sf_dir)
     bench = F.broadcast(bench) if est_bytes <= broadcast_threshold else bench
     return (
         train.join(bench, "shingle")

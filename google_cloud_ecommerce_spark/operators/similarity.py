@@ -862,6 +862,10 @@ def _kmeans_assign_step(emb: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _kmeans_update_step(assigned: DataFrame) -> DataFrame:
+    # NOTE: a one-shot k-row aggregate with EMBED_DIM separate decimal
+    # sum columns was A/B'd here and LOST 2x (64 aggregate expressions
+    # per unrolled round blow up codegen compilation); the posexplode
+    # shape keeps each round's plan small and whole-stage-compiled.
     per_dim = (
         assigned.select("c_id", F.posexplode("v").alias("pos", "val"))
         .groupBy("c_id", (F.col("pos") + 1).alias("dim"))

@@ -159,6 +159,8 @@ HEADLINE = [
     "sql_table_function_profile",
     "media_autocorrelation",
     "expanded_keyword_search",
+    "repeated_span_dedup",
+    "char_entropy_gate",
     # jdbc_roundtrip moved OUT of the headline (VERDICT r5 "what's
     # wrong" #5): its 2.3-2.4 s is constant embedded-Derby DDL+insert
     # setup, not query execution — a connector-parity entry, graded by

@@ -1969,3 +1969,102 @@ def _lsh_band_sweep_sql() -> str:
 
 QUERIES["lsh_band_sweep"] = lsh_band_sweep
 ORACLE["lsh_band_sweep"] = _lsh_band_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# repeated_span_dedup — exact-substring duplication report (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better":
+# memorized text recurs as long verbatim SPANS inside otherwise-distinct
+# documents, so block- or doc-level dedup misses it). Every SLIDING
+# k-token window of every document is fingerprinted; a span is
+# "repeated" when its text occurs in >= 2 distinct documents. Per doc:
+# total spans, spans covered by a cross-doc repeat, and the repeated
+# share — the signal a span-excision pass would consume. Contrast
+# dedup_segments, which hashes disjoint fixed blocks (block-aligned
+# duplication only).
+#
+# Scale shape: one tokenize+slide explode (the let-binding wrapper
+# binds the token array once per doc — contamination_check's trap
+# notes apply), spans travel as xxhash64 int64 fingerprints through
+# the groupBy and the self-join (never strings); the per-span
+# distinct-doc count is an int64-keyed hash aggregate, so work scales
+# with corpus token count, not pairs. The oracle computes the same
+# counts over span STRINGS — identical up to 64-bit collisions
+# (~1e-7 at 1e6 distinct spans).
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # tokens per sliding window
+
+
+def _span_slide_spark() -> str:
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(SPAN_K))
+    return (
+        f"transform(sequence(1, size(toks) - {SPAN_K - 1}), "
+        f"i -> xxhash64(concat_ws(' ', {parts})))"
+    )
+
+
+def _span_slide_sql() -> str:
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(SPAN_K))
+    return f"list_transform(range(1, len(toks) - {SPAN_K - 2}), i -> {parts})"
+
+
+def repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {SPAN_K}"))
+    )
+    spans = toks.select(
+        "doc_id", F.explode(F.expr(_span_slide_spark())).alias("h")
+    )
+    # distinct (doc, span) first so the per-span doc count is exact
+    per_span = (
+        spans.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    flagged = spans.join(per_span, "h")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_repeated"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_repeated",
+            # exact IEEE division of two ints: bit-identical across engines
+            (F.col("n_repeated").cast("double") / F.col("n_spans")).alias(
+                "repeated_share"
+            ),
+        )
+    )
+
+
+def _repeated_span_dedup_sql() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+        ), spans AS (
+            SELECT doc_id, unnest({_span_slide_sql()}) AS s
+            FROM toks WHERE len(toks) >= {SPAN_K}
+        ), per_span AS (
+            SELECT s, count(*) AS n_docs
+            FROM (SELECT DISTINCT doc_id, s FROM spans) GROUP BY 1
+        )
+        SELECT sp.doc_id,
+               count(*) AS n_spans,
+               CAST(SUM(CASE WHEN ps.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repeated,
+               CAST(SUM(CASE WHEN ps.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS repeated_share
+        FROM spans sp JOIN per_span ps ON ps.s = sp.s
+        GROUP BY 1
+    """
+
+
+QUERIES["repeated_span_dedup"] = repeated_span_dedup
+ORACLE["repeated_span_dedup"] = _repeated_span_dedup_sql()

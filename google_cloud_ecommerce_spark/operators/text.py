@@ -2444,3 +2444,94 @@ def _vocab_prune_coverage_sql() -> str:
 
 QUERIES["vocab_prune_coverage"] = vocab_prune_coverage
 ORACLE["vocab_prune_coverage"] = _vocab_prune_coverage_sql()
+
+
+# ---------------------------------------------------------------------------
+# char_entropy_gate — Shannon character-entropy quality gate (the
+# CCNet/RefinedWeb-family "garbage text" filter: keyboard mashing,
+# repeated separators and binary-ish payloads all collapse to low
+# character entropy, while natural language across scripts sits in a
+# stable band). H = -sum_c p_c*log2(p_c) over the doc's characters;
+# the gate passes docs with H >= ENTROPY_MIN.
+#
+# Cross-engine float policy (verify skill): log2 is a libm
+# transcendental, so each term is ROUNDed to 6 decimals and accumulated
+# as DECIMAL(18,6) — the sum is order-independent and bit-identical in
+# both engines; the widened decimal stays < 2^53 so the final DOUBLE
+# cast is exact on both sides. The gate compares against that exact
+# value, so the pass/fail row set is stable.
+#
+# Scale shape: the char explode is n_chars rows into a (doc_id, ch)
+# hash aggregate (alphabet-bounded out-degree), then one doc-keyed
+# join+aggregate — linear, map-side-combinable, no windows.
+# ---------------------------------------------------------------------------
+
+ENTROPY_MIN = 3.0
+
+
+def char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 1)
+    freq = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = freq.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("n_distinct")
+    )
+    terms = freq.join(tot, "doc_id").withColumn(
+        "term",
+        F.round(
+            (F.col("cnt") / F.col("n")) * F.log2(F.col("cnt") / F.col("n")), 6
+        ).cast("decimal(18,6)"),
+    )
+    return (
+        terms.groupBy("doc_id", "n", "n_distinct")
+        .agg(F.sum("term").alias("s"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars_counted"),
+            F.col("n_distinct").alias("n_distinct_chars"),
+            # single-char docs: -(-0.0) would render as -0.0; pin to 0.0
+            F.expr(
+                "CASE WHEN n_distinct = 1 THEN CAST(0.0 AS DOUBLE) "
+                "ELSE -CAST(s AS DOUBLE) END"
+            ).alias("entropy"),
+            F.expr(
+                f"CASE WHEN n_distinct = 1 THEN false "
+                f"ELSE -CAST(s AS DOUBLE) >= {ENTROPY_MIN} END"
+            ).alias("passes"),
+        )
+    )
+
+
+def _char_entropy_gate_sql() -> str:
+    return f"""
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents WHERE len(text) >= 1
+        ), freq AS (
+            SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2
+        ), tot AS (
+            SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+                   count(*) AS n_distinct
+            FROM freq GROUP BY 1
+        ), terms AS (
+            SELECT f.doc_id, t.n, t.n_distinct,
+                   CAST(ROUND((CAST(f.cnt AS DOUBLE) / t.n)
+                        * log2(CAST(f.cnt AS DOUBLE) / t.n), 6)
+                        AS DECIMAL(18,6)) AS term
+            FROM freq f JOIN tot t USING (doc_id)
+        )
+        SELECT doc_id, n AS n_chars_counted, n_distinct AS n_distinct_chars,
+               CASE WHEN n_distinct = 1 THEN CAST(0.0 AS DOUBLE)
+                    ELSE -CAST(SUM(term) AS DOUBLE) END AS entropy,
+               CASE WHEN n_distinct = 1 THEN false
+                    ELSE -CAST(SUM(term) AS DOUBLE) >= {ENTROPY_MIN} END AS passes
+        FROM terms
+        GROUP BY 1, 2, 3
+    """
+
+
+QUERIES["char_entropy_gate"] = char_entropy_gate
+ORACLE["char_entropy_gate"] = _char_entropy_gate_sql()

@@ -1631,3 +1631,41 @@ ORACLE["streaming_jdbc_sink"] = """
            COUNT(DISTINCT user_id) AS n_users
     FROM events GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# T1/T2 — real-gap pacing replay (reference
+# streaming_pipeline/simulate_session_stream.py:86-95: the producer
+# sleeps each real inter-event delta / speedFactor). The event-TIME-
+# sliced replay dir paces batches by the accelerated timeline, so the
+# corpus's burst/gap structure drives the micro-batch sizes; the
+# windowed aggregate over those uneven batches must still equal the
+# batch answer — pacing is a delivery concern, never a semantics one.
+# ---------------------------------------------------------------------------
+
+
+def streaming_gap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.streaming.replay import write_gap_replay_dir
+
+    replay = write_gap_replay_dir(spark, sf_dir, n_slices=12)
+    try:
+        stream = read_replay_stream(spark, replay, max_files_per_trigger=1)
+        # no count_distinct: distinct aggregates are unsupported on
+        # streams (state would be unbounded per group)
+        agg = stream.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count("*").alias("n_events"),
+            F.max("user_id").alias("max_user"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        return _run_to_memory(agg, "complete")
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+
+QUERIES["streaming_gap_replay"] = streaming_gap_replay
+ORACLE["streaming_gap_replay"] = """
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+           max(user_id) AS max_user,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+"""

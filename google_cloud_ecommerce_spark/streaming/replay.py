@@ -91,6 +91,61 @@ def write_replay_dir(
     return out
 
 
+def write_gap_replay_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 12,
+) -> str:
+    """Event-TIME-sliced replay chunks — the deterministic stand-in for
+    the reference's real-gap producer
+    (``streaming_pipeline/simulate_session_stream.py:86-95`` sleeps the
+    real inter-event delta / speedFactor between publishes). Each chunk
+    covers an equal span of the ACCELERATED timeline, so when the files
+    drip one per trigger the batch SIZES carry the corpus's burst/gap
+    structure — dense spans arrive as big batches, quiet spans as small
+    or absent ones — without any wall-clock sleeping (speedFactor is
+    total span / (n_slices x trigger interval)). Contrast
+    ``write_replay_dir``, whose row-sliced chunks model the
+    constant-rate ``send_session_stream.py`` producer.
+
+    No rank, no checkpoint: the slice id is a pure function of ts, so
+    one evaluation per row suffices and re-evaluation is stable."""
+    out = tempfile.mkdtemp(prefix="spark_graft_gap_replay_")
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    width = max(1, (int(hi) - int(lo)) // n_slices + 1)
+    sliced = events.withColumn(
+        "slice_id",
+        F.least(
+            ((F.unix_micros("ts") - F.lit(int(lo))) / F.lit(width)).cast("int"),
+            F.lit(n_slices - 1),
+        ),
+    )
+    stage = os.path.join(out, "_stage")
+    (
+        sliced.repartition(n_slices, "slice_id")
+        .write.partitionBy("slice_id")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    base_mtime = time.time() - n_slices - 1
+    seq = 0
+    for i in range(n_slices):
+        parts = glob.glob(os.path.join(stage, f"slice_id={i}", "part-*.parquet"))
+        if not parts:  # a genuinely quiet span of the timeline: no batch
+            continue
+        if len(parts) != 1:
+            raise RuntimeError(f"slice {i}: expected 1 part file, got {len(parts)}")
+        dst = os.path.join(out, f"chunk-{seq:04d}.parquet")
+        shutil.move(parts[0], dst)
+        os.utime(dst, (base_mtime + seq, base_mtime + seq))
+        seq += 1
+    shutil.rmtree(stage)
+    return out
+
+
 def read_replay_stream(
     spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

@@ -1,0 +1,121 @@
+"""Round-6 operators: repeated-span dedup, char-entropy gating, and the
+recursive-CTE engine surface. (streaming_gap_replay's tests live with
+the other replay-harness tests in test_streaming.py.)"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _write_docs(tmp_path, texts: list[str]) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["crafted"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_repeated_span_detects_cross_doc_verbatim_spans(spark, tmp_path):
+    """An 8-token span shared verbatim by two docs is flagged in BOTH;
+    a doc with no shared span reports zero (block-misaligned sharing is
+    exactly what dedup_segments misses and this operator catches)."""
+    from google_cloud_ecommerce_spark.operators.dedup import repeated_span_dedup
+
+    shared = "one two three four five six seven eight"
+    texts = [
+        f"alpha {shared} tail tokens here",      # span at offset 1
+        f"beta gamma delta {shared}",            # same span, offset 3
+        "totally different words with no overlap at all among these",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r.doc_id: r for r in repeated_span_dedup(spark, sf).collect()}
+    assert rows[0].n_repeated >= 1
+    assert rows[1].n_repeated >= 1
+    assert rows[2].n_repeated == 0
+    for r in rows.values():
+        assert 0.0 <= r.repeated_share <= 1.0
+        assert r.n_spans > 0
+
+
+def test_repeated_span_counts_every_covered_position(spark, tmp_path):
+    """A doc that is entirely a repeat of another reports share 1.0."""
+    from google_cloud_ecommerce_spark.operators.dedup import repeated_span_dedup
+
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    sf = _write_docs(tmp_path, [text, text, "x1 x2 x3 x4 x5 x6 x7 x8"])
+    rows = {r.doc_id: r for r in repeated_span_dedup(spark, sf).collect()}
+    assert rows[0].repeated_share == 1.0
+    assert rows[1].repeated_share == 1.0
+    assert rows[2].repeated_share == 0.0
+    # 10 tokens, k=8 -> 3 sliding positions
+    assert rows[0].n_spans == 3
+
+
+def test_char_entropy_matches_closed_form(spark, tmp_path):
+    from google_cloud_ecommerce_spark.operators.text import (
+        ENTROPY_MIN,
+        char_entropy_gate,
+    )
+
+    texts = ["aaaaaaaa", "abcdefgh", "the quick brown fox jumps over the lazy dog"]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r.doc_id: r for r in char_entropy_gate(spark, sf).collect()}
+    # single-symbol doc: entropy exactly 0, gate fails
+    assert rows[0].entropy == 0.0 and not rows[0].passes
+    # 8 equiprobable symbols: H = 3 bits exactly
+    assert rows[1].entropy == pytest.approx(3.0, abs=1e-5)
+    assert rows[1].passes == (rows[1].entropy >= ENTROPY_MIN)
+    # natural text: matches the python closed form (mod 6-dec term rounding)
+    t = texts[2]
+    n = len(t)
+    h = -sum(
+        round((t.count(c) / n) * math.log2(t.count(c) / n), 6)
+        for c in set(t)
+    )
+    assert rows[2].entropy == pytest.approx(h, abs=2e-6)
+    assert rows[2].passes
+
+
+def test_recursive_cte_date_spine_covers_event_span(spark, sf_smoke):
+    """Engine surface: Spark 4 WITH RECURSIVE over real data — a
+    recursively generated day spine spans min..max event day, and the
+    left join onto it conserves the corpus (gap days contribute 0)."""
+    from google_cloud_ecommerce_spark.catalog import load_table
+
+    events = load_table(spark, sf_smoke, "events")
+    events.select(F.to_date("ts").alias("day")).createOrReplaceTempView(
+        "ev_days_r6"
+    )
+    spine = spark.sql(
+        """
+        WITH RECURSIVE spine(day) AS (
+            SELECT min(day) FROM ev_days_r6
+            UNION ALL
+            SELECT date_add(day, 1) FROM spine
+            WHERE day < (SELECT max(day) FROM ev_days_r6)
+        )
+        SELECT s.day, count(e.day) AS n
+        FROM spine s LEFT JOIN ev_days_r6 e ON e.day = s.day
+        GROUP BY s.day
+        """
+    )
+    rows = spine.collect()
+    lo, hi = events.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).first()
+    assert len(rows) == (hi - lo).days + 1
+    assert sum(r.n for r in rows) == events.count()

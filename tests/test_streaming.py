@@ -142,3 +142,65 @@ def test_rate_stream_feeds_event_shaped_jobs(spark):
         q.stop()
     assert rows and sum(r["count"] for r in rows) >= 100
     assert {r.event_type for r in rows} <= {"view", "cart", "purchase", "click", "scroll"}
+
+
+def test_gap_replay_slices_by_event_time(spark, tmp_path):
+    """Chunks cover equal spans of the accelerated TIMELINE, so a bursty
+    corpus produces unequal batch sizes (the gap structure), unlike the
+    row-sliced write_replay_dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from google_cloud_ecommerce_spark.streaming.replay import write_gap_replay_dir
+
+    # 90 events in minute 0, 10 events spread over minutes 1..39
+    ts = [datetime(2024, 1, 1, 0, 0, i % 60) for i in range(90)] + [
+        datetime(2024, 1, 1, 0, 1 + 4 * i, 0) for i in range(10)
+    ]
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": list(range(n)),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": [i % 7 for i in range(n)],
+                "event_type": ["view"] * n,
+                "value": [float(i) for i in range(n)],
+                "props": [None] * n,
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    d = write_gap_replay_dir(spark, str(tmp_path), n_slices=4)
+    try:
+        sizes = [
+            spark.read.parquet(f).count()
+            for f in sorted(glob.glob(f"{d}/chunk-*.parquet"))
+        ]
+        assert sum(sizes) == n  # nothing lost, nothing duplicated
+        assert max(sizes) >= 90  # the burst lands in one slice
+        assert min(sizes) < 10  # quiet spans produce small batches
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_gap_replay_stream_equals_batch(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.streaming import jobs
+
+    rows = {
+        (r.day, r.n_events, r.max_user, r.sum_value)
+        for r in jobs.streaming_gap_replay(spark, sf_smoke).collect()
+    }
+    batch = {
+        (r.day, r.n_events, r.max_user, r.sum_value)
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("user_id").alias("max_user"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert rows == batch

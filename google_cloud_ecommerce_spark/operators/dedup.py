@@ -2068,3 +2068,106 @@ def _repeated_span_dedup_sql() -> str:
 
 QUERIES["repeated_span_dedup"] = repeated_span_dedup
 ORACLE["repeated_span_dedup"] = _repeated_span_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_excision — the TRANSFORM half of exact-substring dedup
+# (Lee et al. 2022 drop the repeated occurrences themselves, not whole
+# documents): a token position is excised when any cross-doc repeated
+# k-span covers it; the report is each doc's retained token budget
+# after excision — what a span-scrubbing rewrite pass would keep.
+#
+# Scale shape: the position-carrying span explode is the same linear
+# pass as repeated_span_dedup (int64 fingerprints through the join);
+# coverage expands each repeated position by k offsets and dedups
+# per-doc token indices with one hash aggregate — O(corpus tokens * k)
+# worst case, no windows, no pair blowup.
+# ---------------------------------------------------------------------------
+
+
+def _pos_span_spark() -> str:
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(SPAN_K))
+    return (
+        f"transform(sequence(1, size(toks) - {SPAN_K - 1}), "
+        f"i -> struct(i AS pos, xxhash64(concat_ws(' ', {parts})) AS h))"
+    )
+
+
+def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {SPAN_K}"))
+        .select("doc_id", F.expr("size(toks)").cast("long").alias("n_tokens"),
+                F.col("toks"))
+    )
+    pos_spans = toks.select(
+        "doc_id", "n_tokens", F.explode(F.expr(_pos_span_spark())).alias("g")
+    ).select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    per_span = (
+        pos_spans.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    covered = (
+        pos_spans.join(per_span, "h")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {SPAN_K - 1})")).alias("tok_idx"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_excised"))
+    )
+    return (
+        toks.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_excised", F.lit(0)).cast("long").alias("n_excised"),
+            (F.col("n_tokens") - F.coalesce("n_excised", F.lit(0))).alias(
+                "n_retained"
+            ),
+            (
+                (F.col("n_tokens") - F.coalesce("n_excised", F.lit(0))).cast("double")
+                / F.col("n_tokens")
+            ).alias("retained_share"),
+        )
+    )
+
+
+def _dedup_span_excision_sql() -> str:
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(SPAN_K))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+        ), base AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+            FROM toks WHERE len(toks) >= {SPAN_K}
+        ), sp AS (
+            SELECT doc_id, n_tokens, i AS pos, {parts} AS s
+            FROM base, unnest(range(1, len(toks) - {SPAN_K - 2})) t(i)
+        ), per_span AS (
+            SELECT s FROM (SELECT DISTINCT doc_id, s FROM sp)
+            GROUP BY 1 HAVING count(*) >= 2
+        ), covered AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_excised
+            FROM (
+                SELECT DISTINCT sp.doc_id, sp.pos + u.j AS tok_idx
+                FROM sp JOIN per_span ps ON ps.s = sp.s,
+                     unnest(range(0, {SPAN_K})) u(j)
+            ) GROUP BY 1
+        )
+        SELECT b.doc_id, b.n_tokens,
+               COALESCE(c.n_excised, 0) AS n_excised,
+               b.n_tokens - COALESCE(c.n_excised, 0) AS n_retained,
+               CAST(b.n_tokens - COALESCE(c.n_excised, 0) AS DOUBLE) / b.n_tokens
+                   AS retained_share
+        FROM base b LEFT JOIN covered c USING (doc_id)
+    """
+
+
+QUERIES["dedup_span_excision"] = dedup_span_excision
+ORACLE["dedup_span_excision"] = _dedup_span_excision_sql()

@@ -119,3 +119,33 @@ def test_recursive_cte_date_spine_covers_event_span(spark, sf_smoke):
     ).first()
     assert len(rows) == (hi - lo).days + 1
     assert sum(r.n for r in rows) == events.count()
+
+
+def test_span_excision_drops_exact_repeats_and_keeps_unique(spark, tmp_path):
+    from google_cloud_ecommerce_spark.operators.dedup import dedup_span_excision
+
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    sf = _write_docs(tmp_path, [text, text, "x1 x2 x3 x4 x5 x6 x7 x8"])
+    rows = {r.doc_id: r for r in dedup_span_excision(spark, sf).collect()}
+    # full repeats: every token covered by a cross-doc span
+    assert rows[0].n_excised == rows[0].n_tokens == 10
+    assert rows[0].n_retained == 0 and rows[0].retained_share == 0.0
+    assert rows[1].n_excised == 10
+    # unique doc: untouched
+    assert rows[2].n_excised == 0 and rows[2].retained_share == 1.0
+
+
+def test_span_excision_covers_only_span_positions(spark, tmp_path):
+    """A shared 8-token span inside a longer unique doc excises exactly
+    the covered positions, not the whole document."""
+    from google_cloud_ecommerce_spark.operators.dedup import dedup_span_excision
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    sf = _write_docs(
+        tmp_path,
+        [f"u1 u2 {shared} u3 u4", f"v1 {shared} v2 v3 v4", "q1 q2 q3 q4 q5 q6 q7 q8 q9"],
+    )
+    rows = {r.doc_id: r for r in dedup_span_excision(spark, sf).collect()}
+    assert rows[0].n_tokens == 12 and rows[0].n_excised == 8
+    assert rows[1].n_tokens == 12 and rows[1].n_excised == 8
+    assert rows[2].n_excised == 0

@@ -96,23 +96,34 @@ def hybrid_search_rrf(
     fusion join stays queries x pool rows."""
     _require_oracle_default(pool=(pool, RRF_POOL), top_k=(top_k, RRF_TOP_K))
     # --- sparse side: per-term BM25 over one corpus scan ------------------
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
+    # One tokenize pass: per-term tfs and the doc length are reduced to a
+    # NARROW (doc_id, dl, tf_0..tf_3) table and lazily pinned — the
+    # corpus-stats aggregate and the scoring join both read it, instead
+    # of each re-running tokenize + 4 array scans per doc (the old shape
+    # tokenized twice and re-filtered the token array per use).
+    tf_cols = [
+        F.expr(f"CAST(size(filter(toks, x -> x = '{t}')) AS BIGINT)").alias(f"tf_{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    tfd = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
+        .select("doc_id", F.expr("CAST(size(toks) AS BIGINT)").alias("dl"), *tf_cols)
+        .localCheckpoint(eager=False)
     )
-    stats = toks.agg(
+    stats = tfd.agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.expr("size(toks)")).alias("sum_dl"),
+        F.sum("dl").alias("sum_dl"),
         *[
-            F.sum(F.array_contains(F.col("toks"), t).cast("long")).alias(f"df_{i}")
-            for i, t in enumerate(BM25_TERMS)
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
         ],
     )
-    j = toks.crossJoin(F.broadcast(stats))
-    for i, t in enumerate(BM25_TERMS):
-        tf = f"size(filter(toks, x -> x = '{t}'))"
-        j = j.withColumn(f"tf_{i}", F.expr(tf).cast("long")).withColumn(
+    j = tfd.crossJoin(F.broadcast(stats))
+    for i, _t in enumerate(BM25_TERMS):
+        j = j.withColumn(
             f"s_{i}",
-            F.expr(_bm25_score_tpl(tf, f"df_{i}", "CAST(size(toks) AS DOUBLE)")),
+            F.expr(_bm25_score_tpl(f"tf_{i}", f"df_{i}", "CAST(dl AS DOUBLE)")),
         )
     stacked = " , ".join(
         f"struct({i} AS q_id, round(s_{i}, 4) AS score, tf_{i} AS tf)"

@@ -947,11 +947,15 @@ TFIDF_TOP_K = 3
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tf feeds both the document-frequency aggregate and the scoring
+    # join; the lazy pin computes the tokenize+explode+groupBy subtree
+    # once instead of once per use (the expanded_keyword_search fix)
     tf = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(F.expr(tokens_expr("lower(text)"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))

@@ -2539,3 +2539,111 @@ def _char_entropy_gate_sql() -> str:
 
 QUERIES["char_entropy_gate"] = char_entropy_gate
 ORACLE["char_entropy_gate"] = _char_entropy_gate_sql()
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprints — MOSS winnowing (Schleimer, Wilkerson &
+# Aiken, SIGMOD 2003 "Winnowing: Local Algorithms for Document
+# Fingerprinting"): hash every k-token gram, slide a w-hash window,
+# keep each window's MINIMUM hash. The guarantee: any shared run of
+# >= k + w - 1 tokens between two documents yields at least one shared
+# fingerprint, while only ~2/(w+1) of the grams are stored — the
+# robust, sublinear fingerprint set plagiarism/variant detection
+# stores instead of every gram. Per doc: gram count, fingerprint count
+# (the density the 2/(w+1) bound predicts), and fingerprints shared
+# with another document. Contrast doc_fingerprint (one rolling hash
+# per doc: whole-doc identity only) and repeated_span_dedup (every
+# position, exact but k-times denser).
+#
+# Cross-engine: grams hash with the md5-derived 31-bit token hash
+# (identical text in both engines), so the argmin SELECTION — not
+# just the counts — matches bit-for-bit. The k-gram hash list is
+# let-bound once per doc (the transform(array(..))[0] binding); the
+# explode output is fingerprint ints, aggregated per value.
+# Scale shape: linear explode, int-keyed hash aggregates, one
+# broadcast-free join on the fingerprint value — no windows, no pairs.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # tokens per gram
+WINNOW_W = 4  # grams per winnowing window
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, w = WINNOW_K, WINNOW_W
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(toks, i + {j})" for j in range(k)
+    ) + ")"
+    kh = (
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> {token_hash_expr(gram)})"
+    )
+    gen = (
+        f"transform(array({kh}), kh -> named_struct("
+        f"'n_grams', CAST(size(kh) AS BIGINT), "
+        f"'fps', array_distinct(transform(sequence(1, size(kh) - {w - 1}), "
+        f"p -> array_min(slice(kh, p, {w}))))))[0]"
+    )
+    per_fp = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {k + w - 1}"))
+        .select("doc_id", F.expr(gen).alias("g"))
+        .select("doc_id", F.col("g.n_grams").alias("n_grams"),
+                F.explode("g.fps").alias("fp"))
+    )
+    shared = (
+        per_fp.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        per_fp.join(shared, "fp", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.sum(F.col("n_docs").isNotNull().cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fingerprints",
+            "n_shared",
+            (F.col("n_fingerprints").cast("double") / F.col("n_grams")).alias(
+                "fp_density"
+            ),
+        )
+    )
+
+
+def _winnowing_fingerprints_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+        ), kh AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks) - {k - 2}),
+                                  i -> {token_hash_sql(f"({gram})")}) AS kh
+            FROM base WHERE len(toks) >= {k + w - 1}
+        ), per_fp AS (
+            SELECT doc_id, CAST(len(kh) AS BIGINT) AS n_grams,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(kh) - {w - 2}),
+                       p -> list_min(list_slice(kh, p, p + {w - 1}))))) AS fp
+            FROM kh
+        ), shared AS (
+            SELECT fp FROM per_fp GROUP BY 1 HAVING count(*) >= 2
+        )
+        SELECT p.doc_id, p.n_grams,
+               count(*) AS n_fingerprints,
+               CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+               CAST(count(*) AS DOUBLE) / p.n_grams AS fp_density
+        FROM per_fp p LEFT JOIN shared s ON s.fp = p.fp
+        GROUP BY 1, 2
+    """
+
+
+QUERIES["winnowing_fingerprints"] = winnowing_fingerprints
+ORACLE["winnowing_fingerprints"] = _winnowing_fingerprints_sql()

@@ -149,3 +149,27 @@ def test_span_excision_covers_only_span_positions(spark, tmp_path):
     assert rows[0].n_tokens == 12 and rows[0].n_excised == 8
     assert rows[1].n_tokens == 12 and rows[1].n_excised == 8
     assert rows[2].n_excised == 0
+
+
+def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark, tmp_path):
+    """Schleimer et al. guarantee: a shared run of >= k + w - 1 = 6
+    tokens always produces at least one shared fingerprint; a doc with
+    no 6-token overlap shares none."""
+    from google_cloud_ecommerce_spark.operators.text import winnowing_fingerprints
+
+    shared = "m1 m2 m3 m4 m5 m6"  # exactly k + w - 1 tokens
+    sf = _write_docs(
+        tmp_path,
+        [
+            f"a1 a2 a3 {shared} a4 a5 a6",
+            f"b1 {shared} b2 b3 b4 b5 b6 b7",
+            "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+        ],
+    )
+    rows = {r.doc_id: r for r in winnowing_fingerprints(spark, sf).collect()}
+    assert rows[0].n_shared >= 1
+    assert rows[1].n_shared >= 1
+    assert rows[2].n_shared == 0
+    for r in rows.values():
+        assert 0 < r.n_fingerprints <= r.n_grams
+        assert r.fp_density == r.n_fingerprints / r.n_grams

@@ -161,6 +161,7 @@ HEADLINE = [
     "expanded_keyword_search",
     "repeated_span_dedup",
     "char_entropy_gate",
+    "winnowing_fingerprints",
     # jdbc_roundtrip moved OUT of the headline (VERDICT r5 "what's
     # wrong" #5): its 2.3-2.4 s is constant embedded-Derby DDL+insert
     # setup, not query execution — a connector-parity entry, graded by

@@ -808,3 +808,75 @@ MEDIA_AUTOCORRELATION_SQL = f"""
 
 QUERIES["media_autocorrelation"] = media_autocorrelation
 ORACLE["media_autocorrelation"] = MEDIA_AUTOCORRELATION_SQL
+
+
+# ---------------------------------------------------------------------------
+# media_rms_windows — windowed energy profile (the time-resolved DSP
+# cousin of media_autocorrelation's whole-stream statistic): samples
+# bucket into fixed 100-sample windows, each reporting its exact sum
+# of squares and mean energy — the per-segment loudness curve a
+# silence-trim / segmentation pass consumes. The Spark side decodes
+# the REAL RIFF/WAVE container in executors (Arrow batches); the
+# oracle re-derives the same windows analytically from the synthetic
+# sample formula. Exact int64 sums; mean = ssq/count is a single IEEE
+# division of ints < 2^53 — bit-identical, no rounding needed.
+# ---------------------------------------------------------------------------
+
+RMS_WINDOW = 100  # samples per energy window
+
+
+def media_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = RMS_WINDOW
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                wav = encode_wav(_wav_samples(doc_id, n_chars))
+                v = decode_wav_samples(wav).astype(np.int64)
+                for win in range(0, len(v), w):
+                    seg = v[win : win + w]
+                    ssq = int((seg * seg).sum())
+                    rows.append(
+                        (
+                            doc_id,
+                            win // w,
+                            len(seg),
+                            ssq,
+                            float(ssq) / float(len(seg)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "win_id", "n_samples", "ssq", "mean_energy"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id bigint, win_id bigint, n_samples bigint, ssq bigint, "
+        "mean_energy double",
+    )
+
+
+MEDIA_RMS_WINDOWS_SQL = f"""
+    WITH s AS (
+        SELECT doc_id,
+               unnest(range(0, 4 * least(n_chars, {WAV_MAX_CHARS}))) AS i
+        FROM documents
+    ), x AS (
+        SELECT doc_id, i // {RMS_WINDOW} AS win_id,
+               ((doc_id * 31 + 37 * i) % 65536 - 32768) AS v
+        FROM s
+    )
+    SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+           count(*) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS ssq,
+           CAST(SUM(v * v) AS DOUBLE) / count(*) AS mean_energy
+    FROM x
+    GROUP BY 1, 2
+"""
+
+
+QUERIES["media_rms_windows"] = media_rms_windows
+ORACLE["media_rms_windows"] = MEDIA_RMS_WINDOWS_SQL

@@ -173,3 +173,33 @@ def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark, tmp_pat
     for r in rows.values():
         assert 0 < r.n_fingerprints <= r.n_grams
         assert r.fp_density == r.n_fingerprints / r.n_grams
+
+
+def test_media_rms_windows_conserves_energy(spark, sf_smoke):
+    """Window energies sum to the stream's total energy (cross-checked
+    against media_autocorrelation's whole-stream ssq), and every full
+    window holds exactly RMS_WINDOW samples."""
+    from google_cloud_ecommerce_spark.operators.multimodal import (
+        RMS_WINDOW,
+        media_autocorrelation,
+        media_rms_windows,
+    )
+
+    wins = media_rms_windows(spark, sf_smoke)
+    per_doc = {
+        r.doc_id: (r.total_ssq, r.n)
+        for r in wins.groupBy("doc_id")
+        .agg(
+            F.sum("ssq").alias("total_ssq"),
+            F.sum("n_samples").alias("n"),
+        )
+        .collect()
+    }
+    whole = {
+        r.doc_id: (r.energy, r.n_samples)
+        for r in media_autocorrelation(spark, sf_smoke).collect()
+    }
+    for doc_id, (energy, n) in whole.items():
+        assert per_doc[doc_id] == (energy, n)
+    sizes = {r.n_samples for r in wins.filter(F.col("n_samples") != RMS_WINDOW).collect()}
+    assert all(s < RMS_WINDOW for s in sizes)  # only tail windows are short

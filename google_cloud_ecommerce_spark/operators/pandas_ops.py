@@ -318,3 +318,59 @@ NGRAM_UDTF_SQL = f"""
 
 QUERIES["ngram_udtf_polymorphic"] = ngram_udtf_polymorphic
 ORACLE["ngram_udtf_polymorphic"] = NGRAM_UDTF_SQL
+
+
+# ---------------------------------------------------------------------------
+# doc_bytes_profile — the Arrow-native MAP bridge (mapInArrow), the
+# last of the Arrow UDF quadrants (mapInPandas / applyInPandas /
+# applyInArrow / pandas_udf elsewhere in this repo): each partition
+# streams through as pyarrow.RecordBatches and the transform runs
+# entirely in Arrow COMPUTE KERNELS — no pandas frame, no per-row
+# Python, zero copies beyond the kernel outputs. The profile itself is
+# the cheap byte-level pre-tokenization pass a curator runs before
+# paying for real tokenization: UTF-8 byte length, codepoint count,
+# separator count, and the single-space word estimate.
+# ---------------------------------------------------------------------------
+
+DOC_BYTES_SCHEMA = (
+    "doc_id bigint, n_codepoints bigint, n_bytes bigint, "
+    "n_spaces bigint, est_words bigint"
+)
+
+
+def _bytes_profile_batches(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        text = b.column("text")
+        n_space = pc.count_substring(text, " ")
+        yield pa.record_batch(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_codepoints": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_bytes": pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                "n_spaces": pc.cast(n_space, pa.int64()),
+                "est_words": pc.cast(pc.add(n_space, 1), pa.int64()),
+            }
+        )
+
+
+def doc_bytes_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(_bytes_profile_batches, DOC_BYTES_SCHEMA)
+
+
+DOC_BYTES_PROFILE_SQL = """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_codepoints,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+               AS n_spaces,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+               AS est_words
+    FROM documents
+"""
+
+QUERIES["doc_bytes_profile"] = doc_bytes_profile
+ORACLE["doc_bytes_profile"] = DOC_BYTES_PROFILE_SQL

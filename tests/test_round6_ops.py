@@ -203,3 +203,19 @@ def test_media_rms_windows_conserves_energy(spark, sf_smoke):
         assert per_doc[doc_id] == (energy, n)
     sizes = {r.n_samples for r in wins.filter(F.col("n_samples") != RMS_WINDOW).collect()}
     assert all(s < RMS_WINDOW for s in sizes)  # only tail windows are short
+
+
+def test_doc_bytes_profile_runs_in_arrow_batches(spark, tmp_path):
+    """mapInArrow surface: profile values match python ground truth,
+    including a multi-byte (n_bytes > n_codepoints) document."""
+    from google_cloud_ecommerce_spark.operators.pandas_ops import doc_bytes_profile
+
+    texts = ["two words", "café au lait", "single"]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r.doc_id: r for r in doc_bytes_profile(spark, sf).collect()}
+    for i, t in enumerate(texts):
+        assert rows[i].n_codepoints == len(t)
+        assert rows[i].n_bytes == len(t.encode("utf-8"))
+        assert rows[i].n_spaces == t.count(" ")
+        assert rows[i].est_words == t.count(" ") + 1
+    assert rows[1].n_bytes == rows[1].n_codepoints + 1  # é is 2 bytes

@@ -934,3 +934,37 @@ GROUPING_ID_REPORT_SQL = """
 
 QUERIES["grouping_id_report"] = grouping_id_report
 ORACLE["grouping_id_report"] = GROUPING_ID_REPORT_SQL
+
+
+# ---------------------------------------------------------------------------
+# lateral_top_orders — the correlated LATERAL subquery surface (SQL:99
+# LATERAL / CROSS APPLY): for each machinery-segment customer, the
+# top-2 orders by price from an inner query that references the outer
+# row. Catalyst plans the correlated limit as a per-key ranking rather
+# than per-row re-execution — the decorrelation that makes LATERAL
+# viable at scale — and DuckDB accepts the identical query text, so
+# the SQL is shared verbatim between engines.
+# ---------------------------------------------------------------------------
+
+_LATERAL_TOP_ORDERS_SQL = """
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+         LATERAL (
+             SELECT o_orderkey, o_totalprice
+             FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2
+         ) l
+    WHERE c.c_mktsegment = 'MACHINERY'
+"""
+
+
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "orders"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_LATERAL_TOP_ORDERS_SQL)
+
+
+QUERIES["lateral_top_orders"] = lateral_top_orders
+ORACLE["lateral_top_orders"] = _LATERAL_TOP_ORDERS_SQL

@@ -460,3 +460,64 @@ KANON_SUPPRESSION_SQL = f"""
 
 QUERIES["kanon_suppression"] = kanon_suppression
 ORACLE["kanon_suppression"] = KANON_SUPPRESSION_SQL
+
+
+# ---------------------------------------------------------------------------
+# ldiversity_report — distinct l-diversity audit (Machanavajjhala et
+# al., ICDE 2006: k-anonymity fails under homogeneity — a group of k
+# identical sensitive values still leaks; every quasi-identifier group
+# must also contain >= l DISTINCT sensitive values). Quasi-identifier:
+# (event_type, hour); sensitive attribute: the event's value band
+# (100-unit buckets). The per-type rollup reports how many cells fail
+# the l bar and how many rows a release would have to generalize or
+# drop — the l-diversity counterpart of kanon_suppression above.
+# Scale shape: one hash aggregate to cells, one to the rollup — the
+# same two-shuffle audit as the k-anon report.
+# ---------------------------------------------------------------------------
+
+LDIV_L = 3
+LDIV_BAND = 100  # sensitive attribute: floor(value / 100)
+
+
+def ldiversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(
+        F.count_distinct(
+            F.floor(F.col("value") / LDIV_BAND).cast("long")
+        ).alias("n_sensitive"),
+        F.count("*").alias("n_events"),
+    )
+    weak = F.col("n_sensitive") < LDIV_L
+    return cells.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.count(F.when(weak, F.lit(1))).cast("long").alias("n_weak_cells"),
+        F.sum(F.when(weak, F.col("n_events")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_exposed_events"),
+        F.min("n_sensitive").cast("long").alias("min_diversity"),
+    )
+
+
+LDIVERSITY_REPORT_SQL = f"""
+    WITH cells AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+               COUNT(DISTINCT CAST(floor(value / {LDIV_BAND}) AS BIGINT))
+                   AS n_sensitive,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           count(*) AS n_cells,
+           CAST(count(CASE WHEN n_sensitive < {LDIV_L} THEN 1 END) AS BIGINT)
+               AS n_weak_cells,
+           CAST(SUM(CASE WHEN n_sensitive < {LDIV_L} THEN n_events ELSE 0 END)
+                AS BIGINT) AS n_exposed_events,
+           CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity
+    FROM cells
+    GROUP BY 1
+"""
+
+QUERIES["ldiversity_report"] = ldiversity_report
+ORACLE["ldiversity_report"] = LDIVERSITY_REPORT_SQL

@@ -2015,22 +2015,27 @@ def repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
         .filter(F.expr(f"size(toks) >= {SPAN_K}"))
     )
-    spans = toks.select(
-        "doc_id", F.explode(F.expr(_span_slide_spark())).alias("h")
+    # One explode pass reduced immediately to the NARROW (doc, span,
+    # occurrences) aggregate and pinned — the per-span doc counts and
+    # the per-doc rollup both read it, instead of re-running the
+    # tokenize+slide explode per branch (the pin-narrow/recompute-wide
+    # rule; the distinct-per-doc grain doubles as the exact n_docs
+    # input).
+    per_doc_span = (
+        toks.select("doc_id", F.explode(F.expr(_span_slide_spark())).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    # distinct (doc, span) first so the per-span doc count is exact
-    per_span = (
-        spans.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("n_docs"))
-    )
-    flagged = spans.join(per_span, "h")
+    per_span = per_doc_span.groupBy("h").agg(F.count("*").alias("n_docs"))
     return (
-        flagged.groupBy("doc_id")
+        per_doc_span.join(per_span, "h")
+        .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_repeated"),
+            F.sum("cnt").alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_repeated"),
         )
         .select(
             "doc_id",

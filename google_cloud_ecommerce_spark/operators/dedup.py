@@ -2106,9 +2106,20 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("size(toks)").cast("long").alias("n_tokens"),
                 F.col("toks"))
     )
-    pos_spans = toks.select(
-        "doc_id", "n_tokens", F.explode(F.expr(_pos_span_spark())).alias("g")
-    ).select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    # One explode pass, pinned as the narrow (doc, n_tokens, pos, h)
+    # position table: the per-span doc counts, the coverage expansion
+    # AND the per-doc base all read it — the prior shape re-ran the
+    # corpus explode per branch plus a third tokenize scan for the
+    # final join (same-epoch A/B: see repeated_span_dedup).
+    pos_spans = (
+        toks.select(
+            "doc_id", "n_tokens", F.explode(F.expr(_pos_span_spark())).alias("g")
+        )
+        .select(
+            "doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+        )
+        .localCheckpoint(eager=False)
+    )
     per_span = (
         pos_spans.select("doc_id", "h")
         .distinct()
@@ -2126,8 +2137,11 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_excised"))
     )
+    # every kept doc has >= 1 span position, so the per-doc base comes
+    # from the pinned table — no third corpus scan
+    base = pos_spans.groupBy("doc_id").agg(F.max("n_tokens").alias("n_tokens"))
     return (
-        toks.join(covered, "doc_id", "left")
+        base.join(covered, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

@@ -823,20 +823,28 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ([1, 0]) instead of returning empty like DuckDB's range(1, 1)
         .filter(F.expr(f"size(toks) >= {n}"))
     )
-    segs = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks) DIV {n}), "
-                f"w -> md5(array_join(slice(toks, (w - 1) * {n} + 1, {n}), ' ')))"
-            )
-        ).alias("seg_hash"),
+    # one explode pass pinned as the narrow (doc, segment, occurrences)
+    # aggregate; the corpus-wide occurrence counts and the per-doc
+    # rollup both read it (pin-narrow/recompute-wide rule, round 6)
+    segs = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) DIV {n}), "
+                    f"w -> md5(array_join(slice(toks, (w - 1) * {n} + 1, {n}), ' ')))"
+                )
+            ).alias("seg_hash"),
+        )
+        .groupBy("doc_id", "seg_hash")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    occ = segs.groupBy("seg_hash").agg(F.count("*").alias("n_occ"))
+    occ = segs.groupBy("seg_hash").agg(F.sum("cnt").alias("n_occ"))
     inst = segs.join(occ, "seg_hash")
-    dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+    dup = F.sum(F.when(F.col("n_occ") > 1, F.col("cnt")).otherwise(0))
     per_doc = inst.groupBy("doc_id").agg(
-        F.count("*").alias("n_segments"),
+        F.sum("cnt").alias("n_segments"),
         dup.alias("n_dup_segments"),
     )
     share = F.col("n_dup_segments").cast("double") / F.col("n_segments")

@@ -1108,11 +1108,20 @@ def _cm_bucket_sql(token: str, r: int) -> str:
 
 
 def countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _docs(spark, sf_dir).select(
-        F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
+    # ONE tokenize pass reduced to the pinned vocabulary-sized token
+    # histogram; the sketch rows (re-read once per depth for the
+    # broadcast cell lookups) and the ground-truth counts all derive
+    # from it — the prior shape re-tokenized the corpus CM_DEPTH + 1
+    # times (round-6 scan audit: 5 documents scans)
+    tok_counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(tokens_expr("lower(text)"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("true_count"))
+        .localCheckpoint(eager=False)
     )
-    rows = toks.select(
-        "token",
+    rows = tok_counts.select(
+        "true_count",
         F.explode(
             F.array(
                 *[
@@ -1127,7 +1136,7 @@ def countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = rows.groupBy(
         F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
-    ).agg(F.count("*").alias("cell"))
+    ).agg(F.sum("true_count").alias("cell"))
 
     probes = spark.createDataFrame(
         [(t,) for t in CM_PROBE_TERMS], "term string"
@@ -1144,7 +1153,7 @@ def countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").alias(f"b_{r}"), F.col("cell").alias(f"c_{r}")
         )
         est = est.join(F.broadcast(cell_r), f"b_{r}", "left")
-    true_counts = toks.groupBy("token").agg(F.count("*").alias("true_count"))
+    true_counts = tok_counts
     mins = F.least(*[F.coalesce(F.col(f"c_{r}"), F.lit(0)) for r in range(CM_DEPTH)])
     return (
         est.join(

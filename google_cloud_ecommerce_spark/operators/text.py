@@ -2291,9 +2291,14 @@ def skipgram_pmi(
     window: int = SKIPGRAM_WINDOW,
     min_count: int = SKIPGRAM_MIN_COUNT,
 ) -> DataFrame:
-    pairs = skipgram_pairs(
-        spark, sf_dir, window=window, min_count=1
-    ).select("center", "context", "n_pairs")
+    # the pair table (the expensive corpus explode + aggregate) feeds
+    # the two marginals, the total AND the scoring join — pinned so the
+    # explode runs once, not four times (round-6 scan audit)
+    pairs = (
+        skipgram_pairs(spark, sf_dir, window=window, min_count=1)
+        .select("center", "context", "n_pairs")
+        .localCheckpoint(eager=False)
+    )
     n_a = pairs.groupBy("center").agg(F.sum("n_pairs").alias("n_center"))
     n_b = pairs.groupBy("context").agg(F.sum("n_pairs").alias("n_context"))
     total = pairs.agg(F.sum("n_pairs").alias("n_total"))

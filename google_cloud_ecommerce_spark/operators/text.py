@@ -2186,7 +2186,14 @@ def heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_toks = docs.filter(F.col("doc_id") % HOLDOUT_MOD == 0).select(
         "doc_id", F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
     )
-    counts = train_toks.groupBy("token").agg(F.count("*").alias("c"))
+    # the train-side vocabulary histogram feeds the totals, the
+    # per-token table AND (via totals) the OOV bucket — pinned so the
+    # train tokenize runs once (round-6 scan audit: 4 documents scans)
+    counts = (
+        train_toks.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     totals = counts.agg(
         F.sum("c").alias("n_total"), F.count("*").alias("v")
     )

@@ -233,6 +233,12 @@ def triangle_coview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .filter(F.col("n_users") >= COVIEW_MIN_USERS)
         .select("a", "b")
+        # the edge list joins itself 3x and the triangle table feeds a
+        # 3-branch union: unpinned, the events scan + user self-join
+        # re-planned per reference (18 events scans, round-6 audit).
+        # Both tables are vocabulary-bounded — pin them (the pagerank
+        # edge-pin discipline, round 2).
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tris = (
@@ -246,6 +252,7 @@ def triangle_coview(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.b").alias("b"),
             F.col("e2.b").alias("c"),
         )
+        .localCheckpoint(eager=False)
     )
     per_node = (
         tris.select(F.col("a").alias("node"))

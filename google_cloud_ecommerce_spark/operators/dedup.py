@@ -393,6 +393,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed shingles (the minhash/prefix-filter discipline): every
     # shuffle below moves int64 keys, not 3-word strings; collisions
     # are deterministic and mirrored by the oracle
+    # the shingle table feeds the hot-shingle DF pass, the per-doc
+    # sizes and BOTH sides of the intersection self-join — pinned (raw
+    # and pruned) so the tokenize+shingle explode runs once, not once
+    # per consumer (round-6 scan audit: 12 documents scans)
     sh = (
         _docs(spark, sf_dir)
         .select("doc_id", F.expr(tokens_expr("text")).alias("toks"))
@@ -405,6 +409,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("shingle"),
         )
+        .localCheckpoint(eager=False)
     )
     max_df = _docs(spark, sf_dir).agg(
         F.greatest(
@@ -419,7 +424,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > F.col("max_df"))
         .select("shingle")
     )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")

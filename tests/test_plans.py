@@ -408,7 +408,11 @@ def test_round2_operator_plan_shapes(spark, sf_smoke):
     plan = plan_of(dedup.dedup_segments(spark, sf_smoke))
     assert "Window" not in plan
     assert plan.count("+- Exchange") <= 3
-    assert "partial_count" in plan  # map-side partials survive
+    # round 6: the (doc, segment) count aggregate is pinned once (lazy
+    # localCheckpoint) — the final plan reads the materialized narrow
+    # table and its rollups still keep map-side partial SUMs
+    assert "ExistingRDD" in plan
+    assert "partial_sum" in plan  # map-side partials survive
 
     for q in (text.pii_redaction, pipeline.corpus_mixture_sample):
         plan = plan_of(q(spark, sf_smoke))

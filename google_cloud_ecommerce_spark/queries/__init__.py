@@ -64,78 +64,75 @@ def _modules():
 
 
 # The correctness driver oracle-checks the FIRST 50 registry entries only.
-# Round-6 rotation (VERDICT r5 "what's wrong" #4): CORRECTNESS_r04 never
-# landed, so the round-4 window was never driver-validated and the real
-# never-driver-checked tail is 101 names, not the 51 the round-5
-# hand-off assumed. All 50 slots go to the highest-value members of
-# that tail: the whole retrieval family (the one family with zero
-# driver anchor), the round-4 pipeline/dedup/similarity/text/multimodal
-# wave, the UDTF/pandas API-surface entries, and the 8 never-checked
-# streaming entries. Deferred to round 7 (51 names): the 26 relational
-# TPC-H-flavored lookalikes of driver-green siblings, the 13
-# judge-independently-verified entries (VERDICT r5 spot-check), and 12
-# shapes structurally identical to a driver-green sibling. Exactly 50
-# names, all with oracles.
+# Round-7 rotation (VERDICT r6 "next round" #1): CORRECTNESS_r06 landed
+# 50/50 green, so the driver-green union is r01+r02+r03+r05+r06 = 207
+# of 267 and the never-checked tail is exactly 60 names. All 50 slots
+# go to that tail, led by the names whose independent checks make a
+# driver mismatch maximally informative: the 13 judge-verified entries
+# (VERDICT r5/r6 spot-checks), the 9 round-6 additions (all
+# judge-verified in VERDICT r6), the 12 sibling-shape deferrals, and
+# the 16 most plan-distinctive relational lookalikes. Deferred to
+# round 8 (10 names, the most sibling-redundant TPC-H shapes of
+# driver-green siblings): promo_revenue_ratio, small_quantity_revenue,
+# large_volume_orders, returned_item_customers, top_supplier_revenue,
+# brand_size_supplier_counts, product_type_profit,
+# important_parts_value, excess_quantity_suppliers,
+# lonely_late_suppliers. Exactly 50 names, all with oracles.
 PRIORITY: tuple[str, ...] = (
-    # --- retrieval (operators/retrieval.py — zero driver anchors yet) ---
-    "hybrid_search_rrf",
-    "rag_context_pack",
-    "mmr_diversified_topk",
-    "maxsim_retrieval",
-    "hard_negative_mining",
-    "retrieval_ndcg_report",
-    "expanded_keyword_search",
-    # --- dedup (operators/dedup.py) ---
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_segments",
-    # --- similarity / ANN (operators/similarity.py) ---
-    "label_centroids",
-    "similarity_filtered_topk",
-    "similarity_ivf_index_topk",
-    "similarity_sq_topk",
-    "ivf_balance_report",
-    "pq_distortion_report",
-    "embedding_dim_stats",
-    # --- text analysis (operators/text.py) ---
-    "doc_fingerprint",
-    "corpus_stats",
-    "text_repetition",
-    "bpe_tokenize",
-    "lm_score",
-    "lm_bigram_score",
-    "countmin_estimates",
-    "text_index_search",
-    "vocab_prune_coverage",
-    # --- multimodal (operators/multimodal.py) ---
-    "media_bmp_thumbnail",
-    "media_autocorrelation",
-    # --- UDF/UDTF API surface + mixing ---
-    "doc_tokens_udtf",
-    "text_normalize_pandas",
-    "ngram_udtf_polymorphic",
-    "sql_table_function_profile",
-    "temperature_mixture_weights",
-    # --- curation pipelines (operators/pipeline.py) ---
-    "pretraining_corpus_prep",
-    "corpus_mixture_sample",
-    "balanced_group_sample",
-    "corpus_to_training_batches",
-    "target_encoding",
-    "negative_samples",
-    "corpus_quality_dashboard",
-    # --- batching / formats ---
-    "length_bucket_batches",
-    "orc_roundtrip",
-    # --- streaming (batch-equivalent oracles) ---
-    "streaming_dedup_counts",
-    "streaming_session_state",
-    "streaming_view_purchase_join",
-    "streaming_update_mode_counts",
-    "streaming_corpus_prep",
-    "streaming_quantile_sketch",
-    "streaming_lakehouse_ingest",
-    "streaming_jdbc_sink",
+    # --- 13 judge-verified (VERDICT r5 spot-check; several re-verified r6) ---
+    "semdedup_clusters",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "corpus_curation_pipeline",
+    "gopher_gates",
+    "bucketed_join_revenue",
+    "day_pruned_scan",
+    "partition_delete_rewrite",
+    "jdbc_roundtrip",
+    "wire_stream_sink",
+    "streaming_heavy_hitters",
+    "media_features",
+    "zonemap_skip_report",
+    # --- 9 round-6 additions (judge-verified in VERDICT r6) ---
+    "winnowing_fingerprints",
+    "repeated_span_dedup",
+    "dedup_span_excision",
+    "char_entropy_gate",
+    "streaming_gap_replay",
+    "media_rms_windows",
+    "doc_bytes_profile",
+    "lateral_top_orders",
+    "ldiversity_report",
+    # --- 12 sibling-shape deferrals from the round-6 hand-off ---
+    "token_frequencies",
+    "bigram_frequencies",
+    "keyword_search",
+    "media_manifest",
+    "media_frame_sample",
+    "media_bmp_stream_sample",
+    "similarity_buckets",
+    "embedding_label_stats",
+    "embedding_top_component",
+    "embedding_quantize",
+    "incremental_dedup",
+    "dedup_keeper_selection",
+    # --- 16 plan-distinctive relational tail entries ---
+    "band_affinity",
+    "session_promo_overlap",
+    "event_rate_limit",
+    "value_quantile_sketch",
+    "order_value_distribution",
+    "events_profile",
+    "catalog_report",
+    "value_hour_correlation",
+    "priority_trailing_week_revenue",
+    "decile_lift_chart",
+    "late_shipment_priority",
+    "disjunctive_band_revenue",
+    "idle_rich_customers",
+    "volume_shipping",
+    "props_variant_stats",
+    "min_cost_part_suppliers",
 )
 
 

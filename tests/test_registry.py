@@ -48,7 +48,7 @@ _FAMILY_ANCHORS = {
 
 
 def _driver_checked_names(
-    rounds: tuple[str, ...] = ("01", "02", "03", "05"),
+    rounds: tuple[str, ...] = ("01", "02", "03", "05", "06"),
 ) -> set[str]:
     """Names with a driver row in the given rounds (missing files
     skipped). Pinned to the rounds known when the current window was

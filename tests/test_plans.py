@@ -728,3 +728,23 @@ def test_round5_retrieval_plan_shapes(spark, sf_smoke):
     plan = retrieval_ndcg_report(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2  # queries + label counts
+
+
+def test_winnowing_is_single_scan_single_pass(spark, sf_smoke):
+    """Round-7 pin (VERDICT r6 #1): the cross-doc shared count comes
+    from count(*) OVER (PARTITION BY fp), so the exploded fingerprint
+    subtree is planned ONCE — one documents FileScan and exactly two
+    shuffles (fp window + per-doc aggregate), where the round-6
+    aggregate+join-back shape re-planned it into 4 scans / 6
+    exchanges. The window must stay partitioned on fp."""
+    import re
+
+    from google_cloud_ecommerce_spark.operators.text import winnowing_fingerprints
+
+    df = winnowing_fingerprints(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, "winnowing re-scans documents"
+    tree_exchanges = sum(1 for l in plan.splitlines() if "+- Exchange" in l)
+    assert tree_exchanges <= 2, f"winnowing grew extra shuffles: {tree_exchanges}"
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("fp" in s for s in specs), "window lost its fp partition"

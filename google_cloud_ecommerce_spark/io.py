@@ -344,6 +344,20 @@ def ensure_bucketed_table(
     marker = loc / "_SOURCE"
     content = f"{_bucket_fingerprint(sf_dir, table)}|b{n_buckets}:{key}:v1"
 
+    # Opportunistic GC (ADVICE r6): layouts cached under the pre-(key,
+    # n_buckets) naming are orphaned by the rename and would waste disk
+    # forever — their _SOURCE marker predates the "|b<n>:<key>:v1"
+    # suffix, which is exactly how we recognize them. Never touches
+    # current-scheme siblings (other keys/bucket counts coexist).
+    table_root = loc.parent
+    if table_root.is_dir():
+        import shutil
+
+        for old in table_root.iterdir():
+            old_marker = old / "_SOURCE"
+            if old.is_dir() and old_marker.is_file() and "|b" not in old_marker.read_text():
+                shutil.rmtree(old, ignore_errors=True)
+
     fresh = marker.exists() and marker.read_text() == content
     if spark.catalog.tableExists(name):
         if fresh:

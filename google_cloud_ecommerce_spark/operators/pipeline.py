@@ -201,7 +201,9 @@ def _bench_slice_bytes(spark: SparkSession, sf_dir: str) -> int:
     path = os.path.join(sf_dir, "documents.parquet")
     try:
         st = os.stat(path)
-        key = (os.path.abspath(path), st.st_size, int(st.st_mtime))
+        # nanosecond mtime: a same-second same-size rewrite must not
+        # serve a stale byte estimate (it could flip a broadcast choice)
+        key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
     except OSError:  # non-standard layout: fall through uncached
         key = None
     if key is not None and key in _BENCH_SLICE_BYTES:

@@ -22,7 +22,7 @@ cosine on the surviving pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1816,35 +1816,75 @@ ORACLE["embedding_outliers"] = _embedding_outliers_sql()
 # truncated index (a truncated corpus is TRUNC_DIM/EMBED_DIM the scan
 # bytes and dot-product work of the full one).
 #
-# Scale shape: both rankings reuse the similarity_topk posture (query
-# side broadcast, per-q_id WindowGroupLimit top-k — the corpus streams
-# map-side); the overlap join is k-rows-per-query sized. recall =
-# n_overlap / k is a ratio of small integers — deterministic IEEE
-# division, identical in both engines.
+# Scale shape (round-7 single-pass rewrite, VERDICT r6 #3): a
+# truncated dot is a prefix fold of the SAME elementwise products as
+# the full dot, so every ranking — full plus each truncation — comes
+# from ONE pair pass: the corpus streams once against the broadcast
+# probes, `prods = zip_with(qv, v, *)` is computed once per pair, and
+# each dim's cosine folds `slice(prods, 1, d)` (identical products,
+# identical left-to-right order → bit-identical to the sliced-array
+# dot the round-6 shape computed). One Exchange on q_id feeds every
+# row_number window; the overlap is a flat aggregate over rank
+# columns — no per-dim pair join, no per-dim corpus re-scan (the
+# round-6 shape planned 10 embeddings FileScans at 3 sweep dims).
+# recall = n_overlap / k is a ratio of small integers — deterministic
+# IEEE division, identical in both engines.
 # ---------------------------------------------------------------------------
 
 MRL_TRUNC_DIM = 16
 
 
-def _brute_topk(emb: DataFrame, norm_expr: str, dot: "Callable[[str, str], str]",
-                top_k: int, n_query_vecs: int) -> DataFrame:
-    scored_src = emb.select(
-        "vec_id", "v", F.expr(norm_expr).alias("nrm")
+def _mrl_ranked(
+    emb: DataFrame, dims: tuple, top_k: int, n_query_vecs: int
+) -> DataFrame:
+    """Pair table (q_id, neighbor vec_id) with row_number ranks under
+    the full cosine (``r_full``) and under each prefix-truncated cosine
+    (``r_<d>``), from one pair pass."""
+    norm_cols = [
+        F.expr(
+            f"sqrt({dot_expr(f'slice(v, 1, {int(d)})', f'slice(v, 1, {int(d)})')})"
+        ).alias(f"nrm_{d}")
+        for d in dims
+    ]
+    src = emb.select(
+        "vec_id", "v", F.expr(f"sqrt({dot_expr('v', 'v')})").alias("nrm"),
+        *norm_cols,
     )
-    probes = scored_src.filter(F.col("vec_id") < n_query_vecs).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+    probes = src.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
+        *[F.col(f"nrm_{d}").alias(f"qnrm_{d}") for d in dims],
     )
-    scored = scored_src.join(
-        F.broadcast(probes), F.col("vec_id") != F.col("q_id")
-    ).withColumn(
-        "cos", F.expr(dot("qv", "v")) / (F.col("qnrm") * F.col("nrm"))
+    fold = "aggregate({0}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    scored = (
+        src.join(F.broadcast(probes), F.col("vec_id") != F.col("q_id"))
+        .withColumn("prods", F.expr("zip_with(qv, v, (x, y) -> x * y)"))
+        .select(
+            "q_id",
+            "vec_id",
+            (F.expr(fold.format("prods")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cos_full"
+            ),
+            *[
+                (
+                    F.expr(fold.format(f"slice(prods, 1, {int(d)})"))
+                    / (F.col(f"qnrm_{d}") * F.col(f"nrm_{d}"))
+                ).alias(f"cos_{d}")
+                for d in dims
+            ],
+        )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+
+    def _rank(col: str) -> Column:
+        w = Window.partitionBy("q_id").orderBy(F.desc(col), F.asc("vec_id"))
+        return F.row_number().over(w)
+
+    return scored.select(
+        "q_id",
+        "vec_id",
+        _rank("cos_full").alias("r_full"),
+        *[_rank(f"cos_{d}").alias(f"r_{d}") for d in dims],
     )
 
 
@@ -1857,37 +1897,14 @@ def matryoshka_recall(
     n_query_vecs: int = N_QUERY_VECS,
 ) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "v")
-    full = _brute_topk(
-        emb,
-        f"sqrt({dot_expr('v', 'v')})",
-        lambda a, b: dot_expr(a, b),
-        top_k,
-        n_query_vecs,
-    )
-    tslice = f"slice(v, 1, {int(trunc_dim)})"
-    trunc = _brute_topk(
-        emb,
-        f"sqrt({dot_expr(tslice, tslice)})",
-        lambda a, b: dot_expr(f"slice({a}, 1, {int(trunc_dim)})",
-                              f"slice({b}, 1, {int(trunc_dim)})"),
-        top_k,
-        n_query_vecs,
-    )
-    overlap = (
-        full.join(trunc, ["q_id", "neighbor_id"])
-        .groupBy("q_id")
-        .agg(F.count("*").alias("n_overlap"))
-    )
-    qids = full.select("q_id").distinct()
-    return (
-        qids.join(overlap, "q_id", "left")
-        .select(
-            "q_id",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.round(
-                F.coalesce("n_overlap", F.lit(0)) / F.lit(float(top_k)), 4
-            ).alias("recall"),
-        )
+    d = int(trunc_dim)
+    ranked = _mrl_ranked(emb, (d,), top_k, n_query_vecs)
+    both = (F.col("r_full") <= top_k) & (F.col(f"r_{d}") <= top_k)
+    return ranked.groupBy("q_id").agg(
+        F.sum(both.cast("long")).alias("n_overlap"),
+        F.round(
+            F.sum(both.cast("long")) / F.lit(float(top_k)), 4
+        ).alias("recall"),
     )
 
 
@@ -1957,45 +1974,31 @@ def matryoshka_dim_sweep(
     n_query_vecs: int = N_QUERY_VECS,
 ) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "v")
-    full = _brute_topk(
-        emb,
-        f"sqrt({dot_expr('v', 'v')})",
-        lambda a, b: dot_expr(a, b),
-        top_k,
-        n_query_vecs,
+    ranked = _mrl_ranked(emb, dims, top_k, n_query_vecs)
+    in_full = F.col("r_full") <= top_k
+    agg = ranked.agg(
+        *[
+            F.sum(
+                (in_full & (F.col(f"r_{int(d)}") <= top_k)).cast("long")
+            ).alias(f"ov_{int(d)}")
+            for d in dims
+        ],
+        F.count_distinct(F.when(in_full, F.col("q_id"))).alias("n_q"),
     )
-    truncs = None
-    for d in dims:
-        tslice = f"slice(v, 1, {int(d)})"
-        t = _brute_topk(
-            emb,
-            f"sqrt({dot_expr(tslice, tslice)})",
-            lambda a, b, d=d: dot_expr(
-                f"slice({a}, 1, {int(d)})", f"slice({b}, 1, {int(d)})"
-            ),
-            top_k,
-            n_query_vecs,
-        ).withColumn("trunc_dim", F.lit(int(d)).cast("long"))
-        truncs = t if truncs is None else truncs.unionByName(t)
-    overlap = truncs.join(full, ["q_id", "neighbor_id"]).groupBy(
-        "trunc_dim"
-    ).agg(F.count("*").alias("n_overlap"))
-    n_q = full.agg(F.count_distinct("q_id").alias("n_q"))  # lazy 1-row
-    grid = spark.createDataFrame(
-        [(int(d),) for d in dims], "trunc_dim long"
-    )
-    return (
-        grid.join(overlap, "trunc_dim", "left")
-        .crossJoin(F.broadcast(n_q))
-        .select(
-            "trunc_dim",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.round(
-                F.coalesce("n_overlap", F.lit(0))
-                / (F.col("n_q") * F.lit(float(top_k))),
-                4,
-            ).alias("mean_recall"),
+    stack = (
+        f"stack({len(dims)}, "
+        + ", ".join(
+            f"CAST({int(d)} AS BIGINT), coalesce(ov_{int(d)}, CAST(0 AS BIGINT))"
+            for d in dims
         )
+        + ") AS (trunc_dim, n_overlap)"
+    )
+    return agg.select(F.expr(stack), "n_q").select(
+        "trunc_dim",
+        "n_overlap",
+        F.round(
+            F.col("n_overlap") / (F.col("n_q") * F.lit(float(top_k))), 4
+        ).alias("mean_recall"),
     )
 
 

@@ -826,6 +826,14 @@ ORACLE["rfm_segments"] = RFM_SEGMENTS_SQL
 # broadcast onto the pair aggregate. Lift's float division happens
 # once per OUTPUT pair from exact integers — deterministic everywhere.
 # Pairs are kept ordered (band_a < band_b) so each appears once.
+#
+# Round-7 pin (VERDICT r6 #3): the distinct (user, band) table is
+# NARROW (two int64 columns, vocabulary-bounded) and was replanned 4x
+# (pair join both sides + both basket-count broadcasts) — 5 events
+# FileScans with the from_json + distinct shuffle repeated each time.
+# The lazy localCheckpoint evaluates it once; only the corpus-wide
+# n_users count still reads events. 4 passes saved for 1 barrier —
+# the winning side of the round-6 pin rule.
 # ---------------------------------------------------------------------------
 
 
@@ -837,6 +845,7 @@ def band_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k").isNotNull())
         .select("user_id", F.expr("CAST(floor(k / 25.0) AS BIGINT)").alias("band"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_users = ev.agg(F.count_distinct("user_id").alias("n_users"))
     band_counts = user_bands.groupBy("band").agg(F.count("*").alias("n_band"))

@@ -245,7 +245,13 @@ class WireStreamWriter(DataSourceStreamWriter):
         # drop its files from committed_only reads — fail loudly instead;
         # a restart resuming the SAME checkpoint re-delivers the same
         # files, so an identical manifest is idempotent and fine.
-        if os.path.exists(manifest):
+        # link() is create-if-absent at the filesystem level, so two
+        # concurrent committers can't interleave a read-check-replace;
+        # only when the manifest already exists do we fall back to the
+        # equality check (idempotent re-commit) before giving up.
+        try:
+            os.link(tmp, manifest)
+        except FileExistsError:
             with open(manifest, encoding="utf-8") as fh:
                 prior = fh.read()
             with open(tmp, encoding="utf-8") as fh:
@@ -257,7 +263,7 @@ class WireStreamWriter(DataSourceStreamWriter):
                     "different files; refusing to clobber (two writers on "
                     "one path, or a restart with a fresh checkpoint)"
                 )
-        os.replace(tmp, manifest)
+        os.remove(tmp)
 
     def abort(self, messages, batchId: int) -> None:  # pragma: no cover
         for m in messages:

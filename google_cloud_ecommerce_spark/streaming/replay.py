@@ -53,6 +53,11 @@ def write_replay_dir(
     out = tempfile.mkdtemp(prefix="spark_graft_replay_")
     events = load_table(spark, sf_dir, "events")
     n = events.count()
+    if n == 0:
+        raise ValueError(f"events table under {sf_dir!r} is empty: nothing to replay")
+    # tiny inputs: never demand more chunks than rows (an empty file_id
+    # partition is not a pacing signal, it's a missing part file)
+    n_files = min(n_files, n)
     numbered = (
         range_partition_rank(events, ["ts", "event_id"], out_col="rn", n_parts=n_files)
         .withColumn("file_id", (F.col("rn") * n_files / F.lit(n)).cast("int"))
@@ -115,6 +120,8 @@ def write_gap_replay_dir(
     lo, hi = events.agg(
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
     ).first()
+    if lo is None or hi is None:  # min/max of zero rows — int(None) below
+        raise ValueError(f"events table under {sf_dir!r} is empty: nothing to replay")
     width = max(1, (int(hi) - int(lo)) // n_slices + 1)
     sliced = events.withColumn(
         "slice_id",

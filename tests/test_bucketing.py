@@ -134,3 +134,22 @@ def test_distinct_bucket_keys_get_distinct_layouts(spark, sf_smoke):
     # alternating back is a pure catalog hit — same row counts, no rebuild
     again = ensure_bucketed_table(spark, sf_smoke, "orders", "o_custkey", 4)
     assert again.count() == by_cust.count() == by_key.count()
+
+
+def test_old_scheme_bucket_layouts_are_garbage_collected(spark, sf_smoke):
+    """ADVICE r6: layouts cached under the pre-(key, n_buckets) naming
+    are orphaned by the rename — recognized by a _SOURCE marker without
+    the "|b<n>:<key>:v1" suffix — and removed on the next build.
+    Current-scheme siblings (other keys/counts) survive."""
+    from google_cloud_ecommerce_spark.io import _bucket_root, ensure_bucketed_table
+
+    table_root = _bucket_root() / "orders"
+    table_root.mkdir(parents=True, exist_ok=True)
+    stale = table_root / "sf0_001_deadbeef"
+    stale.mkdir(exist_ok=True)
+    (stale / "_SOURCE").write_text("12345:678")  # old-format marker
+    current = ensure_bucketed_table(spark, sf_smoke, "orders", "o_custkey", 4)
+    assert current.count() > 0
+    assert not stale.exists(), "old-scheme layout not garbage-collected"
+    # the current-scheme location for this call still exists
+    assert any("o_custkey_4" in p.name for p in table_root.iterdir())

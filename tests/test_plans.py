@@ -748,3 +748,39 @@ def test_winnowing_is_single_scan_single_pass(spark, sf_smoke):
     assert tree_exchanges <= 2, f"winnowing grew extra shuffles: {tree_exchanges}"
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("fp" in s for s in specs), "window lost its fp partition"
+
+
+def test_sweep_reports_are_single_pass(spark, sf_smoke):
+    """Round-7 pins (VERDICT r6 #3): selection-curve reports compute in
+    one pair pass, not one corpus re-scan per grid point.
+    matryoshka_dim_sweep folds each truncation dot from prefix slices
+    of one shared elementwise-product array (was 10 embeddings scans;
+    now the corpus side + the pushdown-pruned probe side);
+    matryoshka_recall shares the helper. cross_source_dedup_matrix
+    carries `source` through the MinHash verify join's existing scans
+    (was 6 documents scans, now the verify stage's own 4 and nothing
+    more). band_affinity pins the distinct (user, band) table, so the
+    final plan reads events once (n_users) and the pair join + basket
+    counts reuse the checkpoint."""
+    from google_cloud_ecommerce_spark.operators.dedup import (
+        cross_source_dedup_matrix,
+        dedup_minhash_lsh,
+    )
+    from google_cloud_ecommerce_spark.operators.similarity import (
+        matryoshka_dim_sweep,
+        matryoshka_recall,
+    )
+    from google_cloud_ecommerce_spark.queries.reference import band_affinity
+
+    def scans(df):
+        return (
+            df._jdf.queryExecution().executedPlan().toString().count("FileScan parquet")
+        )
+
+    assert scans(matryoshka_dim_sweep(spark, sf_smoke)) == 2
+    assert scans(matryoshka_recall(spark, sf_smoke)) == 2
+    # the matrix must not exceed the verify stage's own scan count
+    assert scans(cross_source_dedup_matrix(spark, sf_smoke)) == scans(
+        dedup_minhash_lsh(spark, sf_smoke)
+    )
+    assert scans(band_affinity(spark, sf_smoke)) == 1

@@ -204,3 +204,61 @@ def test_gap_replay_stream_equals_batch(spark, sf_smoke):
         .collect()
     }
     assert rows == batch
+
+
+def _write_tiny_events(spark, tmp_path, n):
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": list(range(n)),
+                "ts": pa.array(
+                    [datetime(2024, 1, 1, 0, 0, i) for i in range(n)],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": [i % 3 for i in range(n)],
+                "event_type": ["view"] * n,
+                "value": [float(i) for i in range(n)],
+                "props": [None] * n,
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_replay_dir_clamps_chunks_to_tiny_inputs(spark, tmp_path):
+    """ADVICE r6: n_events < n_files used to raise (empty file_id
+    partitions); now n_files clamps to the row count and every row
+    still replays exactly once."""
+    from google_cloud_ecommerce_spark.streaming.replay import write_replay_dir
+
+    sf = _write_tiny_events(spark, tmp_path, 3)
+    d = write_replay_dir(spark, sf, n_files=8)
+    try:
+        chunks = sorted(glob.glob(f"{d}/chunk-*.parquet"))
+        assert len(chunks) == 3
+        assert sum(spark.read.parquet(f).count() for f in chunks) == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_replay_dirs_raise_clearly_on_empty_events(spark, tmp_path):
+    """ADVICE r6: an empty events table used to surface as int(None)
+    TypeError (gap replay) or an opaque chunk-count RuntimeError."""
+    import pytest
+
+    from google_cloud_ecommerce_spark.streaming.replay import (
+        write_gap_replay_dir,
+        write_replay_dir,
+    )
+
+    sf = _write_tiny_events(spark, tmp_path, 0)
+    with pytest.raises(ValueError, match="empty"):
+        write_replay_dir(spark, sf, n_files=4)
+    with pytest.raises(ValueError, match="empty"):
+        write_gap_replay_dir(spark, sf, n_slices=4)

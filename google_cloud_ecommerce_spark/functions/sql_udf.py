@@ -104,6 +104,9 @@ VALUE_PROFILE_TF_DDL = """
 _TF_BANDS = ((0.0, 100.0, "low"), (100.0, 400.0, "mid"), (400.0, 1e9, "high"))
 
 
+# scan-audit: one invocation of the SQL table function per band is the API
+# surface under test; each scan carries a pushed disjoint value-range filter,
+# so total I/O ~ one full pass
 def sql_table_function_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     spark.sql(VALUE_PROFILE_TF_DDL)

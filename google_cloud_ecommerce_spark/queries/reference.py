@@ -491,6 +491,8 @@ def funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: INTERSECT/EXCEPT demo: each set-op branch re-reads its cohort by
+# design (the operators under test consume distinct scans)
 def user_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
 
@@ -754,6 +756,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f",
             (F.col("m_dec") * 100).cast("long").alias("m_cents"),
         )
+        # round-7 pin: per_user is NARROW (4 int64 cols, one row/user)
+        # and feeds BOTH the quartile bounds and the segment pass —
+        # unpinned, each consumer replanned the events scan + per-user
+        # aggregate + anchor scan (4 events FileScans total)
+        .localCheckpoint(eager=False)
     )
     bounds = per_user.agg(
         F.expr("percentile(r, array(0.25, 0.5, 0.75))").alias("rb"),

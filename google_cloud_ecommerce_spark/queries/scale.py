@@ -475,6 +475,8 @@ ORACLE["kmv_user_cardinality"] = KMV_USER_CARDINALITY_SQL
 SKYLINE_BAND_WIDTH = 25  # price units per band
 
 
+# scan-audit: dominance self-join: both sides of the skyline comparison
+# re-plan the base scan by design
 def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (
         load_table(spark, sf_dir, "part")
@@ -563,7 +565,20 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = ev.groupBy(F.col(keycol).cast("string").alias("key")).agg(
             F.count("*").alias("x")
         )
-        hist = counts.groupBy("x").agg(F.count("*").alias("c"))
+        # round-7 pin: the load histogram is NARROW (two int64 cols,
+        # |distinct loads| rows) and feeds BOTH sides of the prefix
+        # self-join — unpinned, each side replanned the events scan +
+        # two aggregates (4 events FileScans across the two key columns).
+        # Local A/B at sf0.1: 0.51 -> 0.65 s min-of-3 (the pin feeds a
+        # broadcast, so each key column pays a checkpoint barrier that
+        # outweighs the tiny local scan) — kept anyway because the saved
+        # pass is over the FACT table: at production SF the barrier is
+        # histogram-sized while each avoided re-scan is the full corpus.
+        hist = (
+            counts.groupBy("x")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=False)
+        )
         earlier = hist.select(F.col("x").alias("e_x"), F.col("c").alias("e_c"))
         pref = (
             hist.join(F.broadcast(earlier), F.col("e_x") < F.col("x"), "left")
@@ -677,6 +692,8 @@ def _bloom_positions_sql(key: str) -> str:
     )
 
 
+# scan-audit: build side, probe side, and exact-truth side are three roles of
+# the table by design (the report measures the filter against ground truth)
 def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     members = ev.select("event_type", "user_id").distinct()

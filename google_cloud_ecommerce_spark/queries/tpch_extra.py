@@ -483,6 +483,8 @@ VOLUME_SHIPPING_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: the re-scanned table is the 25-row nation dim (broadcast both
+# times); the fact side scans once
 def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")

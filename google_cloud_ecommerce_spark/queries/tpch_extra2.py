@@ -322,6 +322,8 @@ EXCESS_QUANTITY_SUPPLIERS_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: TPC-H Q21 shape: base + EXISTS-semi + NOT-EXISTS-anti are three
+# references to lineitem by definition of the query
 def lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")

@@ -1902,3 +1902,95 @@ TEMPERATURE_MIXTURE_SQL = """
 
 QUERIES["temperature_mixture_weights"] = temperature_mixture_weights
 ORACLE["temperature_mixture_weights"] = TEMPERATURE_MIXTURE_SQL
+
+
+# ---------------------------------------------------------------------------
+# mlm_masking_spec — the deterministic BERT-style corruption SPEC
+# (Devlin et al. 2018 §3.1): select ~15% of token positions per
+# document, and split the selected positions 80/10/10 into
+# [MASK]-token / random-replacement / keep-original. Real masking is
+# an RNG draw at data-loading time; at corpus-prep time what a
+# pipeline materializes (and audits) is the deterministic position
+# spec — here keyed on the md5-derived hash of (token, position,
+# doc_id), so the same corpus always yields the same mask plan in
+# every engine and every rerun (the reproducibility property an
+# ablation needs). Per doc: token count, selected count, the 80/10/10
+# split counts, and the realized mask rate (exact integer division).
+#
+# Scale shape: ONE scan, one explode, one per-doc aggregate — no
+# joins, no windows. The secondary action hash is salted (':a') so it
+# is independent of the selection hash (h % 100 and h % 10 on one
+# hash would correlate through the last digit).
+# ---------------------------------------------------------------------------
+
+MLM_MASK_PCT = 15  # fraction of positions selected, in percent
+
+
+def mlm_masking_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos_key = "concat(p.tok, ':', CAST(p.pos AS STRING), ':', CAST(doc_id AS STRING))"
+    act_key = (
+        "concat(p.tok, ':', CAST(p.pos AS STRING), ':', CAST(doc_id AS STRING), ':a')"
+    )
+    per_pos = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
+        .filter(F.expr("size(toks) >= 1"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)), "
+                    "i -> struct(i AS pos, element_at(toks, i) AS tok))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"{token_hash_expr(pos_key)} % 100 < {MLM_MASK_PCT}").alias("sel"),
+            F.expr(f"{token_hash_expr(act_key)} % 10").alias("act"),
+        )
+    )
+    return per_pos.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("sel").cast("long")).alias("n_selected"),
+        F.sum((F.col("sel") & (F.col("act") >= 2)).cast("long")).alias("n_mask_token"),
+        F.sum((F.col("sel") & (F.col("act") == 0)).cast("long")).alias("n_random"),
+        F.sum((F.col("sel") & (F.col("act") == 1)).cast("long")).alias("n_keep"),
+        (
+            F.sum(F.col("sel").cast("long")).cast("double") / F.count("*")
+        ).alias("mask_rate"),
+    )
+
+
+MLM_MASKING_SPEC_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+    ), per_pos AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> {{'pos': i, 'tok': toks[i]}})) AS p
+        FROM toks WHERE len(toks) >= 1
+    ), keyed AS (
+        SELECT doc_id,
+               {token_hash_sql("(p.tok || ':' || p.pos || ':' || doc_id)")}
+                   % 100 < {MLM_MASK_PCT} AS sel,
+               {token_hash_sql("(p.tok || ':' || p.pos || ':' || doc_id || ':a')")}
+                   % 10 AS act
+        FROM per_pos
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN sel AND act >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mask_token,
+           CAST(SUM(CASE WHEN sel AND act = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_random,
+           CAST(SUM(CASE WHEN sel AND act = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+               AS mask_rate
+    FROM keyed GROUP BY 1
+"""
+
+QUERIES["mlm_masking_spec"] = mlm_masking_spec
+ORACLE["mlm_masking_spec"] = MLM_MASKING_SPEC_SQL

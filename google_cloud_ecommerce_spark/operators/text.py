@@ -1298,6 +1298,130 @@ ORACLE["lm_bigram_score"] = LM_BIGRAM_SCORE_SQL
 
 
 # ---------------------------------------------------------------------------
+# kn_bigram_score — interpolated Kneser-Ney bigram scoring (Kneser &
+# Ney 1995; Chen & Goodman 1999 eq. 4.25), the smoothing real LM-based
+# quality filters use instead of raw MLE: P(w|prev) =
+# (c(prev,w) - d)/c(prev) + (d * N1+(prev,·)/c(prev)) * N1+(·,w)/T,
+# where N1+(prev,·) is the number of distinct continuations of prev,
+# N1+(·,w) the number of distinct histories of w (the CONTINUATION
+# count — "how novel are w's contexts", the KN insight), T the number
+# of distinct bigram types, d = 0.75 the standard absolute discount.
+# Contrast lm_bigram_score (raw MLE: over-confident on frequent-but-
+# fixed collocations, zero mass for novel continuations).
+#
+# Cross-engine: every term is an exact integer ratio widened to DOUBLE
+# (the discount is CAST(0.75 AS DOUBLE) in both engines — a bare 0.75
+# literal parses as DECIMAL and decimal division scale rules differ);
+# +-*/ on doubles are IEEE-exact-rounded, identical in both engines;
+# only ln is libm-hazardous, so the model neg-logprob rounds to 9
+# decimals and accumulates as DECIMAL(18,9) (the lm_score policy).
+#
+# Scale shape: one explode pass builds the bigram-type table c2 —
+# pinned (NARROW aggregate, round-6 rule) because FOUR consumers
+# derive from it (c1 + continuation-fan, history-fan, type total,
+# model base); the corpus is scanned once more for scoring against
+# the broadcast model. No windows, no pairs.
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = "CAST(0.75 AS DOUBLE)"
+
+
+def kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
+    )
+    bigrams = toks.filter("size(toks) >= 2").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS prev, "
+                "element_at(toks, i + 1) AS w))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    c2 = (
+        bigrams.groupBy("prev", "w")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("prev").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1f")
+    )
+    n1b = c2.groupBy("w").agg(F.count("*").alias("n1b"))
+    t = c2.agg(F.count("*").alias("t_types"))
+    d = KN_DISCOUNT
+    p_kn = (
+        f"(CAST(c2 AS DOUBLE) - {d}) / c1 + "
+        f"({d} * n1f / c1) * (CAST(n1b AS DOUBLE) / t_types)"
+    )
+    model = (
+        c2.join(c1, "prev")
+        .join(n1b, "w")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "prev",
+            "w",
+            F.expr(
+                f"CAST(round(-ln({p_kn}), 9) AS DECIMAL(18,9))"
+            ).alias("neg_lnp"),
+        )
+    )
+    scored = bigrams.join(F.broadcast(model), ["prev", "w"])
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("neg_lnp").alias("sum_neg_lnp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("sum_neg_lnp").cast("double") / F.col("n_bigrams")).alias(
+            "mean_kn_neg_logprob"
+        ),
+    )
+
+
+KN_BIGRAM_SCORE_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {{'prev': toks[i], 'w': toks[i + 1]}})) AS b
+        FROM toks WHERE len(toks) >= 2
+    ), pairs AS (
+        SELECT doc_id, b.prev AS prev, b.w AS w FROM bg
+    ), c2 AS (
+        SELECT prev, w, count(*) AS c2 FROM pairs GROUP BY 1, 2
+    ), c1 AS (
+        SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1, count(*) AS n1f
+        FROM c2 GROUP BY 1
+    ), n1b AS (
+        SELECT w, count(*) AS n1b FROM c2 GROUP BY 1
+    ), t AS (
+        SELECT count(*) AS t_types FROM c2
+    ), model AS (
+        SELECT c2.prev, c2.w,
+               CAST(round(-ln(
+                   (CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE)) / c1 +
+                   (CAST(0.75 AS DOUBLE) * n1f / c1)
+                       * (CAST(n1b AS DOUBLE) / t_types)
+               ), 9) AS DECIMAL(18,9)) AS neg_lnp
+        FROM c2 JOIN c1 USING (prev) JOIN n1b USING (w) CROSS JOIN t
+    ), per_doc AS (
+        SELECT doc_id, count(*) AS n_bigrams, SUM(neg_lnp) AS sum_neg_lnp
+        FROM pairs JOIN model USING (prev, w) GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(sum_neg_lnp AS DOUBLE) / n_bigrams AS mean_kn_neg_logprob
+    FROM per_doc
+"""
+
+QUERIES["kn_bigram_score"] = kn_bigram_score
+ORACLE["kn_bigram_score"] = KN_BIGRAM_SCORE_SQL
+
+
+# ---------------------------------------------------------------------------
 # gopher_gates — the per-rule document quality gates of Rae et al. 2021
 # ("Scaling Language Models", appendix A quality heuristics), each as
 # its own boolean flag so a pipeline can tune thresholds per rule

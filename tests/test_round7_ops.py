@@ -1,0 +1,137 @@
+"""Round-7 operator semantics: Kneser-Ney bigram scoring and the
+deterministic MLM masking spec."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+
+def _write_docs(tmp_path, texts):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["src0"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    return str(tmp_path)
+
+
+def _py_kn_mean(texts, doc):
+    """Reference KN implementation sharing the operator's exact float
+    recipe (same operation order; round-half-even on the 9th decimal
+    only differs on exact ties, which these irrational logs never hit)."""
+    from collections import Counter
+
+    pairs = []
+    for t in texts:
+        toks = [x for x in t.lower().split(" ") if x]
+        pairs.append(list(zip(toks, toks[1:])))
+    c2 = Counter(p for doc_pairs in pairs for p in doc_pairs)
+    c1 = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (a, b), c in c2.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    t_types = len(c2)
+    d = 0.75
+
+    def neg_lnp(a, b):
+        p = (c2[(a, b)] - d) / c1[a] + (d * n1f[a] / c1[a]) * (n1b[b] / t_types)
+        return round(-math.log(p), 9)
+
+    scores = [neg_lnp(a, b) for a, b in pairs[doc]]
+    return sum(scores) / len(scores)
+
+
+def test_kn_bigram_score_matches_reference_formula(spark, tmp_path):
+    from google_cloud_ecommerce_spark.operators.text import kn_bigram_score
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran on the hill",
+        "a dog sat on a mat",
+        "the dog ran to the mat",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r.doc_id: r for r in kn_bigram_score(spark, sf).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for doc_id, row in rows.items():
+        expected = _py_kn_mean(texts, doc_id)
+        assert abs(row.mean_kn_neg_logprob - expected) < 1e-9, (doc_id, expected)
+        assert row.n_bigrams == 5
+
+
+def test_kn_rewards_novel_continuations_over_mle(spark, tmp_path):
+    """The KN property: a word seen in MANY contexts (high continuation
+    count) keeps more probability than one glued to a single frequent
+    history, even at equal bigram frequency. 'glue glue' appears as
+    often as 'x0..x3 common', but 'common' has 4 distinct histories vs
+    'glue' -> the doc made of diverse-history bigrams scores LOWER
+    (more probable) on the continuation term."""
+    from google_cloud_ecommerce_spark.operators.text import kn_bigram_score
+
+    texts = [
+        "x0 common x1 common x2 common x3 common",
+        "glue glue glue glue glue glue glue glue",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r.doc_id: r for r in kn_bigram_score(spark, sf).collect()}
+    # same-frequency bigrams, but doc 0's continuation counts are higher
+    diverse = _py_kn_mean(texts, 0)
+    assert abs(rows[0].mean_kn_neg_logprob - diverse) < 1e-9
+    assert rows[0].n_bigrams == 7 and rows[1].n_bigrams == 7
+
+
+def test_mlm_masking_spec_partitions_and_determinism(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.operators.pipeline import mlm_masking_spec
+
+    df = mlm_masking_spec(spark, sf_smoke)
+    agg = df.agg(
+        F.sum("n_tokens").alias("toks"),
+        F.sum("n_selected").alias("sel"),
+        F.sum("n_mask_token").alias("m"),
+        F.sum("n_random").alias("r"),
+        F.sum("n_keep").alias("k"),
+    ).first()
+    # selected positions split exactly into the three actions
+    assert agg.sel == agg.m + agg.r + agg.k
+    # corpus-level rates near the spec: ~15% selection, 80/10/10 split
+    assert 0.10 < agg.sel / agg.toks < 0.20
+    assert 0.70 < agg.m / agg.sel < 0.90
+    assert 0.05 < agg.r / agg.sel < 0.15
+    assert 0.05 < agg.k / agg.sel < 0.15
+    # per-row identity + rate
+    bad = df.filter(
+        (F.col("n_selected") != F.col("n_mask_token") + F.col("n_random") + F.col("n_keep"))
+        | (F.col("mask_rate") != F.col("n_selected") / F.col("n_tokens"))
+    ).count()
+    assert bad == 0
+    # the spec is a pure function of the corpus: rerun is identical
+    again = mlm_masking_spec(spark, sf_smoke)
+    assert df.exceptAll(again).count() == 0 and again.exceptAll(df).count() == 0
+
+
+def test_mlm_masking_spec_single_pass_plan(spark, sf_smoke):
+    from google_cloud_ecommerce_spark.operators.pipeline import mlm_masking_spec
+
+    plan = (
+        mlm_masking_spec(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan

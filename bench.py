@@ -162,6 +162,11 @@ HEADLINE = [
     "repeated_span_dedup",
     "char_entropy_gate",
     "winnowing_fingerprints",
+    # round-7 additions: Kneser-Ney scoring (pinned bigram-type table,
+    # broadcast model) and the deterministic MLM corruption spec (one
+    # scan, one explode, one aggregate).
+    "kn_bigram_score",
+    "mlm_masking_spec",
     # jdbc_roundtrip moved OUT of the headline (VERDICT r5 "what's
     # wrong" #5): its 2.3-2.4 s is constant embedded-Derby DDL+insert
     # setup, not query execution — a connector-parity entry, graded by

@@ -163,10 +163,12 @@ HEADLINE = [
     "char_entropy_gate",
     "winnowing_fingerprints",
     # round-7 additions: Kneser-Ney scoring (pinned bigram-type table,
-    # broadcast model) and the deterministic MLM corruption spec (one
-    # scan, one explode, one aggregate).
+    # broadcast model), the deterministic MLM corruption spec (one
+    # scan, one explode, one aggregate), and n-gram novelty scoring
+    # (single-pass partitioned-window first-occurrence).
     "kn_bigram_score",
     "mlm_masking_spec",
+    "ngram_novelty_score",
     # jdbc_roundtrip moved OUT of the headline (VERDICT r5 "what's
     # wrong" #5): its 2.3-2.4 s is constant embedded-Derby DDL+insert
     # setup, not query execution — a connector-parity entry, graded by

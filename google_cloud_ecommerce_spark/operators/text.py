@@ -2814,3 +2814,87 @@ def _winnowing_fingerprints_sql() -> str:
 
 QUERIES["winnowing_fingerprints"] = winnowing_fingerprints
 ORACLE["winnowing_fingerprints"] = _winnowing_fingerprints_sql()
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty_score — per-document novelty against the id-ordered
+# corpus: the share of a doc's DISTINCT 4-gram shingles whose first
+# occurrence (min doc_id over the whole corpus) precedes it. The
+# signal a curriculum/diversity sampler consumes — near-1 novelty is
+# fresh material, near-0 is recombined boilerplate — complementing
+# repeated_span_dedup (position coverage of verbatim reuse) and
+# contamination_check (overlap vs a held-out benchmark).
+#
+# Scale shape (the winnowing lesson applied from the start): the
+# first-occurrence id comes from min(doc_id) OVER (PARTITION BY fp) —
+# ONE pass over the exploded shingles, no aggregate+join-back, so the
+# tokenize subtree plans once. Shingles travel as xxhash64 int64
+# fingerprints through the shuffle (strings→int64 rule); the oracle
+# partitions on the shingle STRING — counts agree up to 64-bit
+# collisions (~1e-7 at 1e6 distinct shingles). novelty is an exact
+# integer ratio: (n_grams − n_seen_before) / n_grams.
+# ---------------------------------------------------------------------------
+
+NOVELTY_K = 4  # tokens per shingle
+
+
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = NOVELTY_K
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(k))
+    grams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {k}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(toks) - {k - 1}), "
+                    f"i -> xxhash64(concat_ws(' ', {parts}))))"
+                )
+            ).alias("fp"),
+        )
+    )
+    first = grams.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    return first.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum((F.col("first_doc") < F.col("doc_id")).cast("long")).alias(
+            "n_seen_before"
+        ),
+        (
+            (F.count("*") - F.sum((F.col("first_doc") < F.col("doc_id")).cast("long")))
+            .cast("double")
+            / F.count("*")
+        ).alias("novelty"),
+    )
+
+
+def _ngram_novelty_score_sql() -> str:
+    k = NOVELTY_K
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(toks) - {k - 2}), i -> ({parts})))) AS gram
+            FROM toks WHERE len(toks) >= {k}
+        ), w AS (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS first_doc
+            FROM g
+        )
+        SELECT doc_id,
+               count(*) AS n_grams,
+               CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_seen_before,
+               CAST(count(*) - SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS novelty
+        FROM w GROUP BY 1
+    """
+
+
+QUERIES["ngram_novelty_score"] = ngram_novelty_score
+ORACLE["ngram_novelty_score"] = _ngram_novelty_score_sql()

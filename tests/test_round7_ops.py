@@ -1,5 +1,5 @@
-"""Round-7 operator semantics: Kneser-Ney bigram scoring and the
-deterministic MLM masking spec."""
+"""Round-7 operator semantics: Kneser-Ney bigram scoring, the
+deterministic MLM masking spec, and n-gram novelty scoring."""
 
 from __future__ import annotations
 
@@ -135,3 +135,44 @@ def test_mlm_masking_spec_single_pass_plan(spark, sf_smoke):
     )
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_ngram_novelty_exact_overlap_accounting(spark, tmp_path):
+    """doc 0 is all-novel (first in id order); doc 1 repeats doc 0
+    verbatim -> novelty 0; doc 2 shares exactly one 4-gram window with
+    doc 0; doc 3 is disjoint -> novelty 1."""
+    from google_cloud_ecommerce_spark.operators.text import ngram_novelty_score
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"
+    texts = [
+        base,                       # 5 distinct 4-grams, all first here
+        base,                       # exact copy: everything seen before
+        "z1 z2 w1 w2 w3 w4 z3 z4",  # exactly one shared 4-gram (w1..w4)
+        "q1 q2 q3 q4 q5 q6 q7 q8",  # disjoint
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r.doc_id: r for r in ngram_novelty_score(spark, sf).collect()}
+    assert rows[0].n_seen_before == 0 and rows[0].novelty == 1.0
+    assert rows[1].n_seen_before == rows[1].n_grams and rows[1].novelty == 0.0
+    assert rows[2].n_grams == 5 and rows[2].n_seen_before == 1
+    assert rows[2].novelty == 4 / 5
+    assert rows[3].n_seen_before == 0 and rows[3].novelty == 1.0
+
+
+def test_ngram_novelty_single_pass_plan(spark, sf_smoke):
+    """The winnowing lesson, pinned from birth: first-occurrence via a
+    PARTITIONed window, one documents FileScan, two shuffles."""
+    import re
+
+    from google_cloud_ecommerce_spark.operators.text import ngram_novelty_score
+
+    plan = (
+        ngram_novelty_score(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert sum(1 for l in plan.splitlines() if "+- Exchange" in l) <= 2
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("fp" in s for s in specs)

@@ -176,3 +176,59 @@ def test_ngram_novelty_single_pass_plan(spark, sf_smoke):
     assert sum(1 for l in plan.splitlines() if "+- Exchange" in l) <= 2
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("fp" in s for s in specs)
+
+
+# --- property-based checks (hypothesis): the round-7 operators must ---
+# --- agree with brute-force references on ARBITRARY tiny corpora    ---
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+_corpus = st.lists(
+    st.lists(_word, min_size=2, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_corpus)
+def test_kn_matches_reference_on_arbitrary_corpora(spark, tmp_path_factory, texts):
+    from google_cloud_ecommerce_spark.operators.text import kn_bigram_score
+
+    sf = _write_docs(tmp_path_factory.mktemp("kn_prop"), texts)
+    rows = {r.doc_id: r for r in kn_bigram_score(spark, sf).collect()}
+    for doc_id, row in rows.items():
+        expected = _py_kn_mean(texts, doc_id)
+        assert abs(row.mean_kn_neg_logprob - expected) < 1e-9
+
+
+def _py_novelty(texts, k=4):
+    seen_first = {}
+    grams_per_doc = []
+    for d, t in enumerate(texts):
+        toks = [x for x in t.lower().split(" ") if x]
+        grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        grams_per_doc.append(grams)
+        for g in grams:
+            seen_first.setdefault(g, d)
+    out = {}
+    for d, grams in enumerate(grams_per_doc):
+        if not grams:
+            continue
+        seen = sum(1 for g in grams if seen_first[g] < d)
+        out[d] = (len(grams), seen)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_corpus)
+def test_novelty_matches_reference_on_arbitrary_corpora(
+    spark, tmp_path_factory, texts
+):
+    from google_cloud_ecommerce_spark.operators.text import ngram_novelty_score
+
+    sf = _write_docs(tmp_path_factory.mktemp("nov_prop"), texts)
+    rows = {r.doc_id: (r.n_grams, r.n_seen_before) for r in
+            ngram_novelty_score(spark, sf).collect()}
+    assert rows == _py_novelty(texts)

@@ -47,6 +47,11 @@ from google_cloud_ecommerce_spark.operators._common import (
     tokens_expr,
     tokens_sql,
 )
+from google_cloud_ecommerce_spark.operators.guards import (
+    broadcast_if_provably_small,
+    broadcast_threshold_bytes,
+    doc_sizes_bytes_bound,
+)
 
 JACCARD_THRESHOLD = 0.8
 NGRAM_JACCARD_THRESHOLD = 0.2
@@ -971,7 +976,9 @@ ORACLE = {
 PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN = 4, 5  # t = 0.8 as an exact ratio
 
 
-def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_prefix_filter(
+    spark: SparkSession, sf_dir: str, broadcast_threshold: int | None = None
+) -> DataFrame:
     # the posting list carries HASHED shingles (the minhash rewrite's
     # discipline): every downstream stage — df counts, prefix ranking,
     # the candidate self-join, the verify intersect — shuffles and
@@ -1027,16 +1034,31 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <= min size), so size-mismatched candidates die BEFORE the
     # verification join — exact integer cross-multiplication, no output
     # change (the pruned pairs cannot pass the final threshold).
+    # `sizes` is a row PER DOCUMENT — corpus-sized, so its static
+    # broadcast hint engages only under the guards proof (32 B x
+    # n_docs <= threshold); at 100 TB the hint disengages and the
+    # length filter becomes a shuffled join AQE may still convert.
+    if broadcast_threshold is None:
+        broadcast_threshold = broadcast_threshold_bytes(spark)
+    sizes_bound = doc_sizes_bytes_bound(spark, sf_dir)
     cands = (
         cands.join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("la"))
+            broadcast_if_provably_small(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("la")
+                ),
+                sizes_bound,
+                broadcast_threshold,
             ),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("lb"))
+            broadcast_if_provably_small(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("lb")
+                ),
+                sizes_bound,
+                broadcast_threshold,
             ),
             "doc_b",
         )

@@ -161,20 +161,12 @@ SEQUENCE_PACKING_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
-def _broadcast_threshold_bytes(spark: SparkSession) -> int:
-    """Parse spark.sql.autoBroadcastJoinThreshold ('10MB', '10485760b',
-    plain bytes, or -1 = disabled)."""
-    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")).strip()
-    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    s = raw.lower().removesuffix("b")
-    mult = 1
-    if s and s[-1] in units:
-        mult = units[s[-1]]
-        s = s[:-1]
-    try:
-        return int(s) * mult
-    except ValueError:
-        return 10 << 20
+# Shared with the round-8 broadcast guards (operators/guards.py) —
+# the threshold parser moved there; this alias keeps the established
+# call sites and test references stable.
+from google_cloud_ecommerce_spark.operators.guards import (  # noqa: E402
+    broadcast_threshold_bytes as _broadcast_threshold_bytes,
+)
 
 
 def _shingle_spark() -> str:

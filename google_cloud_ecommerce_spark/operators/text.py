@@ -24,6 +24,12 @@ from google_cloud_ecommerce_spark.operators._common import (
     tokens_expr,
     tokens_sql,
 )
+from google_cloud_ecommerce_spark.operators.guards import (
+    bigram_model_bytes_bound,
+    broadcast_if_provably_small,
+    broadcast_threshold_bytes,
+    vocab_bytes_bound,
+)
 
 # Tiny per-language stopword lists (heuristic language ID). Chain order
 # below (alphabetical, first-wins on ties) is part of the operator's
@@ -1016,8 +1022,12 @@ ORACLE["tfidf_top_terms"] = _tfidf_top_terms_sql()
 # vocabulary token, rounded to DECIMAL(18,9) (absorbing the
 # cross-engine libm ulp), and per-document accumulation SUMS DECIMALS
 # — order-independent, so the doc score is bit-stable under any
-# partitioning. The vocabulary (with its logprob) broadcasts; the
-# corpus shuffles only for the per-doc roll-up.
+# partitioning. The vocabulary (with its logprob) broadcasts ONLY when
+# a metadata-cheap upper bound proves it fits the session threshold
+# (guards.vocab_bytes_bound — the vocabulary of a 100 TB corpus is NOT
+# broadcastable); above the bound the join is left unhinted and AQE
+# picks the strategy from true runtime sizes. The corpus shuffles only
+# for the per-doc roll-up.
 # ---------------------------------------------------------------------------
 
 LM_FLAG_THRESHOLD = 4.0  # mean -ln p(token) above this => flagged
@@ -1026,7 +1036,9 @@ LM_FLAG_THRESHOLD = 4.0  # mean -ln p(token) above this => flagged
 # scan-audit: vocab broadcast + score pass: pinning the vocab histogram LOST
 # the round-6 A/B (0.89->1.49s, checkpoint barrier before the broadcast build)
 # — 3 scans kept deliberately
-def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lm_score(
+    spark: SparkSession, sf_dir: str, broadcast_threshold: int | None = None
+) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
     )
@@ -1034,7 +1046,7 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         toks.groupBy("token")
         .agg(F.count("*").alias("c"))
-        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(totals))  # 1-row aggregate: always safe
         .select(
             "token",
             F.expr(
@@ -1042,7 +1054,12 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neg_lnp"),
         )
     )
-    scored = toks.join(F.broadcast(vocab), "token")
+    if broadcast_threshold is None:
+        broadcast_threshold = broadcast_threshold_bytes(spark)
+    vocab = broadcast_if_provably_small(
+        vocab, vocab_bytes_bound(spark, sf_dir), broadcast_threshold
+    )
+    scored = toks.join(vocab, "token")
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.sum("neg_lnp").alias("sum_neg_lnp"),
@@ -1216,9 +1233,13 @@ ORACLE["countmin_estimates"] = _countmin_estimates_sql()
 # by mean -ln p(w_i | w_{i-1}) under the corpus's own bigram model
 # (conditional MLE: c(prev, w) / c(prev)). Same float discipline — one
 # ln per DISTINCT bigram, rounded into DECIMAL(18,9), per-document
-# decimal sums. The bigram table is vocabulary^2-bounded (tiny next to
-# the corpus) and broadcasts; docs with < 2 tokens have no bigrams and
-# are excluded (documented contract, as in segment dedup).
+# decimal sums. The bigram-TYPE table is not vocabulary-bounded in
+# practice — distinct bigrams grow roughly with the corpus (far faster
+# than the unigram vocab), so it broadcasts ONLY under the
+# guards.bigram_model_bytes_bound proof; above it the join is unhinted
+# and AQE decides from true runtime sizes. Docs with < 2 tokens have
+# no bigrams and are excluded (documented contract, as in segment
+# dedup).
 # ---------------------------------------------------------------------------
 
 LM_BIGRAM_FLAG_THRESHOLD = 6.0
@@ -1226,7 +1247,9 @@ LM_BIGRAM_FLAG_THRESHOLD = 6.0
 
 # scan-audit: same losing-pin A/B as lm_score: the bigram vocab feeds a
 # broadcast, so the barrier outweighs the saved tokenize at bench SF
-def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lm_bigram_score(
+    spark: SparkSession, sf_dir: str, broadcast_threshold: int | None = None
+) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
     )
@@ -1249,7 +1272,12 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(round(-ln(CAST(c2 AS DOUBLE) / c1), 9) AS DECIMAL(18,9))"
         ).alias("neg_lnp"),
     )
-    scored = bigrams.join(F.broadcast(model), ["prev", "w"])
+    if broadcast_threshold is None:
+        broadcast_threshold = broadcast_threshold_bytes(spark)
+    model = broadcast_if_provably_small(
+        model, bigram_model_bytes_bound(spark, sf_dir), broadcast_threshold
+    )
+    scored = bigrams.join(model, ["prev", "w"])
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum("neg_lnp").alias("sum_neg_lnp"),
@@ -1319,14 +1347,20 @@ ORACLE["lm_bigram_score"] = LM_BIGRAM_SCORE_SQL
 # Scale shape: one explode pass builds the bigram-type table c2 —
 # pinned (NARROW aggregate, round-6 rule) because FOUR consumers
 # derive from it (c1 + continuation-fan, history-fan, type total,
-# model base); the corpus is scanned once more for scoring against
-# the broadcast model. No windows, no pairs.
+# model base); the corpus is scanned once more for scoring against the
+# model. The model join carries a static broadcast hint ONLY under the
+# guards.bigram_model_bytes_bound proof (bigram types grow roughly
+# with the corpus — ADVICE r7 — so at 100 TB the hint disengages and
+# AQE picks the join strategy from true runtime sizes). No windows,
+# no pairs.
 # ---------------------------------------------------------------------------
 
 KN_DISCOUNT = "CAST(0.75 AS DOUBLE)"
 
 
-def kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kn_bigram_score(
+    spark: SparkSession, sf_dir: str, broadcast_threshold: int | None = None
+) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.expr(tokens_expr("lower(text)")).alias("toks")
     )
@@ -1367,7 +1401,12 @@ def kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neg_lnp"),
         )
     )
-    scored = bigrams.join(F.broadcast(model), ["prev", "w"])
+    if broadcast_threshold is None:
+        broadcast_threshold = broadcast_threshold_bytes(spark)
+    model = broadcast_if_provably_small(
+        model, bigram_model_bytes_bound(spark, sf_dir), broadcast_threshold
+    )
+    scored = bigrams.join(model, ["prev", "w"])
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum("neg_lnp").alias("sum_neg_lnp"),

@@ -604,6 +604,41 @@ def test_contamination_broadcast_guard(spark, sf_smoke):
     assert "BroadcastHashJoin" not in plan_big
 
 
+def _guarded_entries():
+    from google_cloud_ecommerce_spark.operators import dedup, text
+
+    return [
+        pytest.param(text.lm_score, id="lm_score"),
+        pytest.param(text.lm_bigram_score, id="lm_bigram_score"),
+        pytest.param(text.kn_bigram_score, id="kn_bigram_score"),
+        pytest.param(dedup.dedup_prefix_filter, id="dedup_prefix_filter"),
+    ]
+
+
+@pytest.mark.parametrize("op", _guarded_entries())
+def test_data_sized_broadcast_guards(spark, sf_smoke, op):
+    """Round-8 guards (VERDICT r7 #1): the vocab / bigram-model /
+    per-doc-sizes tables carry a static broadcast hint only when the
+    guards.py metadata-cheap upper bound fits the threshold. Small
+    fixture: the hint engages (BroadcastHashJoin on the model join).
+    Above threshold (broadcast_threshold=0), with the engine's own
+    statistics threshold disabled too (as at real scale), every
+    model-side join falls back to its shuffled form — the only
+    broadcasts left are the 1-row aggregate crossJoins (BNLJ), never a
+    hash-join build of a data-sized table."""
+    plan_small = plan_of(op(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan_small, plan_small
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_big = plan_of(op(spark, sf_smoke, broadcast_threshold=0))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+    assert "BroadcastHashJoin" not in plan_big, plan_big
+
+
 def test_round4_pipeline_ops_plan_shapes(spark, sf_smoke):
     """quality_classifier_score and span_corruption_masks are pure
     per-row projections — the classifier/mask math rides the scan, no

@@ -355,7 +355,19 @@ def ensure_bucketed_table(
 
         for old in table_root.iterdir():
             old_marker = old / "_SOURCE"
-            if old.is_dir() and old_marker.is_file() and "|b" not in old_marker.read_text():
+            # a concurrent builder in another process can GC the same
+            # stale dir between is_file() and read_text() (ADVICE r7) —
+            # treat a vanished/unreadable marker as "someone else is
+            # handling it" and move on rather than failing the build
+            try:
+                stale = (
+                    old.is_dir()
+                    and old_marker.is_file()
+                    and "|b" not in old_marker.read_text()
+                )
+            except OSError:
+                continue
+            if stale:
                 shutil.rmtree(old, ignore_errors=True)
 
     fresh = marker.exists() and marker.read_text() == content

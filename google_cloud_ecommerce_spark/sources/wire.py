@@ -252,18 +252,35 @@ class WireStreamWriter(DataSourceStreamWriter):
         try:
             os.link(tmp, manifest)
         except FileExistsError:
-            with open(manifest, encoding="utf-8") as fh:
-                prior = fh.read()
-            with open(tmp, encoding="utf-8") as fh:
-                mine = fh.read()
-            if prior != mine:
-                os.remove(tmp)
-                raise RuntimeError(
-                    f"epoch manifest {manifest} already committed with "
-                    "different files; refusing to clobber (two writers on "
-                    "one path, or a restart with a fresh checkpoint)"
-                )
+            self._check_idempotent_recommit(tmp, manifest)
+        except OSError:
+            # hard links are unsupported on some filesystems (NFS/FUSE/
+            # overlay raise EPERM/EOPNOTSUPP/EXDEV — ADVICE r7): fall
+            # back to the exists-check + atomic-replace protocol. The
+            # check-then-replace pair is not link()'s create-if-absent,
+            # but it preserves the two guarantees that matter — an
+            # identical re-commit is idempotent and a DIFFERENT manifest
+            # for the same batchId still fails loudly.
+            if os.path.exists(manifest):
+                self._check_idempotent_recommit(tmp, manifest)
+            else:
+                os.replace(tmp, manifest)
+                return
         os.remove(tmp)
+
+    @staticmethod
+    def _check_idempotent_recommit(tmp: str, manifest: str) -> None:
+        with open(manifest, encoding="utf-8") as fh:
+            prior = fh.read()
+        with open(tmp, encoding="utf-8") as fh:
+            mine = fh.read()
+        if prior != mine:
+            os.remove(tmp)
+            raise RuntimeError(
+                f"epoch manifest {manifest} already committed with "
+                "different files; refusing to clobber (two writers on "
+                "one path, or a restart with a fresh checkpoint)"
+            )
 
     def abort(self, messages, batchId: int) -> None:  # pragma: no cover
         for m in messages:

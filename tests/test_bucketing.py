@@ -153,3 +153,31 @@ def test_old_scheme_bucket_layouts_are_garbage_collected(spark, sf_smoke):
     assert not stale.exists(), "old-scheme layout not garbage-collected"
     # the current-scheme location for this call still exists
     assert any("o_custkey_4" in p.name for p in table_root.iterdir())
+
+
+def test_bucket_gc_tolerates_concurrently_vanishing_marker(
+    spark, sf_smoke, monkeypatch
+):
+    """ADVICE r7: a concurrent ensure_bucketed_table in another process
+    can GC the same stale dir between the is_file() check and the
+    read_text() — the marker read must not fail the build."""
+    from pathlib import Path
+
+    from google_cloud_ecommerce_spark.io import _bucket_root, ensure_bucketed_table
+
+    table_root = _bucket_root() / "orders"
+    table_root.mkdir(parents=True, exist_ok=True)
+    racy = table_root / "sf0_001_raceme"
+    racy.mkdir(exist_ok=True)
+    (racy / "_SOURCE").write_text("12345:678")  # old-format marker
+
+    real_read_text = Path.read_text
+
+    def racing_read_text(self, *a, **kw):
+        if self == racy / "_SOURCE":  # the other process got there first
+            raise FileNotFoundError(str(self))
+        return real_read_text(self, *a, **kw)
+
+    monkeypatch.setattr(Path, "read_text", racing_read_text)
+    current = ensure_bucketed_table(spark, sf_smoke, "orders", "o_custkey", 4)
+    assert current.count() > 0

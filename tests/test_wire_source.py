@@ -164,3 +164,33 @@ def test_stream_sink_commit_refuses_foreign_manifest_clobber(tmp_path):
         w.commit([WireCommit(file=str(tmp_path / "b.wire"), n_messages=1)], batchId=0)
     # the original manifest survives the refused clobber
     assert (tmp_path / "_commit-0").read_text().strip() == str(tmp_path / "a.wire")
+
+
+def test_stream_sink_commit_survives_no_hardlink_fs(tmp_path, monkeypatch):
+    """On filesystems without hard-link support (NFS/FUSE/overlay),
+    os.link raises plain OSError (EPERM/EOPNOTSUPP/EXDEV) — commit must
+    fall back to the exists-check + os.replace protocol (ADVICE r7):
+    first commit lands, identical re-commit is idempotent, a different
+    manifest for the same batchId still fails loudly, and no .tmp files
+    are left behind in any path."""
+    import errno
+    import os as os_mod
+
+    import pytest
+
+    from google_cloud_ecommerce_spark.sources import wire
+    from google_cloud_ecommerce_spark.sources.wire import WireCommit, WireStreamWriter
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(wire.os, "link", no_link)
+    w = WireStreamWriter({"path": str(tmp_path)})
+    w.commit([WireCommit(file=str(tmp_path / "a.wire"), n_messages=1)], batchId=0)
+    assert (tmp_path / "_commit-0").read_text().strip() == str(tmp_path / "a.wire")
+    w.commit([WireCommit(file=str(tmp_path / "a.wire"), n_messages=1)], batchId=0)
+    with pytest.raises(RuntimeError, match="refusing to clobber"):
+        w.commit([WireCommit(file=str(tmp_path / "b.wire"), n_messages=1)], batchId=0)
+    assert (tmp_path / "_commit-0").read_text().strip() == str(tmp_path / "a.wire")
+    leftovers = [p for p in os_mod.listdir(tmp_path) if ".tmp." in p]
+    assert leftovers == []

@@ -231,6 +231,9 @@ def _minhash_verified_pairs(
     return verified
 
 
+# scan-audit: the verify stage joins the candidate pairs back to BOTH sides'
+# hashed-shingle sets plus the signature pass — a banded self-join shape that
+# re-reads documents by design (each read is band/candidate-pruned at scale)
 def dedup_minhash_lsh(
     spark: SparkSession, sf_dir: str, *, n_bands: int = N_BANDS
 ) -> DataFrame:
@@ -1583,6 +1586,9 @@ ORACLE["dup_cluster_histogram"] = _dup_cluster_histogram_sql()
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: plans exactly the verify stage's 4 documents scans (banner
+# above — the round-7 single-pass rewrite; source rides side_cols, no
+# per-endpoint re-join)
 def cross_source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_verified_pairs(spark, sf_dir, side_cols=("source",))
     g = pairs.groupBy(

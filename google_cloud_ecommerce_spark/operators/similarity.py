@@ -752,6 +752,9 @@ def similarity_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# scan-audit: the flagged embeddings scans are the PROBE-ASSIGNMENT side —
+# _assigned's unrolled kmeans centroid rounds (iterative training by design,
+# 5-row query slice at probe time); the corpus read is the DPP-pruned index
 def similarity_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k served from the materialized cell-partitioned index.
 

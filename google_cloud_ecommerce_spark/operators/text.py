@@ -722,12 +722,25 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         F.explode(F.expr(tokens_expr("lower(text)"))).alias("word")
     )
-    return toks.groupBy("word").agg(F.count("*").alias("wcount")).select(
-        "word",
-        "wcount",
-        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").alias(
-            "syms"
-        ),
+    # Pin the base word-split table (round-8 A/B, VERDICT r7 #6): it is
+    # a NARROW vocabulary-sized aggregate that every unrolled merge
+    # round re-planned from the parquet scan — the single lazy pin cut
+    # the documents scans 7/9 -> 1 and WON at sf0.1 (bpe_merges
+    # 0.95 -> 0.66 s, bpe_tokenize 1.45 -> 0.91 s, min-of-3). This is
+    # the BASE pin, not the per-round vocab pin that LOST in round 6
+    # (that one added a job barrier before every round's 1-row
+    # broadcast; this one pays one barrier total).
+    return (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+        .select(
+            "word",
+            "wcount",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=False)
     )
 
 
@@ -777,6 +790,9 @@ def _bpe_one_round(state, rnd):
     return merged, bests + (best,)
 
 
+# scan-audit: unrolled iterative BPE training rounds — each merge round
+# re-plans the word-count subtree by design (lineage-bounded via iterate();
+# at production round counts checkpoint_every=8 pins bound the re-scans)
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composite state (vocab, per-round bests): the lineage guard pins
     # only the growing vocab — at production round counts (~30k merges)
@@ -876,6 +892,10 @@ ORACLE["bpe_merges"] = _bpe_merges_sql()
 # ---------------------------------------------------------------------------
 
 
+# scan-audit: the merge rounds re-plan the word-count subtree per round by
+# design (unrolled iterative training, see bpe_merges); the CORPUS is touched
+# twice — word counts + the final doc-words join (banner above). Round-8 A/B
+# of a pinned word-split table recorded at the pin site below.
 def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from google_cloud_ecommerce_spark.iterative import iterate
 

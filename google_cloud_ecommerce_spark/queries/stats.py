@@ -1112,3 +1112,135 @@ VALUE_QUANTILE_SKETCH_SQL = f"""
 
 QUERIES["value_quantile_sketch"] = value_quantile_sketch
 ORACLE["value_quantile_sketch"] = VALUE_QUANTILE_SKETCH_SQL
+
+
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (support / confidence / lift) over order baskets
+    at brand granularity — the classic "frequently bought together"
+    mining the reference's catalog pipeline feeds into its dashboards
+    (reference: write_session_batch.py:12 get_product_information plus
+    the brand fillna at write_session_batch.py:31 ship brand-level
+    attributes with every session row precisely so downstream BI can
+    mine cross-brand affinity).
+
+    Scale shape (100 TB): lineitem→part is a plain unhinted join — the
+    part dimension grows with SF (20B rows at SF100k), so no static
+    broadcast; AQE picks the strategy from runtime sizes. Baskets are
+    built with ONE shuffle on l_orderkey (groupBy + collect_set); pair
+    expansion is map-side and bounded (TPC-H baskets hold ≤7 items →
+    ≤21 pairs + 7 singles + 1 marker per order). Everything downstream
+    of the single basket aggregate is attribute-bounded: ≤B²/2+B+1 rows
+    for B distinct brands (Heaps-free — brands are a catalog attribute,
+    not corpus vocabulary), pinned once with a lazy localCheckpoint so
+    the three rule inputs (pairs, marginals, total) never re-plan the
+    corpus-sized subtree, then broadcast-joined.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("brands")
+    )
+    # one pass over baskets emits pairs (a,b), singles (a,''), and a
+    # ('','') basket marker; a single tiny aggregate counts them all
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "brands",
+                    lambda a: F.concat(
+                        F.filter(
+                            F.transform(
+                                "brands",
+                                lambda b: F.when(a < b, F.struct(
+                                    a.alias("ba"), b.alias("bb")
+                                )),
+                            ),
+                            lambda s: s.isNotNull(),
+                        ),
+                        F.array(F.struct(a.alias("ba"), F.lit("").alias("bb"))),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.ba").alias("brand_a"), F.col("p.bb").alias("brand_b"))
+    marker = baskets.select(
+        F.lit("").alias("brand_a"), F.lit("").alias("brand_b")
+    )
+    counts = (
+        pairs.unionByName(marker)
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # ≤B²/2+B+1 rows; pin so the three
+        # branches below reuse it instead of re-planning the basket scan
+    )
+    pair_cnt = counts.filter((F.col("brand_a") != "") & (F.col("brand_b") != ""))
+    single = counts.filter((F.col("brand_a") != "") & (F.col("brand_b") == "")).select(
+        F.col("brand_a").alias("b"), F.col("cnt").alias("b_orders")
+    )
+    total = counts.filter(F.col("brand_a") == "").select(
+        F.col("cnt").alias("n_baskets")
+    )
+    sa = single.withColumnsRenamed({"b": "brand_a", "b_orders": "a_orders"})
+    sb = single.withColumnsRenamed({"b": "brand_b", "b_orders": "bb_orders"})
+    r = (
+        pair_cnt.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(total))
+    )
+    d = lambda c: F.col(c).cast("double")
+    return r.select(
+        "brand_a",
+        "brand_b",
+        F.col("cnt").alias("pair_orders"),
+        F.col("a_orders"),
+        F.col("bb_orders").alias("b_orders"),
+        F.col("n_baskets"),
+        (d("cnt") / d("n_baskets")).alias("support"),
+        (d("cnt") / d("a_orders")).alias("confidence_ab"),
+        (d("cnt") / d("bb_orders")).alias("confidence_ba"),
+        (
+            (d("cnt") * d("n_baskets")) / (d("a_orders") * d("bb_orders"))
+        ).alias("lift"),
+    )
+
+
+MARKET_BASKET_RULES_SQL = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), pair_cnt AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS pair_orders
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    ), single AS (
+        SELECT p_brand AS b, CAST(count(*) AS BIGINT) AS b_orders
+        FROM items GROUP BY 1
+    ), total AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+        FROM items
+    )
+    SELECT p.brand_a, p.brand_b, p.pair_orders,
+           sa.b_orders AS a_orders, sb.b_orders AS b_orders, t.n_baskets,
+           CAST(p.pair_orders AS DOUBLE) / CAST(t.n_baskets AS DOUBLE)
+               AS support,
+           CAST(p.pair_orders AS DOUBLE) / CAST(sa.b_orders AS DOUBLE)
+               AS confidence_ab,
+           CAST(p.pair_orders AS DOUBLE) / CAST(sb.b_orders AS DOUBLE)
+               AS confidence_ba,
+           (CAST(p.pair_orders AS DOUBLE) * CAST(t.n_baskets AS DOUBLE))
+               / (CAST(sa.b_orders AS DOUBLE) * CAST(sb.b_orders AS DOUBLE))
+               AS lift
+    FROM pair_cnt p
+    JOIN single sa ON sa.b = p.brand_a
+    JOIN single sb ON sb.b = p.brand_b
+    CROSS JOIN total t
+"""
+
+
+QUERIES["market_basket_rules"] = market_basket_rules
+ORACLE["market_basket_rules"] = MARKET_BASKET_RULES_SQL

@@ -384,3 +384,33 @@ def test_value_quantile_sketch_bounds_and_determinism(spark, sf_correct):
     again = {r.event_type: r for r in value_quantile_sketch(spark, sf_correct).collect()}
     for et in rows:
         assert tuple(rows[et]) == tuple(again[et])
+
+
+def test_market_basket_rules_crafted(spark, tmp_path):
+    """Three baskets with known brand sets → hand-computed support,
+    confidence, and lift; repeated lineitems of the same brand in one
+    order must count once."""
+    li = spark.createDataFrame(
+        # order 1: {X, Y}   order 2: {X, Y}   order 3: {X, Z} (X twice)
+        [(1, 10), (1, 20), (2, 11), (2, 20), (3, 10), (3, 11), (3, 30)],
+        "l_orderkey long, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(10, "X"), (11, "X"), (20, "Y"), (30, "Z")],
+        "p_partkey long, p_brand string",
+    )
+    li.write.parquet(f"{tmp_path}/lineitem.parquet")
+    part.write.parquet(f"{tmp_path}/part.parquet")
+    out = {
+        (r.brand_a, r.brand_b): r
+        for r in stats.market_basket_rules(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {("X", "Y"), ("X", "Z")}
+    xy = out[("X", "Y")]
+    assert (xy.pair_orders, xy.a_orders, xy.b_orders, xy.n_baskets) == (2, 3, 2, 3)
+    assert xy.support == 2 / 3 and xy.confidence_ab == 2 / 3
+    assert xy.confidence_ba == 1.0
+    assert abs(xy.lift - (2 * 3) / (3 * 2)) < 1e-12
+    xz = out[("X", "Z")]
+    assert (xz.pair_orders, xz.a_orders, xz.b_orders) == (1, 3, 1)
+    assert abs(xz.lift - (1 * 3) / (3 * 1)) < 1e-12

@@ -64,75 +64,88 @@ def _modules():
 
 
 # The correctness driver oracle-checks the FIRST 50 registry entries only.
-# Round-7 rotation (VERDICT r6 "next round" #1): CORRECTNESS_r06 landed
-# 50/50 green, so the driver-green union is r01+r02+r03+r05+r06 = 207
-# of 267 and the never-checked tail is exactly 60 names. All 50 slots
-# go to that tail, led by the names whose independent checks make a
-# driver mismatch maximally informative: the 13 judge-verified entries
-# (VERDICT r5/r6 spot-checks), the 9 round-6 additions (all
-# judge-verified in VERDICT r6), the 12 sibling-shape deferrals, and
-# the 16 most plan-distinctive relational lookalikes. Deferred to
-# round 8 (10 names, the most sibling-redundant TPC-H shapes of
-# driver-green siblings): promo_revenue_ratio, small_quantity_revenue,
-# large_volume_orders, returned_item_customers, top_supplier_revenue,
-# brand_size_supplier_counts, product_type_profit,
-# important_parts_value, excess_quantity_suppliers,
-# lonely_late_suppliers. Exactly 50 names, all with oracles.
+# Round-8 rotation (VERDICT r7 "next round" #2): CORRECTNESS_r07 landed
+# 50/50 green, so the driver-green union is 257 of 270 and the
+# never-checked tail is exactly the 13 names the round-7 hand-off
+# predicted (10 deferred TPC-H lookalikes + the 3 round-7 additions —
+# all 13 judge-verified in VERDICT r7, so a driver mismatch is
+# maximally informative). The window takes all 13, the round-8
+# addition (market_basket_rules), and 36 re-check slots: once the
+# never-checked tail is smaller than the window, a slot is NOT wasted
+# on a re-check when the operator's code changed since its last driver
+# row — VERDICT r7 directed exactly this slate. Re-check groups:
+# 8 touched by the round-8 commits (broadcast guards for
+# lm_score/lm_bigram_score/dedup_prefix_filter + the shared threshold
+# parser move under contamination_check, the BPE base-vocab pin under
+# bpe_merges/bpe_tokenize, io.py bucket-GC hardening under
+# bucketed_join_revenue, the wire manifest-commit change under
+# wire_stream_sink), 8 perf-pinned in round 7 AFTER their last driver
+# row (winnowing_fingerprints/band_affinity excluded — their r07 rows
+# postdate the pins), and 20 oldest-evidence names whose only driver
+# row is r01 (7 of the 27 r01-last names are left out as exact-shape
+# siblings of newer greens: lineitem_quartiles ⊂
+# lineitem_quartiles_distributed r03, value_band_stats ⊂
+# order_value_distribution r07, segment_orders_right_outer ⊂
+# nation_party_balance_full_outer r02, parts_never_ordered ⊂
+# customers_without_orders (kept), csv_roundtrip ⊂ orc/jsonl_roundtrip
+# r05/r06, high_value_customers and event_enrichment trivial
+# filter/fill shapes). Exactly 50 names, all with oracles.
 PRIORITY: tuple[str, ...] = (
-    # --- 13 judge-verified (VERDICT r5 spot-check; several re-verified r6) ---
-    "semdedup_clusters",
-    "similarity_pq_topk",
-    "similarity_ivfpq_topk",
-    "corpus_curation_pipeline",
-    "gopher_gates",
+    # --- 13 never-driver-checked (all judge-verified in VERDICT r7) ---
+    "promo_revenue_ratio",
+    "small_quantity_revenue",
+    "large_volume_orders",
+    "returned_item_customers",
+    "top_supplier_revenue",
+    "brand_size_supplier_counts",
+    "product_type_profit",
+    "important_parts_value",
+    "excess_quantity_suppliers",
+    "lonely_late_suppliers",
+    "kn_bigram_score",
+    "mlm_masking_spec",
+    "ngram_novelty_score",
+    # --- 1 round-8 addition (never checked) ---
+    "market_basket_rules",
+    # --- 8 re-checks: code changed in round-8 commits ---
+    "lm_score",
+    "lm_bigram_score",
+    "dedup_prefix_filter",
+    "contamination_check",
+    "bpe_merges",
+    "bpe_tokenize",
     "bucketed_join_revenue",
-    "day_pruned_scan",
-    "partition_delete_rewrite",
-    "jdbc_roundtrip",
     "wire_stream_sink",
-    "streaming_heavy_hitters",
-    "media_features",
-    "zonemap_skip_report",
-    # --- 9 round-6 additions (judge-verified in VERDICT r6) ---
-    "winnowing_fingerprints",
-    "repeated_span_dedup",
-    "dedup_span_excision",
-    "char_entropy_gate",
-    "streaming_gap_replay",
-    "media_rms_windows",
-    "doc_bytes_profile",
-    "lateral_top_orders",
-    "ldiversity_report",
-    # --- 12 sibling-shape deferrals from the round-6 hand-off ---
-    "token_frequencies",
-    "bigram_frequencies",
-    "keyword_search",
-    "media_manifest",
-    "media_frame_sample",
-    "media_bmp_stream_sample",
-    "similarity_buckets",
-    "embedding_label_stats",
-    "embedding_top_component",
-    "embedding_quantize",
-    "incremental_dedup",
-    "dedup_keeper_selection",
-    # --- 16 plan-distinctive relational tail entries ---
-    "band_affinity",
-    "session_promo_overlap",
-    "event_rate_limit",
-    "value_quantile_sketch",
-    "order_value_distribution",
-    "events_profile",
-    "catalog_report",
-    "value_hour_correlation",
-    "priority_trailing_week_revenue",
-    "decile_lift_chart",
-    "late_shipment_priority",
-    "disjunctive_band_revenue",
-    "idle_rich_customers",
-    "volume_shipping",
-    "props_variant_stats",
-    "min_cost_part_suppliers",
+    # --- 8 re-checks: round-7 perf pins landed after their last driver row ---
+    "rfm_segments",
+    "key_skew_report",
+    "token_zipf_fit",
+    "vocab_prune_coverage",
+    "functional_dependencies",
+    "matryoshka_recall",
+    "matryoshka_dim_sweep",
+    "cross_source_dedup_matrix",
+    # --- 20 re-checks: oldest driver evidence (r01-only rows) ---
+    "customer_order_progression",
+    "customers_above_nation_avg",
+    "customers_without_orders",
+    "funnel_transitions",
+    "large_parts_ordered",
+    "lineitem_measures_unpivot",
+    "monthly_revenue_running",
+    "order_cube",
+    "order_priority_rollup",
+    "orders_per_customer_histogram",
+    "parties_union",
+    "return_excess_orders",
+    "revenue_grouping_sets",
+    "segment_daily_moving_avg",
+    "sql_revenue_report",
+    "top_customers_per_segment",
+    "user_cohort_setops",
+    "user_event_gaps",
+    "user_retention_cohorts",
+    "value_percentiles",
 )
 
 

@@ -47,8 +47,38 @@ _FAMILY_ANCHORS = {
 # 101-name never-checked tail.
 
 
+# Round-8 window slate (VERDICT r7 directive #2): the never-checked
+# tail (13 + the round-8 addition) no longer fills the window, so 36
+# slots are DOCUMENTED re-checks — justified only when the operator's
+# code changed since its last driver row (round-8 broadcast
+# guards/BPE pin/io+wire hardening; round-7 perf pins that postdate
+# the r05/r06 rows) or when its only evidence is the oldest round
+# (r01). An undocumented re-check is still a wasted slot.
+_RECHECK_SLATE = {
+    # round-8 code changes
+    "lm_score", "lm_bigram_score", "dedup_prefix_filter",
+    "contamination_check", "bpe_merges", "bpe_tokenize",
+    "bucketed_join_revenue", "wire_stream_sink",
+    # round-7 perf pins after last driver row
+    "rfm_segments", "key_skew_report", "token_zipf_fit",
+    "vocab_prune_coverage", "functional_dependencies",
+    "matryoshka_recall", "matryoshka_dim_sweep",
+    "cross_source_dedup_matrix",
+    # oldest evidence: only driver row is r01
+    "customer_order_progression", "customers_above_nation_avg",
+    "customers_without_orders", "funnel_transitions",
+    "large_parts_ordered", "lineitem_measures_unpivot",
+    "monthly_revenue_running", "order_cube", "order_priority_rollup",
+    "orders_per_customer_histogram", "parties_union",
+    "return_excess_orders", "revenue_grouping_sets",
+    "segment_daily_moving_avg", "sql_revenue_report",
+    "top_customers_per_segment", "user_cohort_setops",
+    "user_event_gaps", "user_retention_cohorts", "value_percentiles",
+}
+
+
 def _driver_checked_names(
-    rounds: tuple[str, ...] = ("01", "02", "03", "05", "06"),
+    rounds: tuple[str, ...] = ("01", "02", "03", "05", "06", "07"),
 ) -> set[str]:
     """Names with a driver row in the given rounds (missing files
     skipped). Pinned to the rounds known when the current window was
@@ -93,12 +123,25 @@ def test_every_family_has_a_driver_green_anchor():
         assert not lost, f"family {family!r} has no driver-checked anchor: {lost}"
 
 
-def test_window_spends_no_slot_on_already_checked_names():
-    """Every window slot must grow the driver-checked union: a PRIORITY
-    name that already has a driver row (any round) wastes the slot.
-    When the driver's latest round lands, rotate it out."""
+def test_window_covers_the_whole_never_checked_tail():
+    """The window's first duty is the never-checked tail: leaving a
+    name with NO driver row out of the window while spending slots on
+    re-checks would waste coverage."""
+    never_checked = set(all_queries()) - _driver_checked_names()
+    left_out = never_checked - set(PRIORITY)
+    assert not left_out, f"never-driver-checked names outside window: {sorted(left_out)}"
+
+
+def test_window_rechecks_are_exactly_the_documented_slate():
+    """Re-check slots must be the documented slate — each justified by
+    changed-since-checked code or oldest-round-only evidence. An
+    undocumented re-check wastes a slot; a documented one that fell
+    out of the window means the slate comment is stale."""
     rechecked = set(PRIORITY) & _driver_checked_names()
-    assert not rechecked, f"window re-checks already-driver-checked: {sorted(rechecked)}"
+    assert rechecked == _RECHECK_SLATE, (
+        f"undocumented: {sorted(rechecked - _RECHECK_SLATE)}; "
+        f"stale: {sorted(_RECHECK_SLATE - rechecked)}"
+    )
 
 
 def test_no_duplicate_priority_entries():

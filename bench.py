@@ -169,6 +169,11 @@ HEADLINE = [
     "kn_bigram_score",
     "mlm_masking_spec",
     "ngram_novelty_score",
+    # round-8 additions: brand-level association rules (one basket
+    # shuffle + attribute-bounded rule join off a pinned aggregate)
+    # and margin-ordered multi-probe LSH (Lv et al. 2007 probing).
+    "market_basket_rules",
+    "similarity_multiprobe_topk",
     # jdbc_roundtrip moved OUT of the headline (VERDICT r5 "what's
     # wrong" #5): its 2.3-2.4 s is constant embedded-Derby DDL+insert
     # setup, not query execution — a connector-parity entry, graded by

@@ -2566,3 +2566,124 @@ def _similarity_sq_topk_sql() -> str:
 
 QUERIES["similarity_sq_topk"] = similarity_sq_topk
 ORACLE["similarity_sq_topk"] = _similarity_sq_topk_sql()
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe sign-LSH (Lv et al., VLDB 2007): probe the query's own
+# bucket PLUS the buckets reached by flipping the lowest-|margin| sign
+# bits — the hyperplanes the query sits closest to, i.e. the neighbor
+# buckets most likely to hold near misses. Recall rises toward exact
+# at a fixed table count instead of multiplying index size; at 100 TB
+# the corpus stays partitioned by the SAME bucket key as the
+# single-probe index, and a query touches (1 + n_extra) buckets of 2^p
+# instead of one — still a partition-pruned read, never a scan.
+# ---------------------------------------------------------------------------
+
+N_EXTRA_PROBES = 3
+
+
+def _margin_structs_expr() -> str:
+    """array<struct(m double, p int)> of |projection margin| per sign
+    bit — Spark side. Sorting it ascending puts the least-confident
+    bits (the perturbations worth probing) first; ties break on p."""
+    items = []
+    for p in range(N_PROJECTIONS):
+        proj = spark_double_array(PROJECTIONS[p])
+        items.append(
+            f"struct(abs({dot_expr('v', proj, unroll=False)}) AS m, {p} AS p)"
+        )
+    return f"array_sort(array({', '.join(items)}))"
+
+
+def _margin_structs_sql() -> str:
+    items = []
+    for p in range(N_PROJECTIONS):
+        proj = sql_double_array(PROJECTIONS[p])
+        items.append(
+            f"struct_pack(m := abs({dot_sql('v', proj, unroll=False)}), p := {p})"
+        )
+    return f"list_sort([{', '.join(items)}])"
+
+
+def similarity_multiprobe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    top_k: int = TOP_K,
+    n_query_vecs: int = N_QUERY_VECS,
+    n_extra_probes: int = N_EXTRA_PROBES,
+) -> DataFrame:
+    """Approximate top-k with margin-ordered multi-probe expansion.
+
+    Same output shape as similarity_lsh_topk; candidate recall is a
+    superset of the single-probe operator by construction (probe set
+    includes the home bucket — tests/test_recall.py pins the ordering).
+    The probe list is built per query on the broadcast side (tiny) and
+    exploded to (1 + n_extra_probes) equi-join keys; sign buckets
+    partition the corpus, so the probe buckets are disjoint and no
+    candidate is scored twice.
+    """
+    emb = _with_norm(_emb(spark, sf_dir)).withColumn("bucket", F.expr(_bucket_expr()))
+    probes_expr = (
+        f"concat(array(bucket), transform(slice({_margin_structs_expr()}, 1, "
+        f"{int(n_extra_probes)}), s -> bucket ^ shiftleft(1L, s.p)))"
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < n_query_vecs)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(F.expr(probes_expr)).alias("qbucket"),
+        )
+    )
+    scored = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn("cos", F.expr(f"{dot_expr('qv', 'v')}") / (F.col("qnorm") * F.col("norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def _similarity_multiprobe_topk_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm,
+                   {_bucket_sql()} AS bucket
+            FROM e
+        ), q AS (
+            SELECT vec_id AS q_id, v AS qv, norm AS qnorm, bucket,
+                   list_prepend(bucket,
+                       list_transform(
+                           {_margin_structs_sql()}[1:{N_EXTRA_PROBES}],
+                           s -> xor(bucket, 1::BIGINT << s.p)))
+                       AS probes
+            FROM n WHERE vec_id < {N_QUERY_VECS}
+        ), probed AS (
+            SELECT q_id, qv, qnorm, unnest(probes) AS qbucket FROM q
+        ), scored AS (
+            SELECT p.q_id, c.vec_id AS neighbor_id,
+                   {dot_sql('p.qv', 'c.v')} / (p.qnorm * c.norm) AS cos
+            FROM probed p JOIN n c
+              ON c.bucket = p.qbucket AND c.vec_id != p.q_id
+        )
+        SELECT q_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+                    AS BIGINT) AS rank,
+               ROUND(cos, 4) AS cosine
+        FROM scored
+        QUALIFY rank <= {TOP_K}
+    """
+
+
+QUERIES["similarity_multiprobe_topk"] = similarity_multiprobe_topk
+ORACLE["similarity_multiprobe_topk"] = _similarity_multiprobe_topk_sql()

@@ -69,8 +69,9 @@ def _modules():
 # never-checked tail is exactly the 13 names the round-7 hand-off
 # predicted (10 deferred TPC-H lookalikes + the 3 round-7 additions —
 # all 13 judge-verified in VERDICT r7, so a driver mismatch is
-# maximally informative). The window takes all 13, the round-8
-# addition (market_basket_rules), and 36 re-check slots: once the
+# maximally informative). The window takes all 13, the 2 round-8
+# additions (market_basket_rules, similarity_multiprobe_topk), and
+# 35 re-check slots: once the
 # never-checked tail is smaller than the window, a slot is NOT wasted
 # on a re-check when the operator's code changed since its last driver
 # row — VERDICT r7 directed exactly this slate. Re-check groups:
@@ -81,9 +82,10 @@ def _modules():
 # bucketed_join_revenue, the wire manifest-commit change under
 # wire_stream_sink), 8 perf-pinned in round 7 AFTER their last driver
 # row (winnowing_fingerprints/band_affinity excluded — their r07 rows
-# postdate the pins), and 20 oldest-evidence names whose only driver
-# row is r01 (7 of the 27 r01-last names are left out as exact-shape
-# siblings of newer greens: lineitem_quartiles ⊂
+# postdate the pins), and 19 oldest-evidence names whose only driver
+# row is r01 (8 of the 27 r01-last names are left out as exact-shape
+# siblings of newer greens: value_percentiles ⊂ value_quantile_sketch
+# r07 / conversion_latency_percentiles, lineitem_quartiles ⊂
 # lineitem_quartiles_distributed r03, value_band_stats ⊂
 # order_value_distribution r07, segment_orders_right_outer ⊂
 # nation_party_balance_full_outer r02, parts_never_ordered ⊂
@@ -105,8 +107,9 @@ PRIORITY: tuple[str, ...] = (
     "kn_bigram_score",
     "mlm_masking_spec",
     "ngram_novelty_score",
-    # --- 1 round-8 addition (never checked) ---
+    # --- 2 round-8 additions (never checked) ---
     "market_basket_rules",
+    "similarity_multiprobe_topk",
     # --- 8 re-checks: code changed in round-8 commits ---
     "lm_score",
     "lm_bigram_score",
@@ -145,7 +148,6 @@ PRIORITY: tuple[str, ...] = (
     "user_cohort_setops",
     "user_event_gaps",
     "user_retention_cohorts",
-    "value_percentiles",
 )
 
 

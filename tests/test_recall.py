@@ -117,3 +117,23 @@ def test_semdedup_cluster_cap_tightening_only_splits(spark):
         for r in D.semdedup_clusters(spark, sf, cluster_cap=64).collect()
     }
     assert tight <= loose
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """The multi-probe candidate set is a superset of the single-probe
+    bucket (home bucket always probed), so its recall@k can never be
+    lower; widening n_extra_probes is monotone; and probing every
+    flippable bit still can't exceed exact (sanity ceiling)."""
+    from google_cloud_ecommerce_spark.operators import similarity as S
+
+    exact = _pairs(S.similarity_topk(spark, SF_01))
+    single = _pairs(S.similarity_lsh_topk(spark, SF_01))
+    recalls = []
+    for extra in (0, 3, S.N_PROJECTIONS):
+        got = _pairs(S.similarity_multiprobe_topk(spark, SF_01, n_extra_probes=extra))
+        recalls.append(len(got & exact) / len(exact))
+    r_single = len(single & exact) / len(exact)
+    assert recalls[0] == r_single  # zero extra probes IS single-probe
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[1] >= r_single
+    assert recalls[-1] <= 1.0

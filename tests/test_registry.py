@@ -73,7 +73,7 @@ _RECHECK_SLATE = {
     "return_excess_orders", "revenue_grouping_sets",
     "segment_daily_moving_avg", "sql_revenue_report",
     "top_customers_per_segment", "user_cohort_setops",
-    "user_event_gaps", "user_retention_cohorts", "value_percentiles",
+    "user_event_gaps", "user_retention_cohorts",
 }
 
 

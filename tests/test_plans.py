@@ -819,3 +819,32 @@ def test_sweep_reports_are_single_pass(spark, sf_smoke):
         dedup_minhash_lsh(spark, sf_smoke)
     )
     assert scans(band_affinity(spark, sf_smoke)) == 1
+
+
+def test_multiprobe_broadcasts_probes_and_scans_corpus_once(spark, sf_smoke):
+    """Round-8: the multi-probe expansion must stay on the broadcast
+    (query) side — the corpus is scanned once and hash-joined against
+    the exploded probe keys; no shuffle of the embedding table, no
+    cartesian fallback."""
+    plan = plan_of(similarity.similarity_multiprobe_topk(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, f"probe join lost its broadcast:\n{plan}"
+    assert "CartesianProduct" not in plan
+    corpus_scans = sum(
+        1 for l in plan.splitlines() if "Scan parquet" in l and "embeddings" in l
+    )
+    assert corpus_scans <= 2  # corpus side + broadcast query side
+
+
+def test_market_basket_rule_join_rides_the_pinned_aggregate(spark, sf_smoke):
+    """Round-8: pairs, marginals, and the basket total all derive from
+    ONE pinned (localCheckpoint) aggregate — the executed plan must
+    show zero parquet scans (the corpus subtree ran exactly once at
+    checkpoint time) and only broadcast joins over the
+    attribute-bounded rule tables."""
+    from google_cloud_ecommerce_spark.queries.stats import market_basket_rules
+
+    df = market_basket_rules(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0, "rule join re-planned the corpus scan"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -174,6 +174,10 @@ HEADLINE = [
     # and margin-ordered multi-probe LSH (Lv et al. 2007 probing).
     "market_basket_rules",
     "similarity_multiprobe_topk",
+    # round-8 continued: A-ES weighted corpus sampling (per-partition
+    # top-k, no shuffle) and the mergeSchema evolution read.
+    "weighted_sample_topk",
+    "schema_evolution_read",
     # jdbc_roundtrip moved OUT of the headline (VERDICT r5 "what's
     # wrong" #5): its 2.3-2.4 s is constant embedded-Derby DDL+insert
     # setup, not query execution — a connector-parity entry, graded by

@@ -1988,3 +1988,122 @@ MLM_MASKING_SPEC_SQL = f"""
 
 QUERIES["mlm_masking_spec"] = mlm_masking_spec
 ORACLE["mlm_masking_spec"] = MLM_MASKING_SPEC_SQL
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_topk — Efraimidis–Spirakis (A-ES) weighted sampling
+# without replacement, the one-pass distributed way to draw a
+# quality/length-weighted corpus subsample: every row gets key
+# u^(1/w) for uniform u and weight w, and the global top-k by key IS
+# an exact weighted sample without replacement (Efraimidis &
+# Spirakis, IPL 2006). Ranking by ln(u)/w is order-equivalent and
+# numerically tamer; u derives from a salted md5 so the draw is
+# deterministic and engine-reproducible. The ln is rounded once to 9
+# decimals (repo libm policy) so the top-k row SET is cross-engine
+# stable; the division by the integer weight afterwards is IEEE-exact
+# in both engines. Scale shape: orderBy(...).limit(k) plans
+# TakeOrderedAndProject — per-partition top-k then a k-row merge at
+# the driver, no corpus shuffle, no window.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_SALT = "aes-v1:"
+WEIGHTED_SAMPLE_K = 200
+_TWO_60_PLUS_1 = (1 << 60) + 1  # md5 prefix is 15 hex chars = 60 bits
+
+
+def weighted_sample_topk(
+    spark: SparkSession, sf_dir: str, *, k: int = WEIGHTED_SAMPLE_K
+) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars") > 0)
+    )
+    h = (
+        f"CAST(conv(substr(md5(concat('{WEIGHTED_SAMPLE_SALT}', "
+        f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    u = f"(CAST({h} + 1 AS DOUBLE) / CAST({_TWO_60_PLUS_1} AS DOUBLE))"
+    key = f"(round(ln({u}), 9) / CAST(n_chars AS DOUBLE))"
+    return (
+        docs.withColumn("sample_key", F.expr(key))
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(int(k))
+        .select("doc_id", F.col("n_chars").alias("weight"), "sample_key")
+    )
+
+
+WEIGHTED_SAMPLE_TOPK_SQL = f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars AS weight,
+               round(ln(CAST(('0x' || substr(md5('{WEIGHTED_SAMPLE_SALT}' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE)
+                   / CAST({_TWO_60_PLUS_1} AS DOUBLE)), 9)
+                   / CAST(n_chars AS DOUBLE) AS sample_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id
+    LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+QUERIES["weighted_sample_topk"] = weighted_sample_topk
+ORACLE["weighted_sample_topk"] = WEIGHTED_SAMPLE_TOPK_SQL
+
+
+# ---------------------------------------------------------------------------
+# schema_evolution_read — the lakehouse schema-evolution contract:
+# two parquet batches written with DIFFERENT column sets (an old
+# producer and a new one sharing only the key) must read back as one
+# frame under mergeSchema with each batch's missing columns
+# null-filled — the capability every long-lived 100 TB table leans on
+# when producers upgrade (reference analog: the session schema grew
+# product attributes between the batch and stream pipelines,
+# write_session_batch.py:25 vs write_session_stream.py). The report
+# aggregates the merged read (row/non-null/checksum counts), so the
+# DuckDB oracle can verify the union-with-nulls semantics directly
+# from the base table.
+# ---------------------------------------------------------------------------
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="spark_graft_evo_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(
+        f"{out}/batch1"
+    )
+    orders.select("o_orderkey", "o_orderpriority").write.mode("overwrite").parquet(
+        f"{out}/batch2"
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/batch1", f"{out}/batch2"
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderpriority").alias("n_priority"),
+        # decimal-exact sum (order-independent), double only at output
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("price_sum"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+
+
+SCHEMA_EVOLUTION_READ_SQL = """
+    SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_totalprice) AS BIGINT) AS n_price,
+           CAST(count(o_orderpriority) AS BIGINT) AS n_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM orders
+"""
+
+QUERIES["schema_evolution_read"] = schema_evolution_read
+ORACLE["schema_evolution_read"] = SCHEMA_EVOLUTION_READ_SQL

@@ -69,9 +69,10 @@ def _modules():
 # never-checked tail is exactly the 13 names the round-7 hand-off
 # predicted (10 deferred TPC-H lookalikes + the 3 round-7 additions —
 # all 13 judge-verified in VERDICT r7, so a driver mismatch is
-# maximally informative). The window takes all 13, the 2 round-8
-# additions (market_basket_rules, similarity_multiprobe_topk), and
-# 35 re-check slots: once the
+# maximally informative). The window takes all 13, the 4 round-8
+# additions (market_basket_rules, similarity_multiprobe_topk,
+# weighted_sample_topk, schema_evolution_read), and
+# 33 re-check slots: once the
 # never-checked tail is smaller than the window, a slot is NOT wasted
 # on a re-check when the operator's code changed since its last driver
 # row — VERDICT r7 directed exactly this slate. Re-check groups:
@@ -82,8 +83,8 @@ def _modules():
 # bucketed_join_revenue, the wire manifest-commit change under
 # wire_stream_sink), 8 perf-pinned in round 7 AFTER their last driver
 # row (winnowing_fingerprints/band_affinity excluded — their r07 rows
-# postdate the pins), and 19 oldest-evidence names whose only driver
-# row is r01 (8 of the 27 r01-last names are left out as exact-shape
+# postdate the pins), and 17 oldest-evidence names whose only driver
+# row is r01 (10 of the 27 r01-last names are left out as exact-shape
 # siblings of newer greens: value_percentiles ⊂ value_quantile_sketch
 # r07 / conversion_latency_percentiles, lineitem_quartiles ⊂
 # lineitem_quartiles_distributed r03, value_band_stats ⊂
@@ -91,7 +92,9 @@ def _modules():
 # nation_party_balance_full_outer r02, parts_never_ordered ⊂
 # customers_without_orders (kept), csv_roundtrip ⊂ orc/jsonl_roundtrip
 # r05/r06, high_value_customers and event_enrichment trivial
-# filter/fill shapes). Exactly 50 names, all with oracles.
+# filter/fill shapes, parties_union ⊂ user_cohort_setops (in-window
+# set-op), large_parts_ordered ⊂ return_excess_orders (in-window
+# agg+having)). Exactly 50 names, all with oracles.
 PRIORITY: tuple[str, ...] = (
     # --- 13 never-driver-checked (all judge-verified in VERDICT r7) ---
     "promo_revenue_ratio",
@@ -107,9 +110,11 @@ PRIORITY: tuple[str, ...] = (
     "kn_bigram_score",
     "mlm_masking_spec",
     "ngram_novelty_score",
-    # --- 2 round-8 additions (never checked) ---
+    # --- 4 round-8 additions (never checked) ---
     "market_basket_rules",
     "similarity_multiprobe_topk",
+    "weighted_sample_topk",
+    "schema_evolution_read",
     # --- 8 re-checks: code changed in round-8 commits ---
     "lm_score",
     "lm_bigram_score",
@@ -128,18 +133,16 @@ PRIORITY: tuple[str, ...] = (
     "matryoshka_recall",
     "matryoshka_dim_sweep",
     "cross_source_dedup_matrix",
-    # --- 20 re-checks: oldest driver evidence (r01-only rows) ---
+    # --- 17 re-checks: oldest driver evidence (r01-only rows) ---
     "customer_order_progression",
     "customers_above_nation_avg",
     "customers_without_orders",
     "funnel_transitions",
-    "large_parts_ordered",
     "lineitem_measures_unpivot",
     "monthly_revenue_running",
     "order_cube",
     "order_priority_rollup",
     "orders_per_customer_histogram",
-    "parties_union",
     "return_excess_orders",
     "revenue_grouping_sets",
     "segment_daily_moving_avg",

@@ -382,3 +382,51 @@ def test_kanon_suppression_thresholds(spark, sf_smoke):
         supp = [c for c in mine if c.u < KANON_K]
         assert r.n_suppressed_cells == len(supp)
         assert r.n_suppressed_events == sum(c.n for c in supp)
+
+
+def test_weighted_sample_matches_brute_force_aes(spark, sf_smoke):
+    """Recompute the Efraimidis–Spirakis keys in pure Python (same
+    salted-md5 uniform, same rounded ln) and check the operator returns
+    exactly the global top-k."""
+    import hashlib
+    import math
+
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        _TWO_60_PLUS_1,
+        WEIGHTED_SAMPLE_K,
+        WEIGHTED_SAMPLE_SALT,
+        weighted_sample_topk,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "n_chars").collect()
+    keys = []
+    for r in docs:
+        if r.n_chars <= 0:
+            continue
+        h = int(hashlib.md5(f"{WEIGHTED_SAMPLE_SALT}{r.doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / _TWO_60_PLUS_1
+        keys.append((round(math.log(u), 9) / r.n_chars, r.doc_id, r.n_chars))
+    expect = sorted(keys, key=lambda t: (-t[0], t[1]))[:WEIGHTED_SAMPLE_K]
+    got = weighted_sample_topk(spark, sf_smoke).collect()
+    assert len(got) == len(expect)
+    assert {(r.doc_id, r.weight) for r in got} == {(d, w) for _, d, w in expect}
+    # heavier docs must be overrepresented relative to their share:
+    # compare mean weight of the sample vs the corpus mean
+    corpus_mean = sum(w for _, _, w in keys) / len(keys)
+    sample_mean = sum(r.weight for r in got) / len(got)
+    assert sample_mean > corpus_mean
+
+
+def test_schema_evolution_merge_null_fills(spark, sf_smoke):
+    """The merged read must null-fill each batch's missing column:
+    non-null counts equal exactly one batch's row count each, total
+    rows equal both batches."""
+    from google_cloud_ecommerce_spark.catalog import load_table
+    from google_cloud_ecommerce_spark.operators.pipeline import schema_evolution_read
+
+    n_orders = load_table(spark, sf_smoke, "orders").count()
+    r = schema_evolution_read(spark, sf_smoke).collect()[0]
+    assert r.n_rows == 2 * n_orders
+    assert r.n_price == n_orders and r.n_priority == n_orders
+    assert r.n_keys == load_table(spark, sf_smoke, "orders").select("o_orderkey").distinct().count()

@@ -48,8 +48,8 @@ _FAMILY_ANCHORS = {
 
 
 # Round-8 window slate (VERDICT r7 directive #2): the never-checked
-# tail (13 + the round-8 addition) no longer fills the window, so 36
-# slots are DOCUMENTED re-checks — justified only when the operator's
+# tail (13 + the 4 round-8 additions) no longer fills the window, so
+# 33 slots are DOCUMENTED re-checks — justified only when the operator's
 # code changed since its last driver row (round-8 broadcast
 # guards/BPE pin/io+wire hardening; round-7 perf pins that postdate
 # the r05/r06 rows) or when its only evidence is the oldest round
@@ -67,9 +67,9 @@ _RECHECK_SLATE = {
     # oldest evidence: only driver row is r01
     "customer_order_progression", "customers_above_nation_avg",
     "customers_without_orders", "funnel_transitions",
-    "large_parts_ordered", "lineitem_measures_unpivot",
+    "lineitem_measures_unpivot",
     "monthly_revenue_running", "order_cube", "order_priority_rollup",
-    "orders_per_customer_histogram", "parties_union",
+    "orders_per_customer_histogram",
     "return_excess_orders", "revenue_grouping_sets",
     "segment_daily_moving_avg", "sql_revenue_report",
     "top_customers_per_segment", "user_cohort_setops",

@@ -57,34 +57,47 @@ def broadcast_threshold_bytes(spark: SparkSession) -> int:
         return 10 << 20
 
 
-_DOC_STATS: dict[tuple, tuple[int, int]] = {}
-
-
-def doc_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
-    """(n_docs, total_chars) of the documents table from a cheap
-    two-column scan, fingerprint-cached on (path, size, mtime_ns) like
-    pipeline._bench_slice_bytes — the bound is a property of the static
-    input, and cloud URIs (no os.stat) simply run uncached."""
+def documents_fingerprint_cached(sf_dir: str, cache: dict, compute):
+    """Memoize ``compute()`` on the documents file's (abspath, size,
+    mtime_ns) fingerprint — nanosecond mtime so a same-second same-size
+    rewrite can never serve a stale estimate (it could flip a broadcast
+    choice). Non-stat-able layouts (cloud URIs) simply run uncached.
+    The ONE copy of this cache-invalidation subtlety, shared with
+    pipeline._bench_slice_bytes."""
     path = os.path.join(sf_dir, "documents.parquet")
     try:
         st = os.stat(path)
         key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
     except OSError:
         key = None
-    if key is not None and key in _DOC_STATS:
-        return _DOC_STATS[key]
-    row = (
-        load_table(spark, sf_dir, "documents")
-        .agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
-        )
-        .first()
-    )
-    out = (int(row["n"]), int(row["chars"]))
+    if key is not None and key in cache:
+        return cache[key]
+    out = compute()
     if key is not None:
-        _DOC_STATS[key] = out
+        cache[key] = out
     return out
+
+
+_DOC_STATS: dict[tuple, tuple[int, int]] = {}
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(n_docs, total_chars) of the documents table from a cheap
+    two-column scan, fingerprint-cached — the bound is a property of
+    the static input."""
+
+    def compute() -> tuple[int, int]:
+        row = (
+            load_table(spark, sf_dir, "documents")
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
+            )
+            .first()
+        )
+        return (int(row["n"]), int(row["chars"]))
+
+    return documents_fingerprint_cached(sf_dir, _DOC_STATS, compute)
 
 
 def vocab_bytes_bound(spark: SparkSession, sf_dir: str) -> int:

@@ -186,33 +186,26 @@ _BENCH_SLICE_BYTES: dict[tuple, int] = {}
 
 
 def _bench_slice_bytes(spark: SparkSession, sf_dir: str) -> int:
-    """Upper bound on the bench slice's shingle bytes, fingerprint-cached
-    on the documents file (path, size, mtime)."""
-    import os
-
-    path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(path)
-        # nanosecond mtime: a same-second same-size rewrite must not
-        # serve a stale byte estimate (it could flip a broadcast choice)
-        key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
-    except OSError:  # non-standard layout: fall through uncached
-        key = None
-    if key is not None and key in _BENCH_SLICE_BYTES:
-        return _BENCH_SLICE_BYTES[key]
-    stats = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % BENCH_MOD == 0)
-        .agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
-        )
-        .first()
+    """Upper bound on the bench slice's shingle bytes, memoized on the
+    documents fingerprint (guards.documents_fingerprint_cached — the
+    shared copy of the mtime_ns invalidation subtlety)."""
+    from google_cloud_ecommerce_spark.operators.guards import (
+        documents_fingerprint_cached,
     )
-    est = int(stats["chars"]) * SHINGLE_K + int(stats["n"]) * 64
-    if key is not None:
-        _BENCH_SLICE_BYTES[key] = est
-    return est
+
+    def compute() -> int:
+        stats = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % BENCH_MOD == 0)
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
+            )
+            .first()
+        )
+        return int(stats["chars"]) * SHINGLE_K + int(stats["n"]) * 64
+
+    return documents_fingerprint_cached(sf_dir, _BENCH_SLICE_BYTES, compute)
 
 
 def contamination_check(
@@ -2067,14 +2060,24 @@ ORACLE["weighted_sample_topk"] = WEIGHTED_SAMPLE_TOPK_SQL
 # ---------------------------------------------------------------------------
 
 
+_EVO_DIRS: dict[str, str] = {}
+
+
 def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import shutil
     import tempfile
 
     orders = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="spark_graft_evo_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    # one scratch dir per sf_dir per process (mode=overwrite makes
+    # repeat invocations — bench warmup + min-of-N + parity — rewrite
+    # in place instead of leaking a fresh two-copies-of-orders dir
+    # each call)
+    out = _EVO_DIRS.get(sf_dir)
+    if out is None:
+        out = tempfile.mkdtemp(prefix="spark_graft_evo_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        _EVO_DIRS[sf_dir] = out
     orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(
         f"{out}/batch1"
     )

@@ -52,6 +52,40 @@ def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("norm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
 
 
+def _rank_topk(scored: DataFrame, top_k: int) -> DataFrame:
+    """Shared exact-rerank tail (topk / lsh / multiprobe): score each
+    (query, candidate) pair by raw double cosine, rank per query with
+    ties to the lower neighbor id, round ONLY the output column — one
+    definition so tie-breaking and rounding can never silently diverge
+    between the exact and approximate operators."""
+    scored = scored.withColumn(
+        "cos", F.expr(f"{dot_expr('qv', 'v')}") / (F.col("qnorm") * F.col("norm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+def _rank_tail_sql() -> str:
+    """DuckDB twin of _rank_topk's tail over a `scored` CTE."""
+    return f"""
+        SELECT q_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+                    AS BIGINT) AS rank,
+               ROUND(cos, 4) AS cosine
+        FROM scored
+        QUALIFY rank <= {TOP_K}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Brute-force exact top-k
 # ---------------------------------------------------------------------------
@@ -78,16 +112,8 @@ def similarity_topk(
     queries = corpus.filter(F.col("vec_id") < n_query_vecs).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", F.expr(f"{dot_expr('qv', 'v')}") / (F.col("qnorm") * F.col("norm")))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_k)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cos", 4).alias("cosine"))
-    )
+    scored = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+    return _rank_topk(scored, top_k)
 
 
 def _similarity_topk_sql() -> str:
@@ -102,13 +128,7 @@ def _similarity_topk_sql() -> str:
             FROM n q JOIN n c ON c.vec_id != q.vec_id
             WHERE q.vec_id < {N_QUERY_VECS}
         )
-        SELECT q_id, neighbor_id,
-               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
-                    AS BIGINT) AS rank,
-               ROUND(cos, 4) AS cosine
-        FROM scored
-        QUALIFY rank <= {TOP_K}
-    """
+{_rank_tail_sql()}"""
 
 
 # ---------------------------------------------------------------------------
@@ -171,19 +191,11 @@ def similarity_lsh_topk(
         F.col("norm").alias("qnorm"),
         F.col("bucket").alias("qbucket"),
     )
-    scored = (
-        emb.join(
-            F.broadcast(queries),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("q_id")),
-        )
-        .withColumn("cos", F.expr(f"{dot_expr('qv', 'v')}") / (F.col("qnorm") * F.col("norm")))
+    scored = emb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("q_id")),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_k)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cos", 4).alias("cosine"))
-    )
+    return _rank_topk(scored, top_k)
 
 
 def _similarity_buckets_sql() -> str:
@@ -210,13 +222,7 @@ def _similarity_lsh_topk_sql() -> str:
             FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
             WHERE q.vec_id < {N_QUERY_VECS}
         )
-        SELECT q_id, neighbor_id,
-               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
-                    AS BIGINT) AS rank,
-               ROUND(cos, 4) AS cosine
-        FROM scored
-        QUALIFY rank <= {TOP_K}
-    """
+{_rank_tail_sql()}"""
 
 
 # ---------------------------------------------------------------------------
@@ -344,13 +350,7 @@ def _similarity_ivf_topk_sql() -> str:
             FROM corpus c JOIN probes p
               ON c.c_id = p.probe_cell AND c.vec_id != p.q_id
         )
-        SELECT q_id, neighbor_id,
-               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
-                    AS BIGINT) AS rank,
-               ROUND(cos, 4) AS cosine
-        FROM scored
-        QUALIFY rank <= {TOP_K}
-    """
+{_rank_tail_sql()}"""
 
 
 # ---------------------------------------------------------------------------
@@ -2637,19 +2637,11 @@ def similarity_multiprobe_topk(
             F.explode(F.expr(probes_expr)).alias("qbucket"),
         )
     )
-    scored = (
-        emb.join(
-            F.broadcast(queries),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("q_id")),
-        )
-        .withColumn("cos", F.expr(f"{dot_expr('qv', 'v')}") / (F.col("qnorm") * F.col("norm")))
+    scored = emb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("q_id")),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_k)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cos", 4).alias("cosine"))
-    )
+    return _rank_topk(scored, top_k)
 
 
 def _similarity_multiprobe_topk_sql() -> str:
@@ -2676,13 +2668,7 @@ def _similarity_multiprobe_topk_sql() -> str:
             FROM probed p JOIN n c
               ON c.bucket = p.qbucket AND c.vec_id != p.q_id
         )
-        SELECT q_id, neighbor_id,
-               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
-                    AS BIGINT) AS rank,
-               ROUND(cos, 4) AS cosine
-        FROM scored
-        QUALIFY rank <= {TOP_K}
-    """
+{_rank_tail_sql()}"""
 
 
 QUERIES["similarity_multiprobe_topk"] = similarity_multiprobe_topk

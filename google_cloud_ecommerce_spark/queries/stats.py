@@ -1137,8 +1137,14 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    items = li.join(part, li.l_partkey == part.p_partkey).select(
-        "l_orderkey", "p_brand"
+    # '' is this operator's pair/single/marker sentinel — an upstream
+    # fillna('') brand would double-count the basket marker and leak
+    # its singles into the total, so empty/null brands are excluded in
+    # BOTH engines (they carry no affinity signal anyway)
+    items = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(F.col("p_brand") != "")
+        .select("l_orderkey", "p_brand")
     )
     baskets = items.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("p_brand")).alias("brands")
@@ -1208,6 +1214,7 @@ MARKET_BASKET_RULES_SQL = """
     WITH items AS (
         SELECT DISTINCT l_orderkey, p_brand
         FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand != ''
     ), pair_cnt AS (
         SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
                CAST(count(*) AS BIGINT) AS pair_orders

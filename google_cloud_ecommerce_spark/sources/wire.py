@@ -35,6 +35,7 @@ of the pipeline, exactly where the reference used Pub/Sub.
 from __future__ import annotations
 
 import datetime as dt
+import errno
 import os
 import uuid
 from dataclasses import dataclass
@@ -217,6 +218,13 @@ class WireBatchWriter(DataSourceWriter):
                 os.remove(m.file)
 
 
+# link() errnos that mean "hard links unsupported here" (NFS/FUSE/
+# overlay) — anything else is a real failure and must propagate.
+_LINK_UNSUPPORTED_ERRNOS = {
+    errno.EPERM, errno.EOPNOTSUPP, errno.ENOTSUP, errno.EXDEV, errno.ENOSYS
+}
+
+
 class WireStreamWriter(DataSourceStreamWriter):
     """The STREAMING publish sink — the fourth quadrant of the Python
     Data Source API (batch/stream x read/write). Tasks write message
@@ -253,19 +261,30 @@ class WireStreamWriter(DataSourceStreamWriter):
             os.link(tmp, manifest)
         except FileExistsError:
             self._check_idempotent_recommit(tmp, manifest)
-        except OSError:
+        except OSError as exc:
+            if exc.errno not in _LINK_UNSUPPORTED_ERRNOS:
+                os.remove(tmp)  # a real failure (EACCES, EMLINK, ...)
+                raise           # must surface, not reroute protocols
             # hard links are unsupported on some filesystems (NFS/FUSE/
-            # overlay raise EPERM/EOPNOTSUPP/EXDEV — ADVICE r7): fall
-            # back to the exists-check + atomic-replace protocol. The
-            # check-then-replace pair is not link()'s create-if-absent,
-            # but it preserves the two guarantees that matter — an
-            # identical re-commit is idempotent and a DIFFERENT manifest
-            # for the same batchId still fails loudly.
-            if os.path.exists(manifest):
+            # overlay raise EPERM/EOPNOTSUPP/EXDEV — ADVICE r7):
+            # O_CREAT|O_EXCL gives the SAME create-if-absent guarantee
+            # without link() — two concurrent committers cannot
+            # interleave a check-then-replace, and the loser falls
+            # through to the idempotence check against the winner's
+            # content (an exists()+replace fallback would let the loser
+            # silently clobber a DIFFERENT manifest).
+            try:
+                fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
                 self._check_idempotent_recommit(tmp, manifest)
             else:
-                os.replace(tmp, manifest)
-                return
+                try:
+                    with os.fdopen(fd, "w", encoding="utf-8") as out:
+                        with open(tmp, encoding="utf-8") as src:
+                            out.write(src.read())
+                except Exception:
+                    os.unlink(manifest)  # no partial manifest on a failed copy
+                    raise
         os.remove(tmp)
 
     @staticmethod

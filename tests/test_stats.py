@@ -392,11 +392,14 @@ def test_market_basket_rules_crafted(spark, tmp_path):
     order must count once."""
     li = spark.createDataFrame(
         # order 1: {X, Y}   order 2: {X, Y}   order 3: {X, Z} (X twice)
-        [(1, 10), (1, 20), (2, 11), (2, 20), (3, 10), (3, 11), (3, 30)],
+        # + an empty-string brand (part 40) in every order: must be
+        # excluded, not collide with the '' pair/marker sentinel
+        [(1, 10), (1, 20), (1, 40), (2, 11), (2, 20), (2, 40),
+         (3, 10), (3, 11), (3, 30), (3, 40)],
         "l_orderkey long, l_partkey long",
     )
     part = spark.createDataFrame(
-        [(10, "X"), (11, "X"), (20, "Y"), (30, "Z")],
+        [(10, "X"), (11, "X"), (20, "Y"), (30, "Z"), (40, "")],
         "p_partkey long, p_brand string",
     )
     li.write.parquet(f"{tmp_path}/lineitem.parquet")

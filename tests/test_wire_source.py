@@ -169,10 +169,12 @@ def test_stream_sink_commit_refuses_foreign_manifest_clobber(tmp_path):
 def test_stream_sink_commit_survives_no_hardlink_fs(tmp_path, monkeypatch):
     """On filesystems without hard-link support (NFS/FUSE/overlay),
     os.link raises plain OSError (EPERM/EOPNOTSUPP/EXDEV) — commit must
-    fall back to the exists-check + os.replace protocol (ADVICE r7):
-    first commit lands, identical re-commit is idempotent, a different
-    manifest for the same batchId still fails loudly, and no .tmp files
-    are left behind in any path."""
+    fall back to the O_CREAT|O_EXCL create-if-absent protocol (ADVICE
+    r7; exclusive create, NOT exists()+replace, so two concurrent
+    committers can't interleave): first commit lands, identical
+    re-commit is idempotent, a different manifest for the same batchId
+    still fails loudly, and no .tmp files are left behind in any
+    path. An errno outside the link-unsupported set must propagate."""
     import errno
     import os as os_mod
 
@@ -194,3 +196,25 @@ def test_stream_sink_commit_survives_no_hardlink_fs(tmp_path, monkeypatch):
     assert (tmp_path / "_commit-0").read_text().strip() == str(tmp_path / "a.wire")
     leftovers = [p for p in os_mod.listdir(tmp_path) if ".tmp." in p]
     assert leftovers == []
+
+
+def test_stream_sink_commit_reraises_real_link_failures(tmp_path, monkeypatch):
+    """EMLINK (too many links) is a real failure, not a no-hardlink
+    filesystem — it must propagate, with the tmp file cleaned up."""
+    import errno
+    import os as os_mod
+
+    import pytest
+
+    from google_cloud_ecommerce_spark.sources import wire
+    from google_cloud_ecommerce_spark.sources.wire import WireCommit, WireStreamWriter
+
+    def bad_link(src, dst, **kw):
+        raise OSError(errno.EMLINK, "Too many links")
+
+    monkeypatch.setattr(wire.os, "link", bad_link)
+    w = WireStreamWriter({"path": str(tmp_path)})
+    with pytest.raises(OSError):
+        w.commit([WireCommit(file=str(tmp_path / "a.wire"), n_messages=1)], batchId=0)
+    assert not (tmp_path / "_commit-0").exists()
+    assert [p for p in os_mod.listdir(tmp_path) if ".tmp." in p] == []

@@ -25,14 +25,15 @@ import re
 import sys
 
 TAG = "scan-audit:"
-# comment lines scanned ABOVE the def for the tag (the established
-# convention puts the justification in the banner above the function)
-TAG_LOOKBACK_LINES = 40
 
 
 def has_audit_tag(fn) -> bool:
-    """True if the callable's source, or the comment block directly
-    above its def, contains the scan-audit tag."""
+    """True if the callable's source, or the CONTIGUOUS comment block
+    directly above its def (decorators and at most one blank line
+    allowed in between), contains the scan-audit tag. A fixed-line
+    lookback would credit a NEIGHBORING function's tag to an untagged
+    one in densely packed modules — the contiguity rule makes the
+    'every flag is justified' claim attributable per function."""
     try:
         src_file = inspect.getsourcefile(fn)
         lines, first = inspect.findsource(fn)
@@ -40,12 +41,29 @@ def has_audit_tag(fn) -> bool:
         return False
     if src_file is None:
         return False
-    lo = max(0, first - TAG_LOOKBACK_LINES)
     try:
         body = inspect.getsource(fn)
     except OSError:
         body = ""
-    return TAG in body or any(TAG in ln for ln in lines[lo:first])
+    if TAG in body:
+        return True
+    i, blanks_left = first - 1, 1
+    while i >= 0:
+        ln = lines[i].strip()
+        if ln.startswith("@"):
+            i -= 1
+        elif ln == "":
+            if blanks_left == 0:
+                break
+            blanks_left -= 1
+            i -= 1
+        elif ln.startswith("#"):
+            if TAG in ln:
+                return True
+            i -= 1
+        else:
+            break
+    return False
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "

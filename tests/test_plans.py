@@ -848,3 +848,16 @@ def test_market_basket_rule_join_rides_the_pinned_aggregate(spark, sf_smoke):
     assert plan.count("FileScan parquet") == 0, "rule join re-planned the corpus scan"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_is_takeordered_no_shuffle(spark, sf_smoke):
+    """Round-8: the A-ES draw must plan TakeOrderedAndProject —
+    per-partition top-k merged at the driver — with ZERO exchanges: a
+    global sort or window here would shuffle the whole corpus for a
+    k-row result."""
+    from google_cloud_ecommerce_spark.operators.pipeline import weighted_sample_topk
+
+    plan = plan_of(weighted_sample_topk(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, f"lost the top-k plan:\n{plan}"
+    assert "Exchange" not in plan, f"weighted sample grew a shuffle:\n{plan}"
+    assert "Window" not in plan

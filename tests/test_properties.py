@@ -279,3 +279,102 @@ def test_iterate_pin_schedule(rounds, every):
     )
     assert steps == list(range(1, rounds + 1))
     assert pins == [i for i in range(1, rounds + 1) if i % every == 0 and i < rounds]
+
+
+basket_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),      # l_orderkey
+        st.integers(min_value=10, max_value=17),    # l_partkey
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(items=basket_strategy)
+def test_market_basket_matches_brute_force(spark, tmp_path_factory, items):
+    """Arbitrary basket structures — duplicate lineitems, single-item
+    orders, orders made entirely of the excluded '' brand — must match
+    an independent O(n^2) Python reference for every rule column."""
+    from google_cloud_ecommerce_spark.queries.stats import market_basket_rules
+
+    brands = {k: ("" if k == 17 else f"B{k % 4}") for k in range(10, 18)}
+    tmpdir = str(tmp_path_factory.mktemp("mb"))
+    spark.createDataFrame(items, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(f"{tmpdir}/lineitem.parquet")
+    spark.createDataFrame(
+        list(brands.items()), "p_partkey long, p_brand string"
+    ).write.mode("overwrite").parquet(f"{tmpdir}/part.parquet")
+
+    baskets: dict[int, set] = {}
+    for ok, pk in items:
+        b = brands[pk]
+        if b:
+            baskets.setdefault(ok, set()).add(b)
+    baskets = {k: v for k, v in baskets.items() if v}
+    n = len(baskets)
+    single: dict[str, int] = {}
+    pair: dict[tuple, int] = {}
+    for bs in baskets.values():
+        for b in bs:
+            single[b] = single.get(b, 0) + 1
+        ss = sorted(bs)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                pair[(ss[i], ss[j])] = pair.get((ss[i], ss[j]), 0) + 1
+
+    got = {(r.brand_a, r.brand_b): r for r in market_basket_rules(spark, tmpdir).collect()}
+    assert set(got) == set(pair)
+    for (a, b), c in pair.items():
+        r = got[(a, b)]
+        assert (r.pair_orders, r.a_orders, r.b_orders, r.n_baskets) == (
+            c, single[a], single[b], n,
+        )
+        assert r.support == c / n
+        assert r.confidence_ab == c / single[a]
+        assert r.confidence_ba == c / single[b]
+        assert abs(r.lift - (c * n) / (single[a] * single[b])) < 1e-12
+
+
+weights_strategy = st.lists(
+    st.integers(min_value=1, max_value=500), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(weights=weights_strategy)
+def test_weighted_sample_matches_reference_on_arbitrary_weights(
+    spark, tmp_path_factory, weights
+):
+    """A-ES selection on arbitrary integer weights (including w=1
+    extremes and corpora smaller than k) must equal the Python
+    reference exactly — same salted-md5 uniform, same rounded ln."""
+    import hashlib
+    import math
+
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        _TWO_60_PLUS_1,
+        WEIGHTED_SAMPLE_K,
+        WEIGHTED_SAMPLE_SALT,
+        weighted_sample_topk,
+    )
+
+    tmpdir = str(tmp_path_factory.mktemp("ws"))
+    rows = [(i, f"t{i}", "en", "s", w) for i, w in enumerate(weights)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+
+    keys = []
+    for i, w in enumerate(weights):
+        h = int(
+            hashlib.md5(f"{WEIGHTED_SAMPLE_SALT}{i}".encode()).hexdigest()[:15], 16
+        )
+        keys.append((round(math.log((h + 1) / _TWO_60_PLUS_1), 9) / w, i, w))
+    expect = sorted(keys, key=lambda t: (-t[0], t[1]))[:WEIGHTED_SAMPLE_K]
+    got = weighted_sample_topk(spark, tmpdir).collect()
+    assert [(r.doc_id, r.weight) for r in sorted(got, key=lambda r: (-r.sample_key, r.doc_id))] == [
+        (i, w) for _, i, w in expect
+    ]

@@ -962,8 +962,12 @@ ORACLE["bpe_tokenize"] = _bpe_tokenize_sql()
 # of retrieval, where bm25_search above is the query side): each doc's
 # top-3 terms by smoothed tf-idf. One (doc, term) hash aggregate is
 # the only corpus-sized shuffle; document frequencies aggregate from
-# it (vocabulary-sized) and broadcast back; ranking partitions per
-# doc. idf uses ln(), so scores follow the load-bearing ROUND policy:
+# it (vocabulary-sized) and broadcast back ONLY under the
+# guards.vocab_bytes_bound proof — the df table has Heaps-law growth
+# and is multi-GB at 100 TB, so above the bound the join is unhinted
+# and AQE picks the strategy from true runtime sizes (the lm_score
+# guard, VERDICT r8 #2). idf uses ln(), so scores follow the
+# load-bearing ROUND policy:
 # rank and cutoff are computed on the ROUNDED score (ties to the
 # lexicographically first term) to keep the row set cross-engine
 # stable.
@@ -972,7 +976,9 @@ ORACLE["bpe_tokenize"] = _bpe_tokenize_sql()
 TFIDF_TOP_K = 3
 
 
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, broadcast_threshold: int | None = None
+) -> DataFrame:
     # tf feeds both the document-frequency aggregate and the scoring
     # join; the lazy pin computes the tokenize+explode+groupBy subtree
     # once instead of once per use (the expanded_keyword_search fix)
@@ -984,9 +990,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if broadcast_threshold is None:
+        broadcast_threshold = broadcast_threshold_bytes(spark)
+    df_t = broadcast_if_provably_small(
+        df_t, vocab_bytes_bound(spark, sf_dir), broadcast_threshold
+    )
     n_docs = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_t), "term")
+        tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -1193,7 +1204,13 @@ def countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").alias(f"b_{r}"), F.col("cell").alias(f"c_{r}")
         )
         est = est.join(F.broadcast(cell_r), f"b_{r}", "left")
-    true_counts = tok_counts
+    # Ground truth is only needed for the 5 literal probe terms, so
+    # pre-filter the vocabulary-sized histogram down to them BEFORE the
+    # broadcast build — the unfiltered form forced a vocab-sized
+    # broadcast at any scale (VERDICT r8 #1). The IN-list is a literal
+    # tuple, so the filter rides the pinned histogram's local read; the
+    # left join's output is unchanged (non-probe tokens never matched).
+    true_counts = tok_counts.filter(F.col("token").isin(*CM_PROBE_TERMS))
     mins = F.least(*[F.coalesce(F.col(f"c_{r}"), F.lit(0)) for r in range(CM_DEPTH)])
     return (
         est.join(

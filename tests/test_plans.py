@@ -9,6 +9,7 @@ a test failure rather than a 100× slowdown on a cluster.
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -494,6 +495,24 @@ def test_lm_countmin_plan_shapes(spark, sf_smoke):
     plan = plan_of(text.countmin_estimates(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # Round-9 fix (VERDICT r8 #1): the ground-truth join's broadcast
+    # build side must be the IN-list-filtered probe rows (<= 5), never
+    # the vocabulary-sized histogram — every BroadcastExchange that
+    # reads the token histogram directly (no reducing aggregate in
+    # between) has to sit right above the probe IN filter; the other
+    # exchanges build fixed-width sketch-cell aggregates (CM_WIDTH
+    # buckets per depth).
+    tree = text.countmin_estimates(
+        spark, sf_smoke
+    )._jdf.queryExecution().executedPlan().toString()
+    builds = tree.split("BroadcastExchange")[1:]
+    filtered = [b for b in builds if re.search(r"Filter token#\d+ IN \(", b)]
+    assert filtered, tree
+    for b in builds:
+        head = "\n".join(b.splitlines()[:3])
+        assert (
+            re.search(r"Filter token#\d+ IN \(", head) or "HashAggregate" in head
+        ), head
 
 
 def test_vector_compression_plan_shapes(spark, sf_smoke):
@@ -611,6 +630,7 @@ def _guarded_entries():
         pytest.param(text.lm_score, id="lm_score"),
         pytest.param(text.lm_bigram_score, id="lm_bigram_score"),
         pytest.param(text.kn_bigram_score, id="kn_bigram_score"),
+        pytest.param(text.tfidf_top_terms, id="tfidf_top_terms"),
         pytest.param(dedup.dedup_prefix_filter, id="dedup_prefix_filter"),
     ]
 

@@ -248,6 +248,12 @@ def main() -> None:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     with_oracle = "--with-oracle" in sys.argv
 
+    # Epoch self-description (VERDICT r8 #4): record machine load before
+    # and after so a driver-epoch outlier (e.g. r8's phantom 3.1x on
+    # quality_classifier_score) is attributable to concurrent load from
+    # the artifact alone — the round-8 "run solo" gotcha made diagnosable.
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark(app_name="bench")
     queries = all_queries()
 
@@ -283,6 +289,10 @@ def main() -> None:
             "(steady-state); full materialization via noop sink "
             "(all output columns evaluated, no column pruning)"
         ),
+        "loadavg_before": load_before,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "warm_runs_per_query": 1,
+        "timed_runs_per_query": repeat,
     }
     summary = {
         "metric": detail["metric"],
@@ -298,6 +308,7 @@ def main() -> None:
         spark_total = sum(timings[n] for n in shared)
         duck_total = sum(oracle[n] for n in shared)
         detail["oracle"] = oracle
+        detail["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
         detail["oracle_total"] = round(duck_total, 4)
         detail["spark_vs_oracle_ratio"] = round(spark_total / duck_total, 4)
         summary["oracle_total"] = detail["oracle_total"]

@@ -123,6 +123,20 @@ def bigram_model_bytes_bound(spark: SparkSession, sf_dir: str) -> int:
     return 2 * chars + (ROW_OVERHEAD_BYTES + 8) * rows
 
 
+def hist_bytes_bound(spark: SparkSession, sf_dir: str) -> int:
+    """Upper bound on a frequency-of-frequencies histogram's bytes:
+    d distinct frequency values require at least 1+2+...+d = d(d+1)/2
+    total token occurrences, so d <= sqrt(2 * total_tokens) and
+    total_tokens <= (chars + 1) / 2 — the histogram is SUB-LINEAR in
+    the corpus (~7M rows / ~300 MB at 100 TB: too big for a hint, tiny
+    next to the vocabulary). Two int64 columns per row."""
+    import math
+
+    _, chars = doc_stats(spark, sf_dir)
+    rows = math.isqrt(chars + 1) + 1
+    return (ROW_OVERHEAD_BYTES + 16) * rows
+
+
 def doc_sizes_bytes_bound(spark: SparkSession, sf_dir: str) -> int:
     """Upper bound on a row-per-document (doc_id, n) table's bytes:
     exactly n_docs fixed-width rows."""

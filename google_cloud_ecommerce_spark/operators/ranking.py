@@ -30,7 +30,7 @@ global-window plans in the repo — could drop it in (VERDICT r3 #3).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # monotonically_increasing_id layout: partition id in the high bits,
@@ -91,6 +91,56 @@ def range_partition_rank(
         _ranked(df, order_exprs, n_parts)
         .withColumn(out_col, F.col("__r"))
         .drop("__r", "__n_total")
+    )
+
+
+def range_partition_prefix_sum(
+    df: DataFrame,
+    order_exprs: list[Column | str],
+    value_col: str,
+    out_col: str = "prefix",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = the EXCLUSIVE running sum of ``value_col`` over
+    the total order given by ``order_exprs`` — the scale-true
+    replacement for both ``SUM(v) OVER (ORDER BY ... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` (an unpartitioned window:
+    one task sorts everything) and the triangular broadcast θ-join
+    (quadratic in the input and a whole-table broadcast). Shape:
+    range-partition on the order keys, running sum WITHIN each range
+    partition via a window partitioned by the range id (parallel,
+    local sorts only), and a triangular broadcast join over the
+    per-partition sums — one row per PARTITION, never per input row —
+    for the cross-partition offsets. The order MUST be total for
+    deterministic sums. Used by the frequency-histogram prefix in
+    token_zipf_fit / vocab_prune_coverage when the histogram exceeds
+    the broadcast bound (operators/guards.hist_bytes_bound)."""
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ordered = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # pin sampled range boundaries: the partition
+        # sums and the per-row window must see the SAME assignment
+    )
+    psums = ordered.groupBy("__pid").agg(F.sum(value_col).alias("__s"))
+    earlier = psums.select(F.col("__pid").alias("__e_pid"), F.col("__s").alias("__e_s"))
+    offsets = (
+        psums.join(F.broadcast(earlier), F.col("__e_pid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__e_s"), F.lit(0)).alias("__off"))
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    return (
+        ordered.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__off") + local).cast("long"))
+        .drop("__pid", "__off")
     )
 
 

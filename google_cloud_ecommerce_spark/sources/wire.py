@@ -37,6 +37,7 @@ from __future__ import annotations
 import datetime as dt
 import errno
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -268,11 +269,13 @@ class WireStreamWriter(DataSourceStreamWriter):
             # hard links are unsupported on some filesystems (NFS/FUSE/
             # overlay raise EPERM/EOPNOTSUPP/EXDEV — ADVICE r7):
             # O_CREAT|O_EXCL gives the SAME create-if-absent guarantee
-            # without link() — two concurrent committers cannot
-            # interleave a check-then-replace, and the loser falls
-            # through to the idempotence check against the winner's
-            # content (an exists()+replace fallback would let the loser
-            # silently clobber a DIFFERENT manifest).
+            # without link(), and the loser falls through to the
+            # idempotence check against the winner's content (an
+            # exists()+replace fallback would let the loser silently
+            # clobber a DIFFERENT manifest). Unlike link(), though, the
+            # manifest becomes visible BEFORE its content lands — the
+            # loser's check tolerates that window by polling until the
+            # content is stable (ADVICE r8).
             try:
                 fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
@@ -284,22 +287,48 @@ class WireStreamWriter(DataSourceStreamWriter):
                             out.write(src.read())
                 except Exception:
                     os.unlink(manifest)  # no partial manifest on a failed copy
+                    os.remove(tmp)  # and no orphaned .tmp (ADVICE r8)
                     raise
         os.remove(tmp)
 
     @staticmethod
     def _check_idempotent_recommit(tmp: str, manifest: str) -> None:
-        with open(manifest, encoding="utf-8") as fh:
-            prior = fh.read()
         with open(tmp, encoding="utf-8") as fh:
             mine = fh.read()
-        if prior != mine:
-            os.remove(tmp)
+        # The O_CREAT|O_EXCL fallback publishes the manifest before its
+        # content lands (os.link has no such window), so a loser racing
+        # an identical re-committer can read an empty/partial manifest
+        # here. Poll until two consecutive reads agree nonempty before
+        # declaring a mismatch; an equal read returns immediately
+        # (ADVICE r8). A vanished manifest means the winner's copy
+        # failed and it unlinked — its own exception surfaces the
+        # failure; this committer reports the torn race.
+        prior: str | None = None
+        deadline = time.monotonic() + 2.0
+        while True:
+            try:
+                with open(manifest, encoding="utf-8") as fh:
+                    cur = fh.read()
+            except FileNotFoundError:
+                cur = None
+            if cur == mine:
+                return  # idempotent re-commit of the same epoch
+            if (cur and cur == prior) or time.monotonic() >= deadline:
+                break
+            prior = cur
+            time.sleep(0.05)
+        os.remove(tmp)
+        if cur is None:
             raise RuntimeError(
-                f"epoch manifest {manifest} already committed with "
-                "different files; refusing to clobber (two writers on "
-                "one path, or a restart with a fresh checkpoint)"
+                f"epoch manifest {manifest} vanished mid-commit: a "
+                "concurrent committer created it and failed before its "
+                "content landed; retry the epoch"
             )
+        raise RuntimeError(
+            f"epoch manifest {manifest} already committed with "
+            "different files; refusing to clobber (two writers on "
+            "one path, or a restart with a fresh checkpoint)"
+        )
 
     def abort(self, messages, batchId: int) -> None:  # pragma: no cover
         for m in messages:

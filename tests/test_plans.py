@@ -659,6 +659,35 @@ def test_data_sized_broadcast_guards(spark, sf_smoke, op):
     assert "BroadcastHashJoin" not in plan_big, plan_big
 
 
+@pytest.mark.parametrize("name", ["token_zipf_fit", "vocab_prune_coverage"])
+def test_hist_prefix_sum_guard(spark, sf_smoke, name):
+    """Round-9 (VERDICT r8 #5): the frequency-histogram exclusive
+    prefix sum is guarded on guards.hist_bytes_bound. Small fixture:
+    the triangular broadcast θ-join on (e_f > f) engages. Above the
+    bound: the θ-join (quadratic in |hist| and a whole-histogram
+    broadcast) is GONE, replaced by range_partition_prefix_sum — the
+    only non-equi join left is the per-PARTITION offsets triangle
+    (bounded by n_parts, a knob, not data), and the running-sum window
+    is partitioned by the range id (never unpartitioned)."""
+    from google_cloud_ecommerce_spark.operators import text
+
+    op = getattr(text, name)
+    theta = re.compile(r"\(e_f#\d+L? > f#\d+L?\)")
+    tree_small = op(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert theta.search(tree_small), tree_small
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df_big = op(spark, sf_smoke, broadcast_threshold=0)
+        tree_big = df_big._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert not theta.search(tree_big), tree_big
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", tree_big)
+    assert specs and all("__pid" in s for s in specs), specs
+
+
 def test_round4_pipeline_ops_plan_shapes(spark, sf_smoke):
     """quality_classifier_score and span_corruption_masks are pure
     per-row projections — the classifier/mask math rides the scan, no

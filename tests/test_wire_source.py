@@ -218,3 +218,65 @@ def test_stream_sink_commit_reraises_real_link_failures(tmp_path, monkeypatch):
         w.commit([WireCommit(file=str(tmp_path / "a.wire"), n_messages=1)], batchId=0)
     assert not (tmp_path / "_commit-0").exists()
     assert [p for p in os_mod.listdir(tmp_path) if ".tmp." in p] == []
+
+
+def test_stream_sink_recommit_tolerates_midwrite_manifest(tmp_path):
+    """ADVICE r8: the O_CREAT|O_EXCL fallback publishes the manifest
+    before its content lands, so a loser racing an IDENTICAL
+    re-committer can observe an empty/partial manifest. The idempotence
+    check must poll until the content stabilizes instead of spuriously
+    raising refusing-to-clobber — here the winner's copy completes
+    ~0.15 s after the loser starts checking."""
+    import threading
+    import time as time_mod
+
+    from google_cloud_ecommerce_spark.sources.wire import WireCommit, WireStreamWriter
+
+    manifest = tmp_path / "_commit-0"
+    manifest.write_bytes(b"")  # winner created it, content not yet landed
+
+    def winner_finishes():
+        time_mod.sleep(0.15)
+        manifest.write_text(str(tmp_path / "a.wire") + "\n")
+
+    t = threading.Thread(target=winner_finishes)
+    t.start()
+    try:
+        w = WireStreamWriter({"path": str(tmp_path)})
+        # identical content -> must succeed once the winner's copy lands
+        w.commit([WireCommit(file=str(tmp_path / "a.wire"), n_messages=1)], batchId=0)
+    finally:
+        t.join()
+    assert manifest.read_text().strip() == str(tmp_path / "a.wire")
+    assert [p for p in manifest.parent.iterdir() if ".tmp." in p.name] == []
+
+
+def test_stream_sink_fallback_copy_failure_cleans_tmp(tmp_path, monkeypatch):
+    """ADVICE r8: if the fallback's content copy fails, BOTH the partial
+    manifest and the .tmp staging file must be removed before the error
+    propagates (the link-failure branch already did)."""
+    import errno
+    import os as os_mod
+
+    import pytest
+
+    from google_cloud_ecommerce_spark.sources import wire
+    from google_cloud_ecommerce_spark.sources.wire import WireCommit, WireStreamWriter
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted")
+
+    real_fdopen = os_mod.fdopen
+
+    def bad_fdopen(fd, *a, **kw):
+        os_mod.close(fd)
+        raise OSError(errno.EIO, "Input/output error")
+
+    monkeypatch.setattr(wire.os, "link", no_link)
+    monkeypatch.setattr(wire.os, "fdopen", bad_fdopen)
+    w = WireStreamWriter({"path": str(tmp_path)})
+    with pytest.raises(OSError):
+        w.commit([WireCommit(file=str(tmp_path / "a.wire"), n_messages=1)], batchId=0)
+    monkeypatch.setattr(wire.os, "fdopen", real_fdopen)
+    assert not (tmp_path / "_commit-0").exists()
+    assert [p for p in os_mod.listdir(tmp_path) if ".tmp." in p] == []

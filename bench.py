@@ -178,6 +178,14 @@ HEADLINE = [
     # top-k, no shuffle) and the mergeSchema evolution read.
     "weighted_sample_topk",
     "schema_evolution_read",
+    # round-9: the recomposed curation funnel (exact dedup -> entropy ->
+    # gopher -> classifier -> span-excision token budget; ~4.9 s at
+    # sf0.1, dominated by the span-excision fingerprint join — linear,
+    # unlike v1's minhash verify). merge_upsert_rewrite stays OUT like
+    # partition_delete_rewrite: its cost is the COW working-copy write
+    # (fixture-only; a real lakehouse mutates the table in place) —
+    # registry-oracle-verified at every SF instead.
+    "curation_funnel_v2",
     # jdbc_roundtrip moved OUT of the headline (VERDICT r5 "what's
     # wrong" #5): its 2.3-2.4 s is constant embedded-Derby DDL+insert
     # setup, not query execution — a connector-parity entry, graded by

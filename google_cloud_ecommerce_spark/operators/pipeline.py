@@ -1260,6 +1260,167 @@ ORACLE["corpus_curation_pipeline"] = _corpus_curation_pipeline_sql()
 
 
 # ---------------------------------------------------------------------------
+# curation_funnel_v2 — the funnel above, recomposed from the round-6/7
+# gates that postdate it (VERDICT r8 #6): exact dedup (md5 keeper) ->
+# char_entropy_gate (garbage text) -> gopher_gates (heuristic rules) ->
+# quality_classifier_score (model threshold), then Lee-et-al. span
+# excision converts the surviving DOC counts into the corpus's actual
+# TOKEN budget — the number a pretraining run provisions against. The
+# reference's purchase-funnel analytics (README.md:35-37 of
+# /root/reference) are the same stage-retention shape over sessions;
+# this is the document-corpus analogue, composed from already-verified
+# operators joined on doc_id.
+#
+# Scale posture: inherits each stage's posture (hash-aggregate dedup,
+# per-row gates, fingerprint-joined span excision); survivor sets are
+# narrow (doc_id, source) pins feeding the next stage + their rollup;
+# the report aggregates to |sources| rows. Determinism: every gate bit
+# is already engine-exact; token sums are integers; the two shares are
+# single BIGINT/BIGINT divisions in DOUBLE.
+# ---------------------------------------------------------------------------
+
+
+# scan-audit: composition by design: each reused registry operator (entropy,
+# gopher, classifier, span excision) runs its own documents scan, exactly as
+# it does standalone; the funnel adds only doc_id joins and rollups
+def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.operators.dedup import dedup_span_excision
+    from google_cloud_ecommerce_spark.operators.text import (
+        char_entropy_gate,
+        gopher_gates,
+        quality_classifier_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    raw = docs.groupBy("source").agg(F.count("*").alias("n_raw"))
+    keepers = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    s1 = (
+        docs.join(keepers, "doc_id")
+        .select("doc_id", "source")
+        .localCheckpoint(eager=False)
+    )
+    ent = char_entropy_gate(spark, sf_dir).filter("passes").select("doc_id")
+    s2 = s1.join(ent, "doc_id").localCheckpoint(eager=False)
+    gates = gopher_gates(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
+    s3 = s2.join(gates, "doc_id").localCheckpoint(eager=False)
+    qc = (
+        quality_classifier_score(spark, sf_dir)
+        .filter(F.col("is_kept") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    s4 = s3.join(qc, "doc_id").localCheckpoint(eager=False)
+    # docs shorter than SPAN_K tokens have no excisable span and keep
+    # their full budget — the left join's coalesce, not a special case
+    exc = dedup_span_excision(spark, sf_dir).select("doc_id", "n_retained")
+    tok = s4.join(exc, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce("n_retained", F.col("n_tokens")).alias("kept_tokens"),
+    )
+
+    def rollup(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count("*").alias(name))
+
+    agg4 = tok.groupBy("source").agg(
+        F.count("*").alias("c4"),
+        F.sum("n_tokens").alias("t_in"),
+        F.sum("kept_tokens").alias("t_kept"),
+    )
+    return (
+        raw.join(rollup(s1, "c1"), "source", "left")
+        .join(rollup(s2, "c2"), "source", "left")
+        .join(rollup(s3, "c3"), "source", "left")
+        .join(agg4, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("c1", F.lit(0)).cast("long").alias("n_exact_unique"),
+            F.coalesce("c2", F.lit(0)).cast("long").alias("n_entropy"),
+            F.coalesce("c3", F.lit(0)).cast("long").alias("n_gopher"),
+            F.coalesce("c4", F.lit(0)).cast("long").alias("n_classifier"),
+            F.coalesce("t_in", F.lit(0)).cast("long").alias("tokens_in"),
+            F.coalesce("t_kept", F.lit(0)).cast("long").alias("tokens_retained"),
+            (
+                F.coalesce("c4", F.lit(0)).cast("double") / F.col("n_raw")
+            ).alias("doc_share"),
+            F.expr(
+                "CASE WHEN coalesce(t_in, 0) > 0 THEN "
+                "CAST(coalesce(t_kept, 0) AS DOUBLE) / coalesce(t_in, 0) "
+                "ELSE CAST(0.0 AS DOUBLE) END"
+            ).alias("token_retention"),
+        )
+    )
+
+
+def _curation_funnel_v2_sql() -> str:
+    from google_cloud_ecommerce_spark.operators.dedup import _dedup_span_excision_sql
+    from google_cloud_ecommerce_spark.operators.text import (
+        _char_entropy_gate_sql,
+        _gopher_gates_sql,
+        _quality_classifier_sql,
+    )
+
+    return f"""
+        WITH raw AS (
+            SELECT source, count(*) AS n_raw FROM documents GROUP BY 1
+        ), keep1 AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), s1 AS (
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN keep1 k ON k.doc_id = d.doc_id
+        ), ent AS (
+            SELECT doc_id FROM ({_char_entropy_gate_sql()}) e WHERE passes
+        ), s2 AS (
+            SELECT s1.doc_id, s1.source FROM s1 JOIN ent USING (doc_id)
+        ), gat AS (
+            SELECT doc_id FROM ({_gopher_gates_sql()}) g WHERE keep = 1
+        ), s3 AS (
+            SELECT s2.doc_id, s2.source FROM s2 JOIN gat USING (doc_id)
+        ), qc AS (
+            SELECT doc_id, n_tokens FROM ({_quality_classifier_sql()}) q
+            WHERE is_kept = 1
+        ), s4 AS (
+            SELECT s3.doc_id, s3.source, qc.n_tokens
+            FROM s3 JOIN qc USING (doc_id)
+        ), exc AS (
+            SELECT doc_id, n_retained FROM ({_dedup_span_excision_sql()}) x
+        ), tok AS (
+            SELECT s4.source, s4.n_tokens,
+                   COALESCE(x.n_retained, s4.n_tokens) AS kept_tokens
+            FROM s4 LEFT JOIN exc x USING (doc_id)
+        ), c1 AS (SELECT source, count(*) AS n FROM s1 GROUP BY 1),
+        c2 AS (SELECT source, count(*) AS n FROM s2 GROUP BY 1),
+        c3 AS (SELECT source, count(*) AS n FROM s3 GROUP BY 1),
+        c4 AS (
+            SELECT source, count(*) AS n,
+                   CAST(SUM(n_tokens) AS BIGINT) AS t_in,
+                   CAST(SUM(kept_tokens) AS BIGINT) AS t_kept
+            FROM tok GROUP BY 1
+        )
+        SELECT r.source, r.n_raw,
+               CAST(COALESCE(c1.n, 0) AS BIGINT) AS n_exact_unique,
+               CAST(COALESCE(c2.n, 0) AS BIGINT) AS n_entropy,
+               CAST(COALESCE(c3.n, 0) AS BIGINT) AS n_gopher,
+               CAST(COALESCE(c4.n, 0) AS BIGINT) AS n_classifier,
+               CAST(COALESCE(c4.t_in, 0) AS BIGINT) AS tokens_in,
+               CAST(COALESCE(c4.t_kept, 0) AS BIGINT) AS tokens_retained,
+               CAST(COALESCE(c4.n, 0) AS DOUBLE) / r.n_raw AS doc_share,
+               CASE WHEN COALESCE(c4.t_in, 0) > 0 THEN
+                   CAST(COALESCE(c4.t_kept, 0) AS DOUBLE) / COALESCE(c4.t_in, 0)
+               ELSE CAST(0.0 AS DOUBLE) END AS token_retention
+        FROM raw r
+        LEFT JOIN c1 ON c1.source = r.source
+        LEFT JOIN c2 ON c2.source = r.source
+        LEFT JOIN c3 ON c3.source = r.source
+        LEFT JOIN c4 ON c4.source = r.source
+    """
+
+
+QUERIES["curation_funnel_v2"] = curation_funnel_v2
+ORACLE["curation_funnel_v2"] = _curation_funnel_v2_sql()
+
+
+# ---------------------------------------------------------------------------
 # span_corruption_masks — T5-style span-corruption ACCOUNTING: which
 # token positions a denoising objective would mask, decided by pure
 # hash arithmetic so any engine (and any rerun) masks the same spans.

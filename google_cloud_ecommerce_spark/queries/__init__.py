@@ -64,93 +64,80 @@ def _modules():
 
 
 # The correctness driver oracle-checks the FIRST 50 registry entries only.
-# Round-8 rotation (VERDICT r7 "next round" #2): CORRECTNESS_r07 landed
-# 50/50 green, so the driver-green union is 257 of 270 and the
-# never-checked tail is exactly the 13 names the round-7 hand-off
-# predicted (10 deferred TPC-H lookalikes + the 3 round-7 additions —
-# all 13 judge-verified in VERDICT r7, so a driver mismatch is
-# maximally informative). The window takes all 13, the 4 round-8
-# additions (market_basket_rules, similarity_multiprobe_topk,
-# weighted_sample_topk, schema_evolution_read), and
-# 33 re-check slots: once the
-# never-checked tail is smaller than the window, a slot is NOT wasted
-# on a re-check when the operator's code changed since its last driver
-# row — VERDICT r7 directed exactly this slate. Re-check groups:
-# 8 touched by the round-8 commits (broadcast guards for
-# lm_score/lm_bigram_score/dedup_prefix_filter + the shared threshold
-# parser move under contamination_check, the BPE base-vocab pin under
-# bpe_merges/bpe_tokenize, io.py bucket-GC hardening under
-# bucketed_join_revenue, the wire manifest-commit change under
-# wire_stream_sink), 8 perf-pinned in round 7 AFTER their last driver
-# row (winnowing_fingerprints/band_affinity excluded — their r07 rows
-# postdate the pins), and 17 oldest-evidence names whose only driver
-# row is r01 (10 of the 27 r01-last names are left out as exact-shape
-# siblings of newer greens: value_percentiles ⊂ value_quantile_sketch
-# r07 / conversion_latency_percentiles, lineitem_quartiles ⊂
-# lineitem_quartiles_distributed r03, value_band_stats ⊂
-# order_value_distribution r07, segment_orders_right_outer ⊂
-# nation_party_balance_full_outer r02, parts_never_ordered ⊂
-# customers_without_orders (kept), csv_roundtrip ⊂ orc/jsonl_roundtrip
-# r05/r06, high_value_customers and event_enrichment trivial
-# filter/fill shapes, parties_union ⊂ user_cohort_setops (in-window
-# set-op), large_parts_ordered ⊂ return_excess_orders (in-window
-# agg+having)). Exactly 50 names, all with oracles.
+# Round-9 rotation (VERDICT r8 "next round" #3): CORRECTNESS_r08 landed
+# 50/50 green, the driver-green union is 274/274 and the never-checked
+# tail is EMPTY — window slots are re-checks by necessity (plus any
+# round-9 additions). Slate composition, in the r8-directed order:
+# 3 round-9 additions (curation_funnel_v2, merge_upsert_rewrite,
+# streaming_merge_upsert);
+# 5 re-checks whose code changed in round-9 commits (the
+# countmin_estimates probe pre-filter + tfidf_top_terms vocab guard —
+# VERDICT r8 #1/#2 — the token_zipf_fit / vocab_prune_coverage guarded
+# prefix-sum rewrite — #5 — and the wire manifest-commit race fixes
+# under wire_stream_sink — ADVICE r8); then strictly oldest evidence:
+# ALL 10 names whose only driver row is r01 (the round-8 slate deferred
+# 7 of them as exact-shape siblings; with a pure re-check window there
+# is no cheaper claim to spend those slots on), ALL 28 names whose last
+# row is r02, and the 4 alphabetically-first r03-last names
+# (ab_test_cuped, asof_purchase_view, batch_sessionization,
+# bloom_membership) to fill 50. Every name has an oracle;
+# tests/test_registry.py pins the slate and the no-wasted-slot rule.
 PRIORITY: tuple[str, ...] = (
-    # --- 13 never-driver-checked (all judge-verified in VERDICT r7) ---
-    "promo_revenue_ratio",
-    "small_quantity_revenue",
-    "large_volume_orders",
-    "returned_item_customers",
-    "top_supplier_revenue",
-    "brand_size_supplier_counts",
-    "product_type_profit",
-    "important_parts_value",
-    "excess_quantity_suppliers",
-    "lonely_late_suppliers",
-    "kn_bigram_score",
-    "mlm_masking_spec",
-    "ngram_novelty_score",
-    # --- 4 round-8 additions (never checked) ---
-    "market_basket_rules",
-    "similarity_multiprobe_topk",
-    "weighted_sample_topk",
-    "schema_evolution_read",
-    # --- 8 re-checks: code changed in round-8 commits ---
-    "lm_score",
-    "lm_bigram_score",
-    "dedup_prefix_filter",
-    "contamination_check",
-    "bpe_merges",
-    "bpe_tokenize",
-    "bucketed_join_revenue",
-    "wire_stream_sink",
-    # --- 8 re-checks: round-7 perf pins landed after their last driver row ---
-    "rfm_segments",
-    "key_skew_report",
+    # --- 3 round-9 additions (never driver-checked) ---
+    "curation_funnel_v2",
+    "merge_upsert_rewrite",
+    "streaming_merge_upsert",
+    # --- 5 re-checks: code changed in round-9 commits ---
+    "countmin_estimates",
+    "tfidf_top_terms",
     "token_zipf_fit",
     "vocab_prune_coverage",
-    "functional_dependencies",
-    "matryoshka_recall",
-    "matryoshka_dim_sweep",
-    "cross_source_dedup_matrix",
-    # --- 17 re-checks: oldest driver evidence (r01-only rows) ---
-    "customer_order_progression",
-    "customers_above_nation_avg",
-    "customers_without_orders",
-    "funnel_transitions",
-    "lineitem_measures_unpivot",
-    "monthly_revenue_running",
-    "order_cube",
-    "order_priority_rollup",
-    "orders_per_customer_histogram",
-    "return_excess_orders",
-    "revenue_grouping_sets",
-    "segment_daily_moving_avg",
-    "sql_revenue_report",
-    "top_customers_per_segment",
-    "user_cohort_setops",
-    "user_event_gaps",
-    "user_retention_cohorts",
+    "wire_stream_sink",
+    # --- 10 re-checks: oldest driver evidence (r01-only rows) ---
+    "csv_roundtrip",
+    "event_enrichment",
+    "high_value_customers",
+    "large_parts_ordered",
+    "lineitem_quartiles",
+    "parties_union",
+    "parts_never_ordered",
+    "segment_orders_right_outer",
+    "value_band_stats",
+    "value_percentiles",
+    # --- 28 re-checks: last driver row is r02 ---
+    "bm25_search",
+    "changelog_compaction",
+    "conversion_rate",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "event_type_stats_arrow",
+    "first_shipment_per_order",
+    "hour_event_value",
+    "kmeans_assign",
+    "kmv_user_cardinality",
+    "nation_party_balance_full_outer",
+    "nation_revenue",
+    "national_market_share",
+    "order_status_pivot",
+    "purchase_attribution",
+    "purchase_funnel",
+    "record_id",
+    "scd2_user_state",
+    "sequence_packing",
+    "shipping_priority",
+    "similarity_index_topk",
+    "similarity_ivf_topk",
+    "streaming_sessionization",
+    "token_counts",
+    "top_categories",
+    "user_cardinality",
+    "weekday_conversion_volume",
+    "wire_stream_counts",
+    # --- 4 re-checks: oldest r03-last names (alphabetical fill) ---
+    "ab_test_cuped",
+    "asof_purchase_view",
+    "batch_sessionization",
+    "bloom_membership",
 )
 
 

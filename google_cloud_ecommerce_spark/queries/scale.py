@@ -1163,6 +1163,135 @@ ORACLE["partition_delete_rewrite"] = PARTITION_DELETE_SQL
 
 
 # ---------------------------------------------------------------------------
+# merge_upsert_rewrite — row-level MERGE INTO as a copy-on-write
+# rewrite (VERDICT r8 #7): partition_delete_rewrite above covers
+# partition-level DELETE; this is the keyed upsert every lakehouse
+# table format (Delta/Iceberg/Hudi CoW) implements — a changelog of
+# absolute-state rows is merged into the day-partitioned events
+# layout by rewriting ONLY the partitions containing touched keys:
+# survivors (base rows whose key is absent from the changelog) union
+# the changelog itself, written with dynamic partition overwrite.
+#
+# The changelog derives deterministically from the source events so
+# the oracle can reconstruct the merged state without seeing the
+# files: keys = event_id % 10 == 3 become UPDATEs (absolute SET —
+# value := 999.25, event_type := 'adjusted'; absolute, not
+# incremental, so re-delivery is idempotent), keys = event_id % 10
+# == 7 become INSERTs re-keyed at event_id + MERGE_INSERT_OFFSET
+# (collision-free at fixture scale; a production pipeline allocates
+# key ranges). Exactly-once: applying the same changelog twice yields
+# byte-identical state (test_scale.py) — the at-least-once redelivery
+# guarantee a MERGE sink owes its upstream.
+#
+# Scale posture: the affected-day set is tiny (<= days in the
+# changelog) and broadcast for a semi-join the day-partition scan can
+# DPP-prune on; the key anti-join is SHUFFLED on event_id — the
+# changelog is fact-derived (~20% of rows here) and must never carry
+# a broadcast hint; untouched partitions are never read or written.
+# ---------------------------------------------------------------------------
+
+MERGE_UPD_MOD = 10
+MERGE_UPD_RESIDUE = 3
+MERGE_INS_RESIDUE = 7
+MERGE_SET_VALUE = 999.25  # exactly representable: IEEE-identical in both engines
+MERGE_INSERT_OFFSET = 1_000_000_000
+
+
+def _changelog_of(ev: DataFrame) -> DataFrame:
+    """Absolute-state upsert rows derived from event rows that already
+    carry day/hour — shared by the batch MERGE below and the streaming
+    per-micro-batch MERGE (streaming/jobs.py), so both sides apply the
+    identical changelog and one oracle covers both."""
+    updates = (
+        ev.filter(F.col("event_id") % MERGE_UPD_MOD == MERGE_UPD_RESIDUE)
+        .withColumn("event_type", F.lit("adjusted"))
+        .withColumn("value", F.lit(MERGE_SET_VALUE))
+    )
+    inserts = (
+        ev.filter(F.col("event_id") % MERGE_UPD_MOD == MERGE_INS_RESIDUE)
+        .withColumn("event_id", F.col("event_id") + MERGE_INSERT_OFFSET)
+        .withColumn("event_type", F.lit("backfill"))
+    )
+    return updates.unionByName(inserts)
+
+
+def _merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog over the full SOURCE events table (same schema as the
+    day-partitioned base: full row + day/hour); derivation from the
+    source, not the target, is what makes re-application idempotent."""
+    return _changelog_of(
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .withColumn("hour", F.hour("ts").cast("int"))
+    )
+
+
+def _apply_merge(base: DataFrame, changelog: DataFrame) -> DataFrame:
+    """MERGE semantics over the touched partitions: matched keys take
+    the changelog row (absolute state), unmatched keys insert. Returns
+    exactly the rows of the partitions that must be rewritten."""
+    days = changelog.select("day").distinct()
+    touched = base.join(F.broadcast(days), "day", "left_semi")
+    survivors = touched.join(changelog.select("event_id"), "event_id", "left_anti")
+    return survivors.unionByName(changelog.select(*survivors.columns))
+
+
+def merge_upsert_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+
+    src = ensure_day_partitioned_events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="spark_graft_merge_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    base = spark.read.parquet(src)
+    base.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    work = spark.read.parquet(out)
+    merged = _apply_merge(work, _merge_changelog(spark, sf_dir))
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    mutated = spark.read.parquet(out)
+    return mutated.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.sum((F.col("event_type") == "adjusted").cast("long")).alias("n_adjusted"),
+        F.sum((F.col("event_type") == "backfill").cast("long")).alias("n_backfill"),
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+    WITH merged AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, value
+        FROM events WHERE event_id % {MERGE_UPD_MOD} <> {MERGE_UPD_RESIDUE}
+        UNION ALL
+        SELECT CAST(ts AS DATE), 'adjusted', {MERGE_SET_VALUE}
+        FROM events WHERE event_id % {MERGE_UPD_MOD} = {MERGE_UPD_RESIDUE}
+        UNION ALL
+        SELECT CAST(ts AS DATE), 'backfill', value
+        FROM events WHERE event_id % {MERGE_UPD_MOD} = {MERGE_INS_RESIDUE}
+    )
+    SELECT day, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CASE WHEN event_type = 'adjusted' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_adjusted,
+           CAST(SUM(CASE WHEN event_type = 'backfill' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_backfill
+    FROM merged GROUP BY 1
+"""
+
+
+QUERIES["merge_upsert_rewrite"] = merge_upsert_rewrite
+ORACLE["merge_upsert_rewrite"] = MERGE_UPSERT_SQL
+
+
+# ---------------------------------------------------------------------------
 # jdbc_roundtrip — the external-database sink/source exercised against
 # a REAL embedded database (Apache Derby ships inside Spark's JVM for
 # the Hive metastore, so an in-memory Derby instance needs no extra

@@ -1564,6 +1564,90 @@ ORACLE["streaming_lakehouse_ingest"] = """
 
 
 # ---------------------------------------------------------------------------
+# streaming_merge_upsert — the streaming half of row-level MERGE
+# (queries/scale.merge_upsert_rewrite is the batch half, VERDICT r8
+# #7): each micro-batch derives its changelog slice (absolute-state
+# upserts, scale._changelog_of — the SAME derivation as batch, so the
+# SAME oracle covers both) and merges it into the day-partitioned
+# working table via foreachBatch — survivors anti-joined on the key,
+# union the changelog, dynamic partition overwrite of ONLY the touched
+# days. The replay deliberately re-delivers every 3rd row in the next
+# chunk (overlap_every=3, at-least-once transport): because changelog
+# rows carry ABSOLUTE state, a redelivered key anti-joins out the row
+# it wrote last epoch and re-writes the identical one — the
+# exactly-once upgrade lives in the MERGE semantics, not in a dedup
+# operator, and the oracle equality proves it end-to-end.
+#
+# Scale posture: per batch, one broadcast day semi-join (DPP-prunable)
+# + one SHUFFLED key anti-join over touched partitions (the changelog
+# is fact-derived — never broadcast-hinted); untouched days are never
+# read or rewritten; state lives in the table, not the stream (no
+# unbounded streaming state).
+# ---------------------------------------------------------------------------
+
+
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.queries.scale import _apply_merge, _changelog_of
+
+    src = ensure_day_partitioned_events(spark, sf_dir)
+    replay = write_replay_dir(spark, sf_dir, n_files=8, overlap_every=3)
+    out = tempfile.mkdtemp(prefix="spark_graft_smerge_")
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_smerge_ckpt_")
+    try:
+        spark.read.parquet(src).write.mode("overwrite").partitionBy("day").parquet(out)
+        stream = read_replay_stream(spark, replay)
+
+        def merge_epoch(batch_df, epoch_id: int) -> None:
+            chg = _changelog_of(
+                batch_df.withColumn("day", F.to_date("ts"))
+                .withColumn("hour", F.hour("ts").cast("int"))
+            )
+            merged = _apply_merge(spark.read.parquet(out), chg)
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("day")
+                .parquet(out)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(merge_epoch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        mutated = spark.read.parquet(out)
+        final = mutated.groupBy("day").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            F.sum((F.col("event_type") == "adjusted").cast("long")).alias("n_adjusted"),
+            F.sum((F.col("event_type") == "backfill").cast("long")).alias("n_backfill"),
+        )
+        return _pin_result(final)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+def _streaming_merge_upsert_sql() -> str:
+    # the batch MERGE oracle verbatim: stream + batch must converge on
+    # the same merged state (import deferred: ORACLE dicts are built at
+    # module import and scale.py must not import back)
+    from google_cloud_ecommerce_spark.queries.scale import MERGE_UPSERT_SQL
+
+    return MERGE_UPSERT_SQL
+
+
+QUERIES["streaming_merge_upsert"] = streaming_merge_upsert
+ORACLE["streaming_merge_upsert"] = _streaming_merge_upsert_sql()
+
+
+# ---------------------------------------------------------------------------
 # streaming_jdbc_sink — the reference's stream-to-database edge
 # (Pub/Sub -> Beam -> BigQuery, write_session_stream.py:107-112) run
 # against a REAL embedded database: each micro-batch appends to an

@@ -47,38 +47,43 @@ _FAMILY_ANCHORS = {
 # 101-name never-checked tail.
 
 
-# Round-8 window slate (VERDICT r7 directive #2): the never-checked
-# tail (13 + the 4 round-8 additions) no longer fills the window, so
-# 33 slots are DOCUMENTED re-checks — justified only when the operator's
-# code changed since its last driver row (round-8 broadcast
-# guards/BPE pin/io+wire hardening; round-7 perf pins that postdate
-# the r05/r06 rows) or when its only evidence is the oldest round
-# (r01). An undocumented re-check is still a wasted slot.
+# Round-9 window slate (VERDICT r8 directive #3): CORRECTNESS_r08
+# landed 50/50 and the never-checked tail is EMPTY, so apart from the
+# 3 round-9 additions every slot is a DOCUMENTED re-check — justified
+# only when the operator's code changed since its last driver row
+# (round-9 broadcast-guard fixes and the wire commit-race fix) or by
+# strictly oldest evidence (all r01-only names, all r02-last names,
+# then the alphabetically-first r03-last names to fill 50). An
+# undocumented re-check is still a wasted slot.
 _RECHECK_SLATE = {
-    # round-8 code changes
-    "lm_score", "lm_bigram_score", "dedup_prefix_filter",
-    "contamination_check", "bpe_merges", "bpe_tokenize",
-    "bucketed_join_revenue", "wire_stream_sink",
-    # round-7 perf pins after last driver row
-    "rfm_segments", "key_skew_report", "token_zipf_fit",
-    "vocab_prune_coverage", "functional_dependencies",
-    "matryoshka_recall", "matryoshka_dim_sweep",
-    "cross_source_dedup_matrix",
+    # round-9 code changes
+    "countmin_estimates", "tfidf_top_terms", "token_zipf_fit",
+    "vocab_prune_coverage", "wire_stream_sink",
     # oldest evidence: only driver row is r01
-    "customer_order_progression", "customers_above_nation_avg",
-    "customers_without_orders", "funnel_transitions",
-    "lineitem_measures_unpivot",
-    "monthly_revenue_running", "order_cube", "order_priority_rollup",
-    "orders_per_customer_histogram",
-    "return_excess_orders", "revenue_grouping_sets",
-    "segment_daily_moving_avg", "sql_revenue_report",
-    "top_customers_per_segment", "user_cohort_setops",
-    "user_event_gaps", "user_retention_cohorts",
+    "csv_roundtrip", "event_enrichment", "high_value_customers",
+    "large_parts_ordered", "lineitem_quartiles", "parties_union",
+    "parts_never_ordered", "segment_orders_right_outer",
+    "value_band_stats", "value_percentiles",
+    # last driver row is r02 (all 28)
+    "bm25_search", "changelog_compaction", "conversion_rate",
+    "dedup_clusters", "dedup_minhash_lsh", "event_type_stats_arrow",
+    "first_shipment_per_order", "hour_event_value", "kmeans_assign",
+    "kmv_user_cardinality", "nation_party_balance_full_outer",
+    "nation_revenue", "national_market_share", "order_status_pivot",
+    "purchase_attribution", "purchase_funnel", "record_id",
+    "scd2_user_state", "sequence_packing", "shipping_priority",
+    "similarity_index_topk", "similarity_ivf_topk",
+    "streaming_sessionization", "token_counts", "top_categories",
+    "user_cardinality", "weekday_conversion_volume",
+    "wire_stream_counts",
+    # oldest r03-last names (alphabetical fill)
+    "ab_test_cuped", "asof_purchase_view", "batch_sessionization",
+    "bloom_membership",
 }
 
 
 def _driver_checked_names(
-    rounds: tuple[str, ...] = ("01", "02", "03", "05", "06", "07"),
+    rounds: tuple[str, ...] = ("01", "02", "03", "05", "06", "07", "08"),
 ) -> set[str]:
     """Names with a driver row in the given rounds (missing files
     skipped). Pinned to the rounds known when the current window was

@@ -95,3 +95,60 @@ def test_bloom_filter_never_false_negative(spark, sf_smoke):
             fp = r.n_false_positives / r.n_non_members
             theory = (1 - math.exp(-BLOOM_HASHES * r.n_members / BLOOM_BITS)) ** BLOOM_HASHES
             assert fp <= max(0.05, 3 * theory)
+
+
+def test_merge_upsert_exactly_once_reapplication(spark, sf_smoke):
+    """The MERGE changelog carries ABSOLUTE state, so re-delivering the
+    same epoch (at-least-once upstream) must leave the table
+    byte-identical — the exactly-once guarantee a MERGE sink owes.
+    Apply the merge twice to one working copy and compare full states;
+    also pin the semantics: every update key shows the set value,
+    every insert key exists exactly once, untouched rows unchanged."""
+    import tempfile
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.queries.scale import (
+        MERGE_INSERT_OFFSET,
+        MERGE_SET_VALUE,
+        MERGE_UPD_MOD,
+        MERGE_UPD_RESIDUE,
+        _apply_merge,
+        _merge_changelog,
+    )
+
+    src = ensure_day_partitioned_events(spark, sf_smoke)
+    with tempfile.TemporaryDirectory(prefix="merge_once_") as out:
+        spark.read.parquet(src).write.mode("overwrite").partitionBy("day").parquet(out)
+        chg = _merge_changelog(spark, sf_smoke)
+
+        def apply_once():
+            merged = _apply_merge(spark.read.parquet(out), chg)
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("day")
+                .parquet(out)
+            )
+            return sorted(
+                (r.event_id, r.event_type, r.value)
+                for r in spark.read.parquet(out)
+                .select("event_id", "event_type", "value")
+                .collect()
+            )
+
+        first = apply_once()
+        second = apply_once()
+        assert first == second
+
+        by_id = dict((eid, (et, v)) for eid, et, v in first)
+        base_rows = spark.read.parquet(src).select(
+            "event_id", "event_type", "value"
+        ).collect()
+        for r in base_rows:
+            res = r.event_id % MERGE_UPD_MOD
+            if res == MERGE_UPD_RESIDUE:
+                assert by_id[r.event_id] == ("adjusted", MERGE_SET_VALUE)
+            else:
+                assert by_id[r.event_id] == (r.event_type, r.value)
+        inserted = [eid for eid in by_id if eid >= MERGE_INSERT_OFFSET]
+        assert inserted and len(first) == len(base_rows) + len(inserted)

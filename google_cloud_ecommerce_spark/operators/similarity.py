@@ -2673,3 +2673,119 @@ def _similarity_multiprobe_topk_sql() -> str:
 
 QUERIES["similarity_multiprobe_topk"] = similarity_multiprobe_topk
 ORACLE["similarity_multiprobe_topk"] = _similarity_multiprobe_topk_sql()
+
+
+# ---------------------------------------------------------------------------
+# similarity_binary_topk — binary (sign) quantization ANN: each vector
+# compresses to ONE int64 word (bit i = sign of dimension i; EMBED_DIM
+# = 64 packs exactly), candidate generation is Hamming distance via a
+# single xor + popcount per pair — the cheapest possible scan-side
+# similarity, the shape modern binary-quantization indexes (and the
+# classic Charikar sign-sketch) run at retrieval time — and the top
+# BQ_CANDIDATES per query are exactly reranked by raw cosine.
+# Complements the codebook family: SQ (similarity_sq_topk) compresses
+# to 8 bits/dim, PQ to subspace codes; this is 1 bit/dim with a
+# 64x-smaller candidate scan.
+#
+# Scale posture: two embeddings scans (words for the Hamming pass,
+# vectors for the rerank — plan-tested); the query words and the
+# candidate list are knob-bounded broadcasts (Q and Q x C rows); the
+# Hamming cutoff is a per-q_id WindowGroupLimit, never a global sort.
+# Determinism: sign bits and Hamming counts are exact integers in both
+# engines; cutoff and final rank both tie-break by vec_id; only the
+# output cosine is rounded (shared _rank_topk tail).
+# ---------------------------------------------------------------------------
+
+BQ_CANDIDATES = 50
+
+
+def _sign_pack_expr(col: str) -> str:
+    """int64 sign word — Spark side. OR-fold: no overflow semantics."""
+    return (
+        f"aggregate(sequence(0, {EMBED_DIM - 1}), 0L, (acc, i) -> "
+        f"acc | IF(element_at({col}, i + 1) > CAST(0.0 AS DOUBLE), "
+        f"shiftleft(1L, i), 0L))"
+    )
+
+
+def _sign_pack_sql(col: str) -> str:
+    # DuckDB range-checks << and refuses 1 << 63 (Spark's shiftleft
+    # wraps to the sign bit); spell the top bit as the min-int64 literal
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(0, {EMBED_DIM}), i -> "
+        f"CASE WHEN ({col})[i + 1] > CAST(0.0 AS DOUBLE) "
+        f"THEN CASE WHEN i = 63 THEN (-9223372036854775807::BIGINT - 1) "
+        f"ELSE (1::BIGINT << i) END ELSE 0::BIGINT END)), (acc, x) -> acc | x)"
+    )
+
+
+def similarity_binary_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    top_k: int = TOP_K,
+    n_query_vecs: int = N_QUERY_VECS,
+    n_candidates: int = BQ_CANDIDATES,
+) -> DataFrame:
+    words = _emb(spark, sf_dir).select(
+        "vec_id", F.expr(_sign_pack_expr("v")).alias("w")
+    )
+    qwords = words.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("q_id"), F.col("w").alias("qw")
+    )
+    ham = words.join(
+        F.broadcast(qwords), F.col("vec_id") != F.col("q_id")
+    ).withColumn("hamming", F.expr("bit_count(w ^ qw)"))
+    wnd = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    cand = (
+        ham.withColumn("hrank", F.row_number().over(wnd))
+        .filter(F.col("hrank") <= n_candidates)
+        .select("q_id", "vec_id")
+    )
+    corpus = _with_norm(_emb(spark, sf_dir))
+    queries = corpus.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = corpus.join(F.broadcast(cand), "vec_id").join(
+        F.broadcast(queries), "q_id"
+    )
+    return _rank_topk(scored, top_k)
+
+
+def _similarity_binary_topk_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), wrd AS (
+            SELECT vec_id, {_sign_pack_sql('v')} AS w FROM e
+        ), qw AS (
+            SELECT vec_id AS q_id, w AS qw FROM wrd
+            WHERE vec_id < {N_QUERY_VECS}
+        ), ham AS (
+            SELECT q.q_id, c.vec_id,
+                   bit_count(xor(c.w, q.qw)) AS hamming
+            FROM wrd c JOIN qw q ON c.vec_id != q.q_id
+        ), cand AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY hamming, vec_id) AS hrank
+                FROM ham
+            ) WHERE hrank <= {BQ_CANDIDATES}
+        ), n AS (
+            SELECT vec_id, v, sqrt({dot_sql('v', 'v')}) AS norm FROM e
+        ), scored AS (
+            SELECT cand.q_id, cand.vec_id AS neighbor_id,
+                   {dot_sql('q.v', 'c.v')} / (q.norm * c.norm) AS cos
+            FROM cand
+            JOIN n c ON c.vec_id = cand.vec_id
+            JOIN n q ON q.vec_id = cand.q_id
+        )
+{_rank_tail_sql()}"""
+
+
+QUERIES["similarity_binary_topk"] = similarity_binary_topk
+ORACLE["similarity_binary_topk"] = _similarity_binary_topk_sql()

@@ -884,6 +884,25 @@ def test_multiprobe_broadcasts_probes_and_scans_corpus_once(spark, sf_smoke):
     assert corpus_scans <= 2  # corpus side + broadcast query side
 
 
+def test_binary_topk_scans_twice_and_broadcasts_candidates(spark, sf_smoke):
+    """Round-9: binary quantization plans exactly two embeddings scans
+    (sign words for the Hamming pass; full vectors for the rerank —
+    plus the two knob-bounded broadcast sides built from them), every
+    join is a broadcast (query words, candidate list, query vectors —
+    all Q / QxC bounded), and the only windows are the per-q_id Hamming
+    cutoff and rerank rank — never a global sort of the corpus."""
+    df = similarity.similarity_binary_topk(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    scans = sum(
+        1 for l in plan.splitlines() if "FileScan parquet" in l and "embeddings" in l
+    )
+    assert scans <= 4, plan  # 2 plan roles x (stream + broadcast build)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("q_id" in s for s in specs), specs
+
+
 def test_market_basket_rule_join_rides_the_pinned_aggregate(spark, sf_smoke):
     """Round-8: pairs, marginals, and the basket total all derive from
     ONE pinned (localCheckpoint) aggregate — the executed plan must
@@ -910,3 +929,38 @@ def test_weighted_sample_is_takeordered_no_shuffle(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan, f"lost the top-k plan:\n{plan}"
     assert "Exchange" not in plan, f"weighted sample grew a shuffle:\n{plan}"
     assert "Window" not in plan
+
+
+def test_merge_upsert_semi_broadcasts_and_anti_is_unhinted(spark, sf_smoke):
+    """Round-9 MERGE shape: the affected-day semi-join carries the
+    static broadcast (tiny day set) and DPP-prunes the day-partitioned
+    base scan; the key anti-join is UNHINTED — the changelog is
+    fact-derived, so with the statistics threshold disabled it must
+    fall back to its shuffled form while the day broadcast stays."""
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.queries.scale import (
+        _apply_merge,
+        _merge_changelog,
+    )
+
+    src = ensure_day_partitioned_events(spark, sf_smoke)
+    base = spark.read.parquet(src)
+    chg = _merge_changelog(spark, sf_smoke)
+
+    plan = _apply_merge(base, chg)._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin \[day#\d+\], \[day#\d+\], LeftSemi", plan)
+    assert "dynamicpruning" in plan, "day partition scan lost DPP"
+    assert "CartesianProduct" not in plan
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_big = (
+            _apply_merge(base, chg)._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert re.search(
+        r"BroadcastHashJoin \[day#\d+\], \[day#\d+\], LeftSemi", plan_big
+    ), "the explicit day broadcast must survive the threshold"
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[event_id#\d+L?\].*LeftAnti", plan_big), plan_big

@@ -137,3 +137,26 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
     assert recalls[1] >= r_single
     assert recalls[-1] <= 1.0
+
+
+def test_binary_topk_recall_monotone_and_exhaustive_is_exact(spark):
+    """Binary-quantization dials: candidate sets nest as n_candidates
+    widens, so recall@k is monotone; opening the Hamming cutoff to the
+    whole corpus recovers brute force bit-for-bit (the rerank is the
+    same exact-cosine tail)."""
+    from google_cloud_ecommerce_spark.operators import similarity as S
+
+    exact = _full(S.similarity_topk(spark, SF_01))
+    n_corpus = S._emb(spark, SF_01).count()
+    everything = _full(
+        S.similarity_binary_topk(spark, SF_01, n_candidates=n_corpus)
+    )
+    assert everything == exact
+
+    exact_pairs = _pairs(S.similarity_topk(spark, SF_01))
+    r = {}
+    for c in (10, 50, 200):
+        got = _pairs(S.similarity_binary_topk(spark, SF_01, n_candidates=c))
+        r[c] = len(got & exact_pairs) / len(exact_pairs)
+    assert r[10] <= r[50] <= r[200]
+    assert r[200] >= 0.5  # 1-bit/dim sketch at c=200 must beat chance by far

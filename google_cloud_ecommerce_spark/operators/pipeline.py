@@ -2207,6 +2207,70 @@ ORACLE["weighted_sample_topk"] = WEIGHTED_SAMPLE_TOPK_SQL
 
 
 # ---------------------------------------------------------------------------
+# stratified_sample_topk — the grouped twin of weighted_sample_topk:
+# an exact A-ES weighted sample without replacement PER SOURCE (the
+# draw a mixture-controlled pretraining pipeline actually runs — fix
+# the per-source document budget, sample within each stratum by
+# quality/length weight). Same deterministic salted-md5 key, same
+# single ln rounding; the per-group cutoff is a window PARTITIONED on
+# source, which Spark executes with a WindowGroupLimit map-side
+# pre-prune — at most k rows per partition per source reach the
+# shuffle, so the shuffle volume is |sources| * k, not the corpus.
+# ---------------------------------------------------------------------------
+
+STRATIFIED_SAMPLE_K = 50
+
+
+def stratified_sample_topk(
+    spark: SparkSession, sf_dir: str, *, k: int = STRATIFIED_SAMPLE_K
+) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "n_chars")
+        .filter(F.col("n_chars") > 0)
+    )
+    h = (
+        f"CAST(conv(substr(md5(concat('{WEIGHTED_SAMPLE_SALT}', "
+        f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    u = f"(CAST({h} + 1 AS DOUBLE) / CAST({_TWO_60_PLUS_1} AS DOUBLE))"
+    key = f"(round(ln({u}), 9) / CAST(n_chars AS DOUBLE))"
+    w = Window.partitionBy("source").orderBy(
+        F.desc("sample_key"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("sample_key", F.expr(key))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= int(k))
+        .select(
+            "source", "doc_id", F.col("n_chars").alias("weight"),
+            "sample_key", "rk",
+        )
+    )
+
+
+STRATIFIED_SAMPLE_TOPK_SQL = f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars AS weight,
+               round(ln(CAST(('0x' || substr(md5('{WEIGHTED_SAMPLE_SALT}' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE)
+                   / CAST({_TWO_60_PLUS_1} AS DOUBLE)), 9)
+                   / CAST(n_chars AS DOUBLE) AS sample_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT source, doc_id, weight, sample_key,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY sample_key DESC, doc_id)
+                AS BIGINT) AS rk
+    FROM keyed
+    QUALIFY rk <= {STRATIFIED_SAMPLE_K}
+"""
+
+QUERIES["stratified_sample_topk"] = stratified_sample_topk
+ORACLE["stratified_sample_topk"] = STRATIFIED_SAMPLE_TOPK_SQL
+
+
+# ---------------------------------------------------------------------------
 # schema_evolution_read — the lakehouse schema-evolution contract:
 # two parquet batches written with DIFFERENT column sets (an old
 # producer and a new one sharing only the key) must read back as one

@@ -931,6 +931,21 @@ def test_weighted_sample_is_takeordered_no_shuffle(spark, sf_smoke):
     assert "Window" not in plan
 
 
+def test_stratified_sample_prunes_per_group_map_side(spark, sf_smoke):
+    """Round-9: the per-source A-ES draw must plan WindowGroupLimit —
+    at most k rows per source survive each map partition before the
+    shuffle — and the only window is partitioned by source (never a
+    global sort)."""
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        stratified_sample_topk,
+    )
+
+    plan = plan_of(stratified_sample_topk(spark, sf_smoke))
+    assert "WindowGroupLimit" in plan, f"lost the map-side group limit:\n{plan}"
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("source" in s for s in specs), specs
+
+
 def test_merge_upsert_semi_broadcasts_and_anti_is_unhinted(spark, sf_smoke):
     """Round-9 MERGE shape: the affected-day semi-join carries the
     static broadcast (tiny day set) and DPP-prunes the day-partitioned

@@ -378,3 +378,50 @@ def test_weighted_sample_matches_reference_on_arbitrary_weights(
     assert [(r.doc_id, r.weight) for r in sorted(got, key=lambda r: (-r.sample_key, r.doc_id))] == [
         (i, w) for _, i, w in expect
     ]
+
+
+@settings(max_examples=8, deadline=None)
+@given(weights=weights_strategy)
+def test_stratified_sample_matches_reference_per_source(
+    spark, tmp_path_factory, weights
+):
+    """Per-source A-ES selection on arbitrary weights (docs dealt
+    round-robin to 3 sources, including sources smaller than k) must
+    equal the Python reference exactly within every stratum."""
+    import hashlib
+    import math
+
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        _TWO_60_PLUS_1,
+        STRATIFIED_SAMPLE_K,
+        WEIGHTED_SAMPLE_SALT,
+        stratified_sample_topk,
+    )
+
+    tmpdir = str(tmp_path_factory.mktemp("ss"))
+    rows = [(i, f"t{i}", "en", f"s{i % 3}", w) for i, w in enumerate(weights)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+
+    per_source: dict[str, list] = {}
+    for i, w in enumerate(weights):
+        h = int(
+            hashlib.md5(f"{WEIGHTED_SAMPLE_SALT}{i}".encode()).hexdigest()[:15], 16
+        )
+        key = round(math.log((h + 1) / _TWO_60_PLUS_1), 9) / w
+        per_source.setdefault(f"s{i % 3}", []).append((key, i, w))
+    expect = {
+        src: [
+            (i, w, rk + 1)
+            for rk, (_, i, w) in enumerate(
+                sorted(ks, key=lambda t: (-t[0], t[1]))[:STRATIFIED_SAMPLE_K]
+            )
+        ]
+        for src, ks in per_source.items()
+    }
+    got: dict[str, list] = {}
+    for r in stratified_sample_topk(spark, tmpdir).collect():
+        got.setdefault(r.source, []).append((r.doc_id, r.weight, r.rk))
+    got = {src: sorted(v, key=lambda t: t[2]) for src, v in got.items()}
+    assert got == expect

@@ -2165,6 +2165,30 @@ WEIGHTED_SAMPLE_K = 200
 _TWO_60_PLUS_1 = (1 << 60) + 1  # md5 prefix is 15 hex chars = 60 bits
 
 
+def _aes_key_expr() -> str:
+    """The A-ES sampling key round(ln(u), 9) / n_chars — Spark side.
+    ONE definition shared by the global and stratified draws: the
+    salted-md5 uniform, the +1 / (2^60 + 1) mapping, and the
+    load-bearing single ln rounding are cross-engine-critical and must
+    never diverge between the two operators' Spark/oracle pairs."""
+    h = (
+        f"CAST(conv(substr(md5(concat('{WEIGHTED_SAMPLE_SALT}', "
+        f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    u = f"(CAST({h} + 1 AS DOUBLE) / CAST({_TWO_60_PLUS_1} AS DOUBLE))"
+    return f"(round(ln({u}), 9) / CAST(n_chars AS DOUBLE))"
+
+
+def _aes_key_sql() -> str:
+    """DuckDB twin of _aes_key_expr."""
+    return (
+        f"round(ln(CAST(('0x' || substr(md5('{WEIGHTED_SAMPLE_SALT}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE) "
+        f"/ CAST({_TWO_60_PLUS_1} AS DOUBLE)), 9) "
+        f"/ CAST(n_chars AS DOUBLE)"
+    )
+
+
 def weighted_sample_topk(
     spark: SparkSession, sf_dir: str, *, k: int = WEIGHTED_SAMPLE_K
 ) -> DataFrame:
@@ -2173,14 +2197,8 @@ def weighted_sample_topk(
         .select("doc_id", "n_chars")
         .filter(F.col("n_chars") > 0)
     )
-    h = (
-        f"CAST(conv(substr(md5(concat('{WEIGHTED_SAMPLE_SALT}', "
-        f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-    )
-    u = f"(CAST({h} + 1 AS DOUBLE) / CAST({_TWO_60_PLUS_1} AS DOUBLE))"
-    key = f"(round(ln({u}), 9) / CAST(n_chars AS DOUBLE))"
     return (
-        docs.withColumn("sample_key", F.expr(key))
+        docs.withColumn("sample_key", F.expr(_aes_key_expr()))
         .orderBy(F.desc("sample_key"), F.asc("doc_id"))
         .limit(int(k))
         .select("doc_id", F.col("n_chars").alias("weight"), "sample_key")
@@ -2190,10 +2208,7 @@ def weighted_sample_topk(
 WEIGHTED_SAMPLE_TOPK_SQL = f"""
     WITH keyed AS (
         SELECT doc_id, n_chars AS weight,
-               round(ln(CAST(('0x' || substr(md5('{WEIGHTED_SAMPLE_SALT}' ||
-                   CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE)
-                   / CAST({_TWO_60_PLUS_1} AS DOUBLE)), 9)
-                   / CAST(n_chars AS DOUBLE) AS sample_key
+               {_aes_key_sql()} AS sample_key
         FROM documents WHERE n_chars > 0
     )
     SELECT doc_id, weight, sample_key
@@ -2229,17 +2244,11 @@ def stratified_sample_topk(
         .select("doc_id", "source", "n_chars")
         .filter(F.col("n_chars") > 0)
     )
-    h = (
-        f"CAST(conv(substr(md5(concat('{WEIGHTED_SAMPLE_SALT}', "
-        f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-    )
-    u = f"(CAST({h} + 1 AS DOUBLE) / CAST({_TWO_60_PLUS_1} AS DOUBLE))"
-    key = f"(round(ln({u}), 9) / CAST(n_chars AS DOUBLE))"
     w = Window.partitionBy("source").orderBy(
         F.desc("sample_key"), F.asc("doc_id")
     )
     return (
-        docs.withColumn("sample_key", F.expr(key))
+        docs.withColumn("sample_key", F.expr(_aes_key_expr()))
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= int(k))
         .select(
@@ -2252,10 +2261,7 @@ def stratified_sample_topk(
 STRATIFIED_SAMPLE_TOPK_SQL = f"""
     WITH keyed AS (
         SELECT source, doc_id, n_chars AS weight,
-               round(ln(CAST(('0x' || substr(md5('{WEIGHTED_SAMPLE_SALT}' ||
-                   CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE)
-                   / CAST({_TWO_60_PLUS_1} AS DOUBLE)), 9)
-                   / CAST(n_chars AS DOUBLE) AS sample_key
+               {_aes_key_sql()} AS sample_key
         FROM documents WHERE n_chars > 0
     )
     SELECT source, doc_id, weight, sample_key,

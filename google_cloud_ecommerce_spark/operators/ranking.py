@@ -39,6 +39,27 @@ _MID_RECORD_BITS = 33
 _MID_MASK = (1 << _MID_RECORD_BITS) - 1
 
 
+def _partition_exclusive_offsets(
+    per_partition: DataFrame, value_col: str, out_col: str
+) -> DataFrame:
+    """(__pid, value) -> (__pid, ``out_col`` = sum of value over all
+    EARLIER partition ids) via the triangular broadcast θ-join — one
+    row per PARTITION on both sides (bounded by the n_parts knob), so
+    the quadratic pair space and the broadcast are never data-sized.
+    The one definition shared by the global-rank and prefix-sum
+    constructions."""
+    earlier = per_partition.select(
+        F.col("__pid").alias("__e_pid"), F.col(value_col).alias("__e_v")
+    )
+    return (
+        per_partition.join(
+            F.broadcast(earlier), F.col("__e_pid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__e_v"), F.lit(0)).alias(out_col))
+    )
+
+
 def _ranked(
     df: DataFrame,
     order_exprs: list[Column | str],
@@ -57,12 +78,7 @@ def _ranked(
     )
     with_pid = ordered.withColumn("__pid", F.shiftright("__mid", _MID_RECORD_BITS))
     counts = with_pid.groupBy("__pid").agg(F.count("*").alias("__n"))
-    earlier = counts.select(F.col("__pid").alias("__e_pid"), F.col("__n").alias("__e_n"))
-    offsets = (
-        counts.join(F.broadcast(earlier), F.col("__e_pid") < F.col("__pid"), "left")
-        .groupBy("__pid")
-        .agg(F.coalesce(F.sum("__e_n"), F.lit(0)).alias("__offset"))
-    )
+    offsets = _partition_exclusive_offsets(counts, "__n", "__offset")
     total = counts.agg(F.sum("__n").alias("__n_total"))
     return (
         with_pid.join(F.broadcast(offsets), "__pid")
@@ -125,12 +141,7 @@ def range_partition_prefix_sum(
         # sums and the per-row window must see the SAME assignment
     )
     psums = ordered.groupBy("__pid").agg(F.sum(value_col).alias("__s"))
-    earlier = psums.select(F.col("__pid").alias("__e_pid"), F.col("__s").alias("__e_s"))
-    offsets = (
-        psums.join(F.broadcast(earlier), F.col("__e_pid") < F.col("__pid"), "left")
-        .groupBy("__pid")
-        .agg(F.coalesce(F.sum("__e_s"), F.lit(0)).alias("__off"))
-    )
+    offsets = _partition_exclusive_offsets(psums, "__s", "__off")
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_exprs)

@@ -313,7 +313,15 @@ class WireStreamWriter(DataSourceStreamWriter):
                 cur = None
             if cur == mine:
                 return  # idempotent re-commit of the same epoch
-            if (cur and cur == prior) or time.monotonic() >= deadline:
+            # Two consecutive identical reads prove nothing while the
+            # content is still a PREFIX of ours — a stalled winner's
+            # split write of identical content reads stable twice and
+            # must not be declared a clobber; only stable NON-prefix
+            # content is a genuine mismatch.
+            stable = cur is not None and cur == prior
+            if stable and cur and not mine.startswith(cur):
+                break
+            if time.monotonic() >= deadline:
                 break
             prior = cur
             time.sleep(0.05)
@@ -323,6 +331,11 @@ class WireStreamWriter(DataSourceStreamWriter):
                 f"epoch manifest {manifest} vanished mid-commit: a "
                 "concurrent committer created it and failed before its "
                 "content landed; retry the epoch"
+            )
+        if mine.startswith(cur):
+            raise RuntimeError(
+                f"epoch manifest {manifest} still partial after wait "
+                "(a concurrent committer's copy stalled); retry the epoch"
             )
         raise RuntimeError(
             f"epoch manifest {manifest} already committed with "

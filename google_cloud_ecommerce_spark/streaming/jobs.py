@@ -1634,17 +1634,13 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(checkpoint, ignore_errors=True)
 
 
-def _streaming_merge_upsert_sql() -> str:
-    # the batch MERGE oracle verbatim: stream + batch must converge on
-    # the same merged state (import deferred: ORACLE dicts are built at
-    # module import and scale.py must not import back)
-    from google_cloud_ecommerce_spark.queries.scale import MERGE_UPSERT_SQL
-
-    return MERGE_UPSERT_SQL
-
+# the batch MERGE oracle verbatim: stream + batch must converge on the
+# same merged state (queries.scale has no import back into streaming,
+# so the top-level import is cycle-free)
+from google_cloud_ecommerce_spark.queries.scale import MERGE_UPSERT_SQL  # noqa: E402
 
 QUERIES["streaming_merge_upsert"] = streaming_merge_upsert
-ORACLE["streaming_merge_upsert"] = _streaming_merge_upsert_sql()
+ORACLE["streaming_merge_upsert"] = MERGE_UPSERT_SQL
 
 
 # ---------------------------------------------------------------------------

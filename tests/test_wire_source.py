@@ -280,3 +280,38 @@ def test_stream_sink_fallback_copy_failure_cleans_tmp(tmp_path, monkeypatch):
     monkeypatch.setattr(wire.os, "fdopen", real_fdopen)
     assert not (tmp_path / "_commit-0").exists()
     assert [p for p in os_mod.listdir(tmp_path) if ".tmp." in p] == []
+
+
+def test_stream_sink_recommit_waits_out_stable_identical_prefix(tmp_path):
+    """Review r9: two consecutive identical PARTIAL reads must not be
+    declared a clobber while the content is still a prefix of ours — a
+    stalled winner writing identical content reads stable twice. The
+    loser keeps polling and succeeds once the copy lands."""
+    import threading
+    import time as time_mod
+
+    from google_cloud_ecommerce_spark.sources.wire import WireCommit, WireStreamWriter
+
+    full = str(tmp_path / "a.wire") + "\n" + str(tmp_path / "b.wire") + "\n"
+    manifest = tmp_path / "_commit-0"
+    manifest.write_text(full[: len(full) // 2])  # stalled mid-copy
+
+    def winner_finishes():
+        time_mod.sleep(0.4)  # > 2 poll intervals: the prefix reads stable
+        manifest.write_text(full)
+
+    t = threading.Thread(target=winner_finishes)
+    t.start()
+    try:
+        w = WireStreamWriter({"path": str(tmp_path)})
+        w.commit(
+            [
+                WireCommit(file=str(tmp_path / "a.wire"), n_messages=1),
+                WireCommit(file=str(tmp_path / "b.wire"), n_messages=1),
+            ],
+            batchId=0,
+        )
+    finally:
+        t.join()
+    assert manifest.read_text() == full
+    assert [p for p in manifest.parent.iterdir() if ".tmp." in p.name] == []

@@ -2728,8 +2728,16 @@ def similarity_binary_topk(
     n_query_vecs: int = N_QUERY_VECS,
     n_candidates: int = BQ_CANDIDATES,
 ) -> DataFrame:
-    words = _emb(spark, sf_dir).select(
-        "vec_id", F.expr(_sign_pack_expr("v")).alias("w")
+    # the sign-word table is NARROW (vec_id + one int64) and feeds two
+    # roles (Hamming stream + query-word broadcast build); the lazy pin
+    # computes the embedding-column decode + 64-dim pack once instead
+    # of once per role — measured 1.11 -> 0.92 s at sf0.1 even though
+    # the pin feeds a broadcast (the avoided re-decode outweighs the
+    # checkpoint barrier, the round-7 fact-table-scale pin rule)
+    words = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.expr(_sign_pack_expr("v")).alias("w"))
+        .localCheckpoint(eager=False)
     )
     qwords = words.filter(F.col("vec_id") < n_query_vecs).select(
         F.col("vec_id").alias("q_id"), F.col("w").alias("qw")

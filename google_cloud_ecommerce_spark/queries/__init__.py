@@ -68,9 +68,9 @@ def _modules():
 # 50/50 green, the driver-green union is 274/274 and the never-checked
 # tail is EMPTY — window slots are re-checks by necessity (plus any
 # round-9 additions). Slate composition, in the r8-directed order:
-# 5 round-9 additions (curation_funnel_v2, merge_upsert_rewrite,
+# 6 round-9 additions (curation_funnel_v2, merge_upsert_rewrite,
 # streaming_merge_upsert, similarity_binary_topk,
-# stratified_sample_topk);
+# stratified_sample_topk, time_travel_read);
 # 5 re-checks whose code changed in round-9 commits (the
 # countmin_estimates probe pre-filter + tfidf_top_terms vocab guard —
 # VERDICT r8 #1/#2 — the token_zipf_fit / vocab_prune_coverage guarded
@@ -79,16 +79,17 @@ def _modules():
 # ALL 10 names whose only driver row is r01 (the round-8 slate deferred
 # 7 of them as exact-shape siblings; with a pure re-check window there
 # is no cheaper claim to spend those slots on), ALL 28 names whose last
-# row is r02, and the 2 alphabetically-first r03-last names
-# (ab_test_cuped, asof_purchase_view) to fill 50. Every name has an oracle;
+# row is r02, and the alphabetically-first r03-last name
+# (ab_test_cuped) to fill 50. Every name has an oracle;
 # tests/test_registry.py pins the slate and the no-wasted-slot rule.
 PRIORITY: tuple[str, ...] = (
-    # --- 5 round-9 additions (never driver-checked) ---
+    # --- 6 round-9 additions (never driver-checked) ---
     "curation_funnel_v2",
     "merge_upsert_rewrite",
     "streaming_merge_upsert",
     "similarity_binary_topk",
     "stratified_sample_topk",
+    "time_travel_read",
     # --- 5 re-checks: code changed in round-9 commits ---
     "countmin_estimates",
     "tfidf_top_terms",
@@ -135,9 +136,8 @@ PRIORITY: tuple[str, ...] = (
     "user_cardinality",
     "weekday_conversion_volume",
     "wire_stream_counts",
-    # --- 2 re-checks: oldest r03-last names (alphabetical fill) ---
+    # --- 1 re-check: oldest r03-last name (alphabetical fill) ---
     "ab_test_cuped",
-    "asof_purchase_view",
 )
 
 

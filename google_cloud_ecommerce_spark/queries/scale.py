@@ -1292,6 +1292,110 @@ ORACLE["merge_upsert_rewrite"] = MERGE_UPSERT_SQL
 
 
 # ---------------------------------------------------------------------------
+# time_travel_read — snapshot isolation over copy-on-write versions,
+# the read half of the MERGE story (Delta/Iceberg/Hudi "VERSION AS
+# OF"): version v1 stores ONLY the partitions its merge rewrote; a
+# read at v1 resolves each partition to its newest file slice —
+# rewritten days from v1, untouched days from v0 — and a read at v0
+# still sees the pre-merge state byte-for-byte (writers never mutate
+# v0's files). The report aggregates BOTH version views so one oracle
+# proves isolation (v0 unchanged) and resolution (v1 = merged) at
+# once.
+#
+# The v1 changelog is day-bounded (dayofmonth <= 15, updates only) so
+# rewritten and untouched partitions BOTH exist — the resolution
+# genuinely mixes file slices from two version directories. The
+# touched-day set is a deterministic literal predicate, so the v0
+# complement read prunes at file-listing time (static partition
+# filter, no join); nothing in the resolution is proportional to the
+# data. In a real table format the per-partition newest-slice choice
+# comes from a manifest; the deterministic predicate stands in for it
+# here without changing the plan shape.
+# ---------------------------------------------------------------------------
+
+TT_SET_VALUE = 777.5  # exactly representable
+TT_DAY_CUTOFF = 15  # dayofmonth <= 15 partitions are rewritten in v1
+
+
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+
+    src = ensure_day_partitioned_events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="spark_graft_tt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    base = spark.read.parquet(src)
+    base.write.mode("overwrite").partitionBy("day").parquet(f"{out}/v0")
+
+    v0 = spark.read.parquet(f"{out}/v0")
+    touched = F.dayofmonth("day") <= TT_DAY_CUTOFF
+    is_upd = (F.col("event_id") % MERGE_UPD_MOD == MERGE_UPD_RESIDUE) & touched
+    rewritten = v0.filter(touched).withColumns(
+        {
+            "event_type": F.when(is_upd, F.lit("tt_adjusted")).otherwise(
+                F.col("event_type")
+            ),
+            "value": F.when(is_upd, F.lit(TT_SET_VALUE)).otherwise(F.col("value")),
+        }
+    )
+    rewritten.write.mode("overwrite").partitionBy("day").parquet(f"{out}/v1")
+
+    def snapshot(version: int) -> DataFrame:
+        if version == 0:
+            view = spark.read.parquet(f"{out}/v0")
+        else:
+            # newest slice per partition: rewritten days from v1, the
+            # complement from v0 via the static listing-time filter
+            view = spark.read.parquet(f"{out}/v1").unionByName(
+                spark.read.parquet(f"{out}/v0").filter(
+                    F.dayofmonth("day") > TT_DAY_CUTOFF
+                )
+            )
+        return view.groupBy().agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            F.sum((F.col("event_type") == "tt_adjusted").cast("long")).alias(
+                "n_adjusted"
+            ),
+        )
+
+    return snapshot(0).unionByName(snapshot(1))
+
+
+TIME_TRAVEL_SQL = f"""
+    WITH v0 AS (
+        SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+               CAST(0 AS BIGINT) AS n_adjusted
+        FROM events
+    ), v1rows AS (
+        SELECT CASE WHEN event_id % {MERGE_UPD_MOD} = {MERGE_UPD_RESIDUE}
+                         AND dayofmonth(CAST(ts AS DATE)) <= {TT_DAY_CUTOFF}
+                    THEN 'tt_adjusted' ELSE event_type END AS event_type,
+               CASE WHEN event_id % {MERGE_UPD_MOD} = {MERGE_UPD_RESIDUE}
+                         AND dayofmonth(CAST(ts AS DATE)) <= {TT_DAY_CUTOFF}
+                    THEN {TT_SET_VALUE} ELSE value END AS value
+        FROM events
+    ), v1 AS (
+        SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+               CAST(SUM(CASE WHEN event_type = 'tt_adjusted' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_adjusted
+        FROM v1rows
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1
+"""
+
+
+QUERIES["time_travel_read"] = time_travel_read
+ORACLE["time_travel_read"] = TIME_TRAVEL_SQL
+
+
+# ---------------------------------------------------------------------------
 # jdbc_roundtrip — the external-database sink/source exercised against
 # a REAL embedded database (Apache Derby ships inside Spark's JVM for
 # the Hive metastore, so an in-memory Derby instance needs no extra

@@ -979,3 +979,21 @@ def test_merge_upsert_semi_broadcasts_and_anti_is_unhinted(spark, sf_smoke):
         r"BroadcastHashJoin \[day#\d+\], \[day#\d+\], LeftSemi", plan_big
     ), "the explicit day broadcast must survive the threshold"
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[event_id#\d+L?\].*LeftAnti", plan_big), plan_big
+
+
+def test_time_travel_complement_prunes_at_listing_time(spark, sf_smoke, tmp_path):
+    """Round-9: the v0-complement read of a time-travel resolution
+    filters on a deterministic function of the PARTITION column, so it
+    prunes at file-listing time (PartitionFilters set, DataFilters
+    empty) — the resolution never scans the rewritten days' v0 files."""
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.queries.scale import TT_DAY_CUTOFF
+
+    src = ensure_day_partitioned_events(spark, sf_smoke)
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(src).filter(F.dayofmonth("day") > TT_DAY_CUTOFF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert re.search(r"PartitionFilters: \[[^\]]*dayofmonth", scan), scan
+    assert "DataFilters: []" in scan, scan

@@ -49,7 +49,7 @@ _FAMILY_ANCHORS = {
 
 # Round-9 window slate (VERDICT r8 directive #3): CORRECTNESS_r08
 # landed 50/50 and the never-checked tail is EMPTY, so apart from the
-# 5 round-9 additions every slot is a DOCUMENTED re-check — justified
+# 6 round-9 additions every slot is a DOCUMENTED re-check — justified
 # only when the operator's code changed since its last driver row
 # (round-9 broadcast-guard fixes and the wire commit-race fix) or by
 # strictly oldest evidence (all r01-only names, all r02-last names,
@@ -76,8 +76,8 @@ _RECHECK_SLATE = {
     "streaming_sessionization", "token_counts", "top_categories",
     "user_cardinality", "weekday_conversion_volume",
     "wire_stream_counts",
-    # oldest r03-last names (alphabetical fill)
-    "ab_test_cuped", "asof_purchase_view",
+    # oldest r03-last name (alphabetical fill)
+    "ab_test_cuped",
 }
 
 

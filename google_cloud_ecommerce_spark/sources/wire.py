@@ -225,6 +225,14 @@ _LINK_UNSUPPORTED_ERRNOS = {
     errno.EPERM, errno.EOPNOTSUPP, errno.ENOTSUP, errno.EXDEV, errno.ENOSYS
 }
 
+# How long an idempotent re-committer waits for a concurrent winner's
+# manifest content to stabilize on the O_CREAT|O_EXCL fallback path
+# (the only path where the manifest is visible before its content
+# lands). Overridable per-writer via the ``manifest_poll_deadline_s``
+# option: on slow NFS/FUSE, or across a GC pause, the winner's copy can
+# legitimately stall past any fixed default (ADVICE r9).
+MANIFEST_POLL_DEADLINE_S = 2.0
+
 
 class WireStreamWriter(DataSourceStreamWriter):
     """The STREAMING publish sink — the fourth quadrant of the Python
@@ -238,6 +246,9 @@ class WireStreamWriter(DataSourceStreamWriter):
 
     def __init__(self, options):
         self.path = options["path"]
+        self._poll_deadline_s = float(
+            options.get("manifest_poll_deadline_s", MANIFEST_POLL_DEADLINE_S)
+        )
 
     def write(self, iterator) -> WireCommit:
         return _write_wire_file(self.path, iterator)
@@ -261,7 +272,7 @@ class WireStreamWriter(DataSourceStreamWriter):
         try:
             os.link(tmp, manifest)
         except FileExistsError:
-            self._check_idempotent_recommit(tmp, manifest)
+            self._check_idempotent_recommit(tmp, manifest, self._poll_deadline_s)
         except OSError as exc:
             if exc.errno not in _LINK_UNSUPPORTED_ERRNOS:
                 os.remove(tmp)  # a real failure (EACCES, EMLINK, ...)
@@ -279,7 +290,9 @@ class WireStreamWriter(DataSourceStreamWriter):
             try:
                 fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
-                self._check_idempotent_recommit(tmp, manifest)
+                self._check_idempotent_recommit(
+                    tmp, manifest, self._poll_deadline_s
+                )
             else:
                 try:
                     with os.fdopen(fd, "w", encoding="utf-8") as out:
@@ -292,7 +305,9 @@ class WireStreamWriter(DataSourceStreamWriter):
         os.remove(tmp)
 
     @staticmethod
-    def _check_idempotent_recommit(tmp: str, manifest: str) -> None:
+    def _check_idempotent_recommit(
+        tmp: str, manifest: str, deadline_s: float = MANIFEST_POLL_DEADLINE_S
+    ) -> None:
         with open(tmp, encoding="utf-8") as fh:
             mine = fh.read()
         # The O_CREAT|O_EXCL fallback publishes the manifest before its
@@ -304,7 +319,8 @@ class WireStreamWriter(DataSourceStreamWriter):
         # failed and it unlinked — its own exception surfaces the
         # failure; this committer reports the torn race.
         prior: str | None = None
-        deadline = time.monotonic() + 2.0
+        stable = False
+        deadline = time.monotonic() + deadline_s
         while True:
             try:
                 with open(manifest, encoding="utf-8") as fh:
@@ -313,12 +329,11 @@ class WireStreamWriter(DataSourceStreamWriter):
                 cur = None
             if cur == mine:
                 return  # idempotent re-commit of the same epoch
-            # Two consecutive identical reads prove nothing while the
-            # content is still a PREFIX of ours — a stalled winner's
-            # split write of identical content reads stable twice and
-            # must not be declared a clobber; only stable NON-prefix
-            # content is a genuine mismatch.
             stable = cur is not None and cur == prior
+            # Stable NON-prefix content is a definite divergent commit
+            # — no need to wait out the deadline. Stable PREFIX content
+            # could still be a stalled winner's split write of
+            # identical content, so keep polling until the deadline.
             if stable and cur and not mine.startswith(cur):
                 break
             if time.monotonic() >= deadline:
@@ -332,15 +347,23 @@ class WireStreamWriter(DataSourceStreamWriter):
                 "concurrent committer created it and failed before its "
                 "content landed; retry the epoch"
             )
-        if mine.startswith(cur):
+        # Past the deadline, STABLE nonempty content that differs from
+        # ours is a committed divergent manifest even when it is a
+        # prefix of ours (the winner legitimately listed fewer files
+        # for the epoch): report the clobber — a retry can never
+        # succeed, so the 'still partial ... retry' diagnosis would be
+        # a lie (ADVICE r9). 'Still partial' is reserved for content
+        # that changed between the last two reads or stayed empty — a
+        # copy genuinely in flight.
+        if stable and cur:
             raise RuntimeError(
-                f"epoch manifest {manifest} still partial after wait "
-                "(a concurrent committer's copy stalled); retry the epoch"
+                f"epoch manifest {manifest} already committed with "
+                "different files; refusing to clobber (two writers on "
+                "one path, or a restart with a fresh checkpoint)"
             )
         raise RuntimeError(
-            f"epoch manifest {manifest} already committed with "
-            "different files; refusing to clobber (two writers on "
-            "one path, or a restart with a fresh checkpoint)"
+            f"epoch manifest {manifest} still partial after wait "
+            "(a concurrent committer's copy stalled); retry the epoch"
         )
 
     def abort(self, messages, batchId: int) -> None:  # pragma: no cover

@@ -132,3 +132,73 @@ def test_embedding_outliers_flags_planted_outlier(spark, tmp_path):
     assert out[n].is_outlier == 1
     assert all(out[i].is_outlier == 0 for i in range(n))
     assert OUTLIER_SIGMA == 2.0  # the documented gate
+
+
+def test_curation_funnel_v2_monotone_each_gate_kills(spark, tmp_path):
+    """VERDICT r9 #6: funnel-stage monotonicity on a crafted corpus
+    where each gate uniquely kills one doc. Texts were verified
+    analytically against the gate formulas: the ent doc has char
+    entropy 1.56 (< ENTROPY_MIN 3.0) but would pass nothing later is
+    asserted by stage; the gof doc has 19 words (< GOPHER_MIN_WORDS 50)
+    but entropy 4.38; the clf doc passes every Gopher rule (56 words,
+    mean len 6.2, all-alpha, 2 stopwords) with quality_logit -1.25; the
+    two keep docs pass everything (logit +1.25/+1.27) and share a
+    trailing 8-token span so cross-doc span excision shrinks their
+    token budget; the dup pair shares its full text so exact dedup
+    keeps one (and full-text duplication makes every span cross-doc
+    repeated, excising the keeper's whole budget)."""
+    from google_cloud_ecommerce_spark.operators.pipeline import curation_funnel_v2
+
+    neg = "foxtrot sierra mountain maroon victor delta"
+    span = "river bottle pillow winter spring garden window candle"
+    t_dup = "the and of " + " ".join(["bottle river pillow spring winter candle"] * 9)
+    t_ent = " ".join(["aba bab"] * 40)
+    t_gof = (
+        "the quick brown fox jumps over a lazy dog while the band "
+        "plays mellow jazz under bright city lights"
+    )
+    t_clf = "the and " + " ".join([neg] * 9)
+    t_keep1 = (
+        "the and of "
+        + " ".join(["river bottle pillow winter spring garden"] * 8)
+        + " " + span
+    )
+    t_keep2 = (
+        "the and to "
+        + " ".join(["winter spring river bottle pillow garden"] * 8)
+        + " " + span
+    )
+    rows = [
+        (0, t_dup, "en", "dup"),
+        (1, t_dup, "en", "dup"),
+        (2, t_ent, "en", "ent"),
+        (3, t_gof, "en", "gof"),
+        (4, t_clf, "en", "clf"),
+        (5, t_keep1, "en", "keep"),
+        (6, t_keep2, "en", "keep"),
+    ]
+    _write_docs(tmp_path, rows)
+    out = {r.source: r for r in curation_funnel_v2(spark, str(tmp_path)).collect()}
+    assert set(out) == {"dup", "ent", "gof", "clf", "keep"}
+    for r in out.values():
+        assert (
+            r.n_raw >= r.n_exact_unique >= r.n_entropy >= r.n_gopher
+            >= r.n_classifier >= 0
+        )
+        assert 0 <= r.tokens_retained <= r.tokens_in
+        assert r.doc_share == r.n_classifier / r.n_raw
+    stages = lambda r: (  # noqa: E731
+        r.n_raw, r.n_exact_unique, r.n_entropy, r.n_gopher, r.n_classifier
+    )
+    assert stages(out["dup"]) == (2, 1, 1, 1, 1)
+    assert stages(out["ent"]) == (1, 1, 0, 0, 0)
+    assert stages(out["gof"]) == (1, 1, 1, 0, 0)
+    assert stages(out["clf"]) == (1, 1, 1, 1, 0)
+    assert stages(out["keep"]) == (2, 2, 2, 2, 2)
+    # the shared trailing span is cross-doc repeated: excision bites
+    assert 0 < out["keep"].tokens_retained < out["keep"].tokens_in
+    # the dup keeper's text exists twice verbatim: every span repeated
+    assert out["dup"].tokens_retained < out["dup"].tokens_in
+    # killed-at-gate sources retain nothing (no doc reached the budget)
+    for s in ("ent", "gof", "clf"):
+        assert out[s].tokens_in == 0 and out[s].tokens_retained == 0

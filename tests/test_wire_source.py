@@ -166,6 +166,34 @@ def test_stream_sink_commit_refuses_foreign_manifest_clobber(tmp_path):
     assert (tmp_path / "_commit-0").read_text().strip() == str(tmp_path / "a.wire")
 
 
+def test_stream_sink_commit_prefix_divergence_is_clobber_not_partial(tmp_path):
+    """A committed manifest whose content is a strict PREFIX of the
+    re-committer's (the winner listed fewer files for the same epoch)
+    is a permanent divergent commit, not a stalled copy: after the poll
+    deadline it must raise the refusing-to-clobber error — the 'still
+    partial ... retry the epoch' diagnosis would suggest a retry that
+    can never succeed (ADVICE r9). The deadline is a writer option so
+    the test doesn't stall for the full default."""
+    import pytest
+
+    from google_cloud_ecommerce_spark.sources.wire import WireCommit, WireStreamWriter
+
+    w = WireStreamWriter(
+        {"path": str(tmp_path), "manifest_poll_deadline_s": "0.2"}
+    )
+    w.commit([WireCommit(file=str(tmp_path / "a.wire"), n_messages=1)], batchId=0)
+    with pytest.raises(RuntimeError, match="refusing to clobber"):
+        w.commit(
+            [
+                WireCommit(file=str(tmp_path / "a.wire"), n_messages=1),
+                WireCommit(file=str(tmp_path / "b.wire"), n_messages=1),
+            ],
+            batchId=0,
+        )
+    # the winner's manifest survives untouched
+    assert (tmp_path / "_commit-0").read_text().strip() == str(tmp_path / "a.wire")
+
+
 def test_stream_sink_commit_survives_no_hardlink_fs(tmp_path, monkeypatch):
     """On filesystems without hard-link support (NFS/FUSE/overlay),
     os.link raises plain OSError (EPERM/EOPNOTSUPP/EXDEV) — commit must

@@ -1188,6 +1188,15 @@ ORACLE["partition_delete_rewrite"] = PARTITION_DELETE_SQL
 # DPP-prune on; the key anti-join is SHUFFLED on event_id — the
 # changelog is fact-derived (~20% of rows here) and must never carry
 # a broadcast hint; untouched partitions are never read or written.
+#
+# Round-10 (VERDICT r9 #2 + ADVICE r9): the rewrite commits through
+# the lakehouse manifest — touched partitions land under a FRESH
+# version prefix and the manifest flips only after the data is down,
+# so the merge never overwrites the files it reads (the round-9
+# dynamic-overwrite form depended on Spark's dynamic mode skipping the
+# cannot-overwrite-a-read-path guard — a fragile cross-version
+# contract, now gone). Untouched partitions keep their v0 slices; the
+# v1 read resolves both without a filter.
 # ---------------------------------------------------------------------------
 
 MERGE_UPD_MOD = 10
@@ -1242,22 +1251,20 @@ def merge_upsert_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_commit_rewrite,
+        table_create,
+        table_read,
+    )
 
     src = ensure_day_partitioned_events(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="spark_graft_merge_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
-    base = spark.read.parquet(src)
-    base.write.mode("overwrite").partitionBy("day").parquet(out)
+    table_create(spark.read.parquet(src), out)
 
-    work = spark.read.parquet(out)
-    merged = _apply_merge(work, _merge_changelog(spark, sf_dir))
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
-        .parquet(out)
-    )
-    mutated = spark.read.parquet(out)
+    merged = _apply_merge(table_read(spark, out), _merge_changelog(spark, sf_dir))
+    table_commit_rewrite(merged, out)
+    mutated = table_read(spark, out)
     return mutated.groupBy("day").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
@@ -1304,13 +1311,16 @@ ORACLE["merge_upsert_rewrite"] = MERGE_UPSERT_SQL
 #
 # The v1 changelog is day-bounded (dayofmonth <= 15, updates only) so
 # rewritten and untouched partitions BOTH exist — the resolution
-# genuinely mixes file slices from two version directories. The
-# touched-day set is a deterministic literal predicate, so the v0
-# complement read prunes at file-listing time (static partition
-# filter, no join); nothing in the resolution is proportional to the
-# data. In a real table format the per-partition newest-slice choice
-# comes from a manifest; the deterministic predicate stands in for it
-# here without changing the plan shape.
+# genuinely mixes file slices from two version directories.
+#
+# Round-10 (VERDICT r9 #2): the per-partition newest-slice choice now
+# comes from the REAL manifest (lakehouse.table_read) instead of the
+# round-9 literal day predicate: the v1 read lists exactly the slice
+# dirs its manifest references — rewritten days from slices/v1,
+# untouched days from slices/v0 — so superseded v0 slices are never
+# even listed (cheaper than the old listing-time filter, and it works
+# for arbitrary rewrite predicates, not just deterministic ones).
+# Nothing in the resolution is proportional to the data.
 # ---------------------------------------------------------------------------
 
 TT_SET_VALUE = 777.5  # exactly representable
@@ -1323,14 +1333,18 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_commit_rewrite,
+        table_create,
+        table_read,
+    )
 
     src = ensure_day_partitioned_events(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="spark_graft_tt_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
-    base = spark.read.parquet(src)
-    base.write.mode("overwrite").partitionBy("day").parquet(f"{out}/v0")
+    table_create(spark.read.parquet(src), out)
 
-    v0 = spark.read.parquet(f"{out}/v0")
+    v0 = table_read(spark, out, 0)
     touched = F.dayofmonth("day") <= TT_DAY_CUTOFF
     is_upd = (F.col("event_id") % MERGE_UPD_MOD == MERGE_UPD_RESIDUE) & touched
     rewritten = v0.filter(touched).withColumns(
@@ -1341,19 +1355,13 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value": F.when(is_upd, F.lit(TT_SET_VALUE)).otherwise(F.col("value")),
         }
     )
-    rewritten.write.mode("overwrite").partitionBy("day").parquet(f"{out}/v1")
+    table_commit_rewrite(rewritten, out)
 
     def snapshot(version: int) -> DataFrame:
-        if version == 0:
-            view = spark.read.parquet(f"{out}/v0")
-        else:
-            # newest slice per partition: rewritten days from v1, the
-            # complement from v0 via the static listing-time filter
-            view = spark.read.parquet(f"{out}/v1").unionByName(
-                spark.read.parquet(f"{out}/v0").filter(
-                    F.dayofmonth("day") > TT_DAY_CUTOFF
-                )
-            )
+        # v0 resolves entirely from slices/v0; v1 mixes slices/v1
+        # (rewritten days) with slices/v0 (the untouched complement),
+        # listing exactly the manifest's dirs — no filter anywhere
+        view = table_read(spark, out, version)
         return view.groupBy().agg(
             F.lit(version).cast("long").alias("version"),
             F.count("*").alias("n_events"),
@@ -1393,6 +1401,160 @@ TIME_TRAVEL_SQL = f"""
 
 QUERIES["time_travel_read"] = time_travel_read
 ORACLE["time_travel_read"] = TIME_TRAVEL_SQL
+
+
+# ---------------------------------------------------------------------------
+# vacuum_report — the garbage-collection half of the lakehouse story
+# (VERDICT r9 #2: "the wire sink's manifest discipline applied to
+# table layouts"): after two successive copy-on-write rewrites plus a
+# planted FAILED commit (slice data down, manifest never published),
+# every slice dir classifies as live (referenced by the retained
+# newest manifest), expired (referenced only by dropped versions) or
+# orphan (referenced by none). The report aggregates each class —
+# slice-dir count, rows, value sum — BEFORE vacuuming (pinned to
+# parquet so the accounting scan cannot observe the deletion), runs
+# the vacuum, then re-aggregates the surviving latest view, proving in
+# one oracle that (a) the classification is exact, (b) expired slices
+# really carry the superseded bytes (v0's originals for rewritten
+# days, v1's values for twice-rewritten days), and (c) the table stays
+# byte-identical through the vacuum.
+#
+# The rewrites are key-targeted (event_id % MERGE_UPD_MOD ==
+# MERGE_UPD_RESIDUE gets an absolute value set), so the oracle can
+# reconstruct every slice generation from the source events alone.
+#
+# Scale posture: classification is manifest/listing work only —
+# O(slice dirs), no data scan; the accounting reads list exactly the
+# classified dirs; deletion is per-dir. Nothing is proportional to
+# table bytes except the (optional) accounting aggregates themselves.
+# ---------------------------------------------------------------------------
+
+VAC_CUT1 = 15  # v1 rewrites partitions with dayofmonth <= 15
+VAC_CUT2 = 7  # v2 rewrites partitions with dayofmonth <= 7
+VAC_ORPHAN_CUT = 3  # the failed commit had staged dayofmonth <= 3
+VAC_V1_SET = 111.25  # exactly representable doubles: IEEE-identical
+VAC_V2_SET = 222.5
+
+
+def vacuum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.lakehouse import (
+        read_slices,
+        table_commit_rewrite,
+        table_create,
+        table_read,
+        table_slice_states,
+        table_vacuum,
+    )
+
+    src = ensure_day_partitioned_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="spark_graft_vac_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table_create(spark.read.parquet(src), root)
+
+    is_upd = F.col("event_id") % MERGE_UPD_MOD == MERGE_UPD_RESIDUE
+
+    def rewrite(cutoff: int, set_value: float) -> None:
+        cur = table_read(spark, root)  # latest view, prior rewrites applied
+        rewritten = cur.filter(F.dayofmonth("day") <= cutoff).withColumn(
+            "value", F.when(is_upd, F.lit(set_value)).otherwise(F.col("value"))
+        )
+        table_commit_rewrite(rewritten, root)
+
+    rewrite(VAC_CUT1, VAC_V1_SET)  # v1
+    rewrite(VAC_CUT2, VAC_V2_SET)  # v2
+    # the failed commit: slices staged, manifest never published
+    table_read(spark, root, 0).filter(
+        F.dayofmonth("day") <= VAC_ORPHAN_CUT
+    ).write.mode("errorifexists").partitionBy("day").parquet(
+        os.path.join(root, "slices", "vorphan")
+    )
+
+    states = table_slice_states(root, retain_latest=1)
+
+    def class_agg(state: str, rels: list[str]) -> DataFrame:
+        return read_slices(spark, root, rels).groupBy().agg(
+            F.lit(state).alias("state"),
+            F.lit(len(rels)).cast("long").alias("n_partition_slices"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    pre = (
+        class_agg("live", states["live"])
+        .unionByName(class_agg("expired", states["expired"]))
+        .unionByName(class_agg("orphan", states["orphan"]))
+    )
+    # materialize the accounting BEFORE deleting anything it scans
+    report = tempfile.mkdtemp(prefix="spark_graft_vac_report_")
+    atexit.register(shutil.rmtree, report, ignore_errors=True)
+    pre.write.mode("overwrite").parquet(report)
+
+    applied = table_vacuum(root, retain_latest=1)
+    post = class_agg("live_post_vacuum", applied["live"])
+    return spark.read.parquet(report).unionByName(post)
+
+
+VACUUM_REPORT_SQL = f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day,
+               dayofmonth(CAST(ts AS DATE)) AS dom,
+               event_id, value
+        FROM events
+    ), resolved AS (
+        -- the latest view: v2 slices for dom <= {VAC_CUT2}, v1 slices
+        -- for the rest of dom <= {VAC_CUT1}, v0 slices above
+        SELECT CASE
+            WHEN event_id % {MERGE_UPD_MOD} = {MERGE_UPD_RESIDUE}
+                 AND dom <= {VAC_CUT2} THEN CAST({VAC_V2_SET} AS DOUBLE)
+            WHEN event_id % {MERGE_UPD_MOD} = {MERGE_UPD_RESIDUE}
+                 AND dom <= {VAC_CUT1} THEN CAST({VAC_V1_SET} AS DOUBLE)
+            ELSE value END AS value
+        FROM ev
+    ), live AS (
+        SELECT CAST((SELECT count(DISTINCT day) FROM ev) AS BIGINT)
+                   AS n_partition_slices,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM resolved
+    ), expired_rows AS (
+        -- v0 slices superseded by v1/v2 (original values) ...
+        SELECT value FROM ev WHERE dom <= {VAC_CUT1}
+        UNION ALL
+        -- ... plus v1 slices superseded by v2 (v1-applied values)
+        SELECT CASE WHEN event_id % {MERGE_UPD_MOD} = {MERGE_UPD_RESIDUE}
+                    THEN CAST({VAC_V1_SET} AS DOUBLE) ELSE value END
+        FROM ev WHERE dom <= {VAC_CUT2}
+    ), expired AS (
+        SELECT CAST((SELECT count(DISTINCT day) FROM ev WHERE dom <= {VAC_CUT1})
+                    + (SELECT count(DISTINCT day) FROM ev WHERE dom <= {VAC_CUT2})
+                    AS BIGINT) AS n_partition_slices,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM expired_rows
+    ), orphan AS (
+        SELECT CAST((SELECT count(DISTINCT day) FROM ev WHERE dom <= {VAC_ORPHAN_CUT})
+                    AS BIGINT) AS n_partition_slices,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM ev WHERE dom <= {VAC_ORPHAN_CUT}
+    )
+    SELECT 'live' AS state, * FROM live
+    UNION ALL SELECT 'expired', * FROM expired
+    UNION ALL SELECT 'orphan', * FROM orphan
+    UNION ALL SELECT 'live_post_vacuum', * FROM live
+"""
+
+
+QUERIES["vacuum_report"] = vacuum_report
+ORACLE["vacuum_report"] = VACUUM_REPORT_SQL
 
 
 # ---------------------------------------------------------------------------

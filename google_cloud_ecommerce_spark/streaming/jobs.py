@@ -1583,6 +1583,15 @@ ORACLE["streaming_lakehouse_ingest"] = """
 # is fact-derived — never broadcast-hinted); untouched days are never
 # read or rewritten; state lives in the table, not the stream (no
 # unbounded streaming state).
+#
+# Round-10 (VERDICT r9 #2 + ADVICE r9): each micro-batch commits a NEW
+# lakehouse version — the epoch's touched partitions land under a
+# fresh slices/v{n}/ prefix and the manifest flips after the data is
+# down, so the merge never dynamic-overwrites the files it reads. A
+# redelivered key (the deliberate overlap_every=3 at-least-once
+# transport) anti-joins out the row it wrote last epoch and re-writes
+# the identical one into the next version; superseded slices stay
+# behind for VACUUM (vacuum_report in queries/scale.py).
 # ---------------------------------------------------------------------------
 
 
@@ -1590,6 +1599,11 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_commit_rewrite,
+        table_create,
+        table_read,
+    )
     from google_cloud_ecommerce_spark.queries.scale import _apply_merge, _changelog_of
 
     src = ensure_day_partitioned_events(spark, sf_dir)
@@ -1597,7 +1611,7 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="spark_graft_smerge_")
     checkpoint = tempfile.mkdtemp(prefix="spark_graft_smerge_ckpt_")
     try:
-        spark.read.parquet(src).write.mode("overwrite").partitionBy("day").parquet(out)
+        table_create(spark.read.parquet(src), out)
         stream = read_replay_stream(spark, replay)
 
         def merge_epoch(batch_df, epoch_id: int) -> None:
@@ -1605,13 +1619,7 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 batch_df.withColumn("day", F.to_date("ts"))
                 .withColumn("hour", F.hour("ts").cast("int"))
             )
-            merged = _apply_merge(spark.read.parquet(out), chg)
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("day")
-                .parquet(out)
-            )
+            table_commit_rewrite(_apply_merge(table_read(spark, out), chg), out)
 
         q = (
             stream.writeStream.foreachBatch(merge_epoch)
@@ -1620,7 +1628,7 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        mutated = spark.read.parquet(out)
+        mutated = table_read(spark, out)
         final = mutated.groupBy("day").agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),

@@ -981,19 +981,66 @@ def test_merge_upsert_semi_broadcasts_and_anti_is_unhinted(spark, sf_smoke):
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[event_id#\d+L?\].*LeftAnti", plan_big), plan_big
 
 
-def test_time_travel_complement_prunes_at_listing_time(spark, sf_smoke, tmp_path):
-    """Round-9: the v0-complement read of a time-travel resolution
-    filters on a deterministic function of the PARTITION column, so it
-    prunes at file-listing time (PartitionFilters set, DataFilters
-    empty) — the resolution never scans the rewritten days' v0 files."""
+def test_time_travel_resolution_lists_only_manifest_slices(spark, sf_smoke, tmp_path):
+    """Round-10 (replaces the round-9 listing-time-filter test with the
+    STRONGER manifest property): a versioned read lists exactly the
+    slice dirs its manifest references — the v1 resolution's file set
+    contains every rewritten day's v1 slice and NO v0 file of any
+    rewritten day, with no filter anywhere in the plan (superseded
+    slices aren't filtered out, they are never listed at all). The v0
+    read conversely sees only v0 files."""
+    import pyspark.sql.functions as F
+
     from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_commit_rewrite,
+        table_create,
+        table_read,
+    )
     from google_cloud_ecommerce_spark.queries.scale import TT_DAY_CUTOFF
 
     src = ensure_day_partitioned_events(spark, sf_smoke)
-    import pyspark.sql.functions as F
+    root = str(tmp_path / "tt_table")
+    table_create(spark.read.parquet(src), root)
+    rewritten = table_read(spark, root, 0).filter(
+        F.dayofmonth("day") <= TT_DAY_CUTOFF
+    )
+    table_commit_rewrite(rewritten, root)
 
-    df = spark.read.parquet(src).filter(F.dayofmonth("day") > TT_DAY_CUTOFF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
-    assert re.search(r"PartitionFilters: \[[^\]]*dayofmonth", scan), scan
-    assert "DataFilters: []" in scan, scan
+    rewritten_days = {
+        f"day={r.day.isoformat()}"
+        for r in rewritten.select("day").distinct().collect()
+    }
+    assert rewritten_days  # the fixture must actually rewrite something
+
+    v1 = table_read(spark, root)
+    v1_files = v1.inputFiles()
+    v0_dirs_in_v1 = {
+        f.split("/slices/v0/")[1].split("/")[0]
+        for f in v1_files
+        if "/slices/v0/" in f
+    }
+    v1_dirs_in_v1 = {
+        f.split("/slices/v1/")[1].split("/")[0]
+        for f in v1_files
+        if "/slices/v1/" in f
+    }
+    assert v1_dirs_in_v1 == rewritten_days
+    assert not (v0_dirs_in_v1 & rewritten_days), (
+        "v1 resolution listed superseded v0 slices"
+    )
+    plan = v1._jdf.queryExecution().executedPlan().toString()
+    # the round-9 mechanism filtered on dayofmonth(day); the manifest
+    # resolution needs no predicate at all
+    assert "dayofmonth" not in plan, plan
+
+    v0_files = table_read(spark, root, 0).inputFiles()
+    assert all("/slices/v0/" in f for f in v0_files)
+    # and the two versions' untouched-day files are the SAME files
+    untouched_v1 = {f for f in v1_files if "/slices/v0/" in f}
+    untouched_v0 = {
+        f
+        for f in v0_files
+        if f.split("/slices/v0/")[1].split("/")[0] not in rewritten_days
+    }
+    assert untouched_v1 == untouched_v0

@@ -81,8 +81,10 @@ def test_runtime_bloom_filter_injected_on_selective_dim_join(spark, sf_smoke):
 
 
 def test_scan_compaction_mirrors_single_row_group_tables(spark, tmp_path, monkeypatch):
-    """A big single-row-group source is mirrored into a multi-row-group
-    file (bit-identical rows); dims below the row threshold are not."""
+    """A big single-row-group source is mirrored through a DISTRIBUTED
+    Spark rewrite (round-10: repartitionByRange + write — the same job
+    an ingest cluster would run) into a multi-file directory with
+    bit-identical rows; dims below the row threshold are not."""
     import pyarrow.parquet as pq
 
     from google_cloud_ecommerce_spark import catalog
@@ -95,10 +97,25 @@ def test_scan_compaction_mirrors_single_row_group_tables(spark, tmp_path, monkey
     mirrored = catalog._compacted_source(spark, src)
     assert mirrored != src
     cores = spark.sparkContext.defaultParallelism
-    groups = pq.ParquetFile(mirrored).metadata.num_row_groups
-    assert groups >= min(cores, pq.ParquetFile(src).metadata.num_rows // 8192)
-    # bit-identical contents and schema
-    assert pq.read_table(mirrored).equals(pq.read_table(src))
+    files = _parquet_files(mirrored)
+    n_rows = pq.ParquetFile(src).metadata.num_rows
+    assert len(files) >= min(cores, max(2, n_rows // 8192))
+    # bit-identical contents and schema (row ORDER changes under the
+    # range shuffle, so compare canonically sorted on all columns)
+    a = pq.read_table(mirrored)
+    b = pq.read_table(src)
+    assert a.schema.equals(b.schema), f"{a.schema}\nvs\n{b.schema}"
+    keys = [(c, "ascending") for c in b.column_names]
+    assert a.sort_by(keys).equals(b.sort_by(keys))
+    # range partitioning keeps leading-key clustering: per-file key
+    # ranges must not all be the full span (min/max stats stay useful)
+    lead = b.column_names[0]
+    spans = []
+    for f in sorted(files):
+        t = pq.read_table(f, columns=[lead])
+        col = t.column(lead)
+        spans.append((col[0].as_py(), col[-1].as_py()))
+    assert len({s[0] for s in spans}) > 1, spans
 
     # small dims pass through untouched
     dim = os.path.join(sf_dir, "nation.parquet")

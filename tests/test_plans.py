@@ -1044,3 +1044,52 @@ def test_time_travel_resolution_lists_only_manifest_slices(spark, sf_smoke, tmp_
         if f.split("/slices/v0/")[1].split("/")[0] not in rewritten_days
     }
     assert untouched_v1 == untouched_v0
+
+
+def test_skew_join_demo_aqe_splits_hot_key(spark, sf_smoke):
+    """VERDICT r9 #7: the registry's skew_join_demo join — hot uid 0
+    carrying ~40% of events against a fact-derived profile — must let
+    AQE split the oversized post-shuffle partition. Local data is MBs
+    while production skew thresholds are 256 MB, so the test tightens
+    the thresholds (the same scaling trick as the synthetic AQE test)
+    and asserts skew=true in the FINAL adaptive plan of the exact join
+    subtree the shipped query aggregates over. Default-conf shape is
+    pinned too: the merge hint holds (SortMergeJoin, no broadcast on
+    the fact-derived side)."""
+    from google_cloud_ecommerce_spark.queries.joins import _skew_join
+
+    # default confs: hint respected, no broadcast of the profile
+    plan = plan_of(_skew_join(spark, sf_smoke))
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # sf0.1, not smoke: a skewed reduce partition splits along
+        # MAPPER boundaries, so a single-mapper scan (events below the
+        # compaction threshold is one file, one task) has nothing to
+        # split no matter how hot the key — the sf0.1 compacted mirror
+        # feeds the shuffle from ~32 mappers and the hot partition
+        # clears the 16KB threshold
+        joined = _skew_join(spark, "/root/testdata/sf0.1")
+        n = len(joined.collect())
+        assert n > 0
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

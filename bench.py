@@ -26,6 +26,14 @@ from google_cloud_ecommerce_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Steady-state fidelity (VERDICT r9 #4): a single timed run of a >0.5 s
+# query carries +-2x one-shot outliers (the round-4/8 gotcha), so
+# queries whose first timed run exceeds the threshold get extra timed
+# runs (min-of-N) even when --repeat is 1. Bounded cost: only the slow
+# tail pays, ~+60 s over the full headline at sf0.1.
+SLOW_THRESHOLD_S = float(os.environ.get("SPARK_GRAFT_SLOW_THRESHOLD_S", "0.5"))
+SLOW_EXTRA_RUNS = int(os.environ.get("SPARK_GRAFT_SLOW_EXTRA_RUNS", "2"))
+
 # Headline set: the reference suite (events), the relational classics,
 # and one representative per extension family. Streaming jobs are
 # excluded (their cost is replay-dir I/O, not query execution).
@@ -191,6 +199,12 @@ HEADLINE = [
     # and the per-source A-ES draw (WindowGroupLimit map-side prune).
     "similarity_binary_topk",
     "stratified_sample_topk",
+    # round-10: the hot-key fact join AQE's skew split targets (merge-
+    # hinted SMJ against the pinned fact-derived profile).
+    # vacuum_report stays OUT like merge_upsert_rewrite: its cost is
+    # the 3-version COW fixture write, not query execution — registry-
+    # oracle-verified at every SF instead.
+    "skew_join_demo",
     # jdbc_roundtrip moved OUT of the headline (VERDICT r5 "what's
     # wrong" #5): its 2.3-2.4 s is constant embedded-Derby DDL+insert
     # setup, not query execution — a connector-parity entry, graded by
@@ -244,15 +258,27 @@ def _time_oracles(names: list[str], repeat: int) -> dict[str, float]:
         sql = oracles.get(name)
         if sql is None:
             continue
-        conn.execute(sql).fetchall()  # warm
-        best = None
-        for _ in range(repeat):
+
+        def run_once() -> float:
             t0 = time.perf_counter()
             conn.execute(sql).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            return time.perf_counter() - t0
+
+        conn.execute(sql).fetchall()  # warm
+        best, _ = _min_of_adaptive(run_once, repeat)
         timings[name] = round(best, 4)
     return timings
+
+
+def _min_of_adaptive(run_once, repeat: int) -> tuple[float, int]:
+    """min-of-N with the slow-query top-up: N = repeat, plus
+    SLOW_EXTRA_RUNS more when the best run still exceeds
+    SLOW_THRESHOLD_S (identical discipline for Spark and the DuckDB
+    anchor, so the ratio stays apples-to-apples)."""
+    runs = [run_once() for _ in range(repeat)]
+    if min(runs) > SLOW_THRESHOLD_S:
+        runs += [run_once() for _ in range(SLOW_EXTRA_RUNS)]
+    return min(runs), len(runs)
 
 
 def main() -> None:
@@ -274,6 +300,7 @@ def main() -> None:
     _materialize(queries["daily_events"](spark, SF_DIR))
 
     timings: dict[str, float] = {}
+    n_runs: dict[str, int] = {}
     for name in HEADLINE:
         fn = queries[name]
         # One untimed warm run per query: codegen compilation and
@@ -281,13 +308,15 @@ def main() -> None:
         # the timed runs measure the steady-state execution this engine
         # would sustain on a cluster.
         _materialize(fn(spark, SF_DIR))
-        best = None
-        for _ in range(repeat):
+
+        def run_once() -> float:
             t0 = time.perf_counter()
             _materialize(fn(spark, SF_DIR))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            return time.perf_counter() - t0
+
+        best, n = _min_of_adaptive(run_once, repeat)
         timings[name] = round(best, 4)
+        n_runs[name] = n
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -305,7 +334,9 @@ def main() -> None:
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "warm_runs_per_query": 1,
-        "timed_runs_per_query": repeat,
+        "timed_runs_per_query": n_runs,
+        "slow_threshold_s": SLOW_THRESHOLD_S,
+        "slow_extra_runs": SLOW_EXTRA_RUNS,
     }
     summary = {
         "metric": detail["metric"],

@@ -160,3 +160,50 @@ def test_binary_topk_recall_monotone_and_exhaustive_is_exact(spark):
         r[c] = len(got & exact_pairs) / len(exact_pairs)
     assert r[10] <= r[50] <= r[200]
     assert r[200] >= 0.5  # 1-bit/dim sketch at c=200 must beat chance by far
+
+
+def test_planted_corpus_recall_at_default_dials(spark, tmp_path):
+    """VERDICT r9 #5: recall numbers that mean something. The driver's
+    synthetic embeddings are near-random (recall@10 0.04-0.16 by
+    construction), so this plants a clustered corpus (20 unit-sphere
+    centroids x 50 members at ~0.94 cosine; tests/tools/
+    planted_corpus.py) where the exact top-10 of every query is 100%
+    same-cluster, and asserts each approximate operator's DEFAULT dial
+    recovers real neighbors: measured on the pinned seed — lsh 0.40
+    (single sign-bucket, clusters straddle hyperplanes), multiprobe
+    0.76, binary 1.00, ivf 1.00. Floors are set below the measured
+    values only to absorb float-kernel drift, not behavior change.
+    tests/tools/ann_recall_curve.py sweeps the dials and records the
+    full recall-vs-cost curve as a round artifact."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from tools.planted_corpus import write_planted_embeddings
+
+    from google_cloud_ecommerce_spark.operators import similarity as S
+
+    d = write_planted_embeddings(str(tmp_path / "planted"))
+
+    def pairs(df):
+        return {(r.q_id, r.neighbor_id) for r in df.collect()}
+
+    exact_rows = S.similarity_topk(spark, d).collect()
+    exact = {(r.q_id, r.neighbor_id) for r in exact_rows}
+    # the plant worked: every true neighbor is a same-cluster sibling
+    assert all(r.q_id % 20 == r.neighbor_id % 20 for r in exact_rows)
+
+    recall = {
+        name: len(pairs(fn()) & exact) / len(exact)
+        for name, fn in (
+            ("lsh", lambda: S.similarity_lsh_topk(spark, d)),
+            ("multiprobe", lambda: S.similarity_multiprobe_topk(spark, d)),
+            ("binary", lambda: S.similarity_binary_topk(spark, d)),
+            ("ivf", lambda: S.similarity_ivf_topk(spark, d)),
+        )
+    }
+    assert recall["lsh"] >= 0.3, recall
+    assert recall["multiprobe"] >= 0.6, recall
+    assert recall["binary"] >= 0.9, recall
+    assert recall["ivf"] >= 0.9, recall
+    # the multi-probe expansion must actually buy recall over one bucket
+    assert recall["multiprobe"] >= recall["lsh"], recall

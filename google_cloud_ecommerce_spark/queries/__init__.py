@@ -64,80 +64,79 @@ def _modules():
 
 
 # The correctness driver oracle-checks the FIRST 50 registry entries only.
-# Round-9 rotation (VERDICT r8 "next round" #3): CORRECTNESS_r08 landed
-# 50/50 green, the driver-green union is 274/274 and the never-checked
-# tail is EMPTY — window slots are re-checks by necessity (plus any
-# round-9 additions). Slate composition, in the r8-directed order:
-# 6 round-9 additions (curation_funnel_v2, merge_upsert_rewrite,
-# streaming_merge_upsert, similarity_binary_topk,
-# stratified_sample_topk, time_travel_read);
-# 5 re-checks whose code changed in round-9 commits (the
-# countmin_estimates probe pre-filter + tfidf_top_terms vocab guard —
-# VERDICT r8 #1/#2 — the token_zipf_fit / vocab_prune_coverage guarded
-# prefix-sum rewrite — #5 — and the wire manifest-commit race fixes
-# under wire_stream_sink — ADVICE r8); then strictly oldest evidence:
-# ALL 10 names whose only driver row is r01 (the round-8 slate deferred
-# 7 of them as exact-shape siblings; with a pure re-check window there
-# is no cheaper claim to spend those slots on), ALL 28 names whose last
-# row is r02, and the alphabetically-first r03-last name
-# (ab_test_cuped) to fill 50. Every name has an oracle;
-# tests/test_registry.py pins the slate and the no-wasted-slot rule.
+# Round-10 rotation (VERDICT r9 "next round" #1): CORRECTNESS_r09
+# landed 50/50 green, the driver-green union is 280/280 and the
+# never-checked tail is EMPTY — window slots are re-checks by
+# necessity (plus the round-10 additions). Slate composition, in the
+# r9-directed order:
+# 2 round-10 additions (vacuum_report — the lakehouse VACUUM
+# accounting over the new N-version manifest — and skew_join_demo —
+# the AQE skew-split hot-key join);
+# 5 re-checks whose code changed in round-10 commits: the three
+# queries rerouted through the lakehouse manifest (merge_upsert_rewrite,
+# streaming_merge_upsert, time_travel_read — VERDICT r9 #2 + ADVICE
+# r9), wire_stream_sink (the manifest prefix-divergence diagnosis fix
+# + configurable poll deadline, ADVICE r9), and
+# tpch_q1_pricing_summary — the canary for the distributed scan-layout
+# compaction rewrite (VERDICT r9 #3; also itself an r03-last name);
+# then strictly oldest evidence: the first 43 of the remaining 45
+# r03-last names, alphabetical (wire_format_source and zorder_curve
+# roll to round 11). Every name has an oracle; tests/test_registry.py
+# pins the slate and the no-wasted-slot rule.
 PRIORITY: tuple[str, ...] = (
-    # --- 6 round-9 additions (never driver-checked) ---
-    "curation_funnel_v2",
+    # --- 2 round-10 additions (never driver-checked) ---
+    "vacuum_report",
+    "skew_join_demo",
+    # --- 5 re-checks: code changed in round-10 commits ---
     "merge_upsert_rewrite",
     "streaming_merge_upsert",
-    "similarity_binary_topk",
-    "stratified_sample_topk",
     "time_travel_read",
-    # --- 5 re-checks: code changed in round-9 commits ---
-    "countmin_estimates",
-    "tfidf_top_terms",
-    "token_zipf_fit",
-    "vocab_prune_coverage",
     "wire_stream_sink",
-    # --- 10 re-checks: oldest driver evidence (r01-only rows) ---
-    "csv_roundtrip",
-    "event_enrichment",
-    "high_value_customers",
-    "large_parts_ordered",
-    "lineitem_quartiles",
-    "parties_union",
-    "parts_never_ordered",
-    "segment_orders_right_outer",
-    "value_band_stats",
-    "value_percentiles",
-    # --- 28 re-checks: last driver row is r02 ---
-    "bm25_search",
-    "changelog_compaction",
-    "conversion_rate",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "event_type_stats_arrow",
-    "first_shipment_per_order",
-    "hour_event_value",
-    "kmeans_assign",
-    "kmv_user_cardinality",
-    "nation_party_balance_full_outer",
-    "nation_revenue",
-    "national_market_share",
-    "order_status_pivot",
-    "purchase_attribution",
-    "purchase_funnel",
-    "record_id",
-    "scd2_user_state",
-    "sequence_packing",
-    "shipping_priority",
-    "similarity_index_topk",
-    "similarity_ivf_topk",
-    "streaming_sessionization",
-    "token_counts",
-    "top_categories",
-    "user_cardinality",
-    "weekday_conversion_volume",
-    "wire_stream_counts",
-    # --- 1 re-check: oldest r03-last name (alphabetical fill) ---
-    "ab_test_cuped",
+    "tpch_q1_pricing_summary",
+    # --- 43 re-checks: oldest driver evidence (r03-last), alphabetical ---
+    "asof_purchase_view",
+    "batch_sessionization",
+    "bloom_membership",
+    "corpus_drift",
+    "daily_events",
+    "data_quality_report",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "doc_chunking",
+    "event_path_mining",
+    "event_type_stats_salted",
+    "events_cube_rollup",
+    "ewma_daily_value",
+    "feature_hash_vectors",
+    "fuzzy_name_matches",
+    "grouping_id_report",
+    "holt_daily_forecast",
+    "lineitem_quartiles_distributed",
+    "media_bmp_decode",
+    "media_wav_decode",
+    "pagerank_categories",
+    "part_skyline",
+    "pii_redaction",
+    "pq_encode",
+    "props_json_stats",
+    "props_schema_discovery",
+    "random_projection",
+    "session_stats_pandas",
+    "ship_delay_priority",
+    "similarity_lsh_topk",
+    "similarity_topk",
+    "snapshot_diff",
+    "sql_udf_revenue_bands",
+    "streaming_daily_events",
+    "streaming_hourly_window",
+    "text_lang_id",
+    "text_quality",
+    "time_weighted_value",
+    "train_eval_split",
+    "triangle_coview",
+    "value_zscore_outliers",
+    "weekday_eventtype_chisq",
 )
 
 

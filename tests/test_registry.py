@@ -47,42 +47,41 @@ _FAMILY_ANCHORS = {
 # 101-name never-checked tail.
 
 
-# Round-9 window slate (VERDICT r8 directive #3): CORRECTNESS_r08
+# Round-10 window slate (VERDICT r9 directive #1): CORRECTNESS_r09
 # landed 50/50 and the never-checked tail is EMPTY, so apart from the
-# 6 round-9 additions every slot is a DOCUMENTED re-check — justified
-# only when the operator's code changed since its last driver row
-# (round-9 broadcast-guard fixes and the wire commit-race fix) or by
-# strictly oldest evidence (all r01-only names, all r02-last names,
-# then the alphabetically-first r03-last names to fill 50). An
-# undocumented re-check is still a wasted slot.
+# 2 round-10 additions (vacuum_report, skew_join_demo) every slot is a
+# DOCUMENTED re-check — justified only when the operator's code
+# changed in round-10 commits (the lakehouse manifest reroute of the
+# three MERGE/time-travel queries, the wire prefix-divergence fix, the
+# distributed-compaction canary tpch_q1) or by strictly oldest
+# evidence (the first 43 of the remaining 45 r03-last names,
+# alphabetical; wire_format_source and zorder_curve roll to round 11).
+# An undocumented re-check is still a wasted slot.
 _RECHECK_SLATE = {
-    # round-9 code changes
-    "countmin_estimates", "tfidf_top_terms", "token_zipf_fit",
-    "vocab_prune_coverage", "wire_stream_sink",
-    # oldest evidence: only driver row is r01
-    "csv_roundtrip", "event_enrichment", "high_value_customers",
-    "large_parts_ordered", "lineitem_quartiles", "parties_union",
-    "parts_never_ordered", "segment_orders_right_outer",
-    "value_band_stats", "value_percentiles",
-    # last driver row is r02 (all 28)
-    "bm25_search", "changelog_compaction", "conversion_rate",
-    "dedup_clusters", "dedup_minhash_lsh", "event_type_stats_arrow",
-    "first_shipment_per_order", "hour_event_value", "kmeans_assign",
-    "kmv_user_cardinality", "nation_party_balance_full_outer",
-    "nation_revenue", "national_market_share", "order_status_pivot",
-    "purchase_attribution", "purchase_funnel", "record_id",
-    "scd2_user_state", "sequence_packing", "shipping_priority",
-    "similarity_index_topk", "similarity_ivf_topk",
-    "streaming_sessionization", "token_counts", "top_categories",
-    "user_cardinality", "weekday_conversion_volume",
-    "wire_stream_counts",
-    # oldest r03-last name (alphabetical fill)
-    "ab_test_cuped",
+    # round-10 code changes
+    "merge_upsert_rewrite", "streaming_merge_upsert", "time_travel_read",
+    "wire_stream_sink", "tpch_q1_pricing_summary",
+    # oldest evidence: last driver row is r03 (first 43, alphabetical)
+    "asof_purchase_view", "batch_sessionization", "bloom_membership",
+    "corpus_drift", "daily_events", "data_quality_report", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_simhash_pairs", "doc_chunking",
+    "event_path_mining", "event_type_stats_salted", "events_cube_rollup",
+    "ewma_daily_value", "feature_hash_vectors", "fuzzy_name_matches",
+    "grouping_id_report", "holt_daily_forecast",
+    "lineitem_quartiles_distributed", "media_bmp_decode",
+    "media_wav_decode", "pagerank_categories", "part_skyline",
+    "pii_redaction", "pq_encode", "props_json_stats",
+    "props_schema_discovery", "random_projection",
+    "session_stats_pandas", "ship_delay_priority", "similarity_lsh_topk",
+    "similarity_topk", "snapshot_diff", "sql_udf_revenue_bands",
+    "streaming_daily_events", "streaming_hourly_window", "text_lang_id",
+    "text_quality", "time_weighted_value", "train_eval_split",
+    "triangle_coview", "value_zscore_outliers", "weekday_eventtype_chisq",
 }
 
 
 def _driver_checked_names(
-    rounds: tuple[str, ...] = ("01", "02", "03", "05", "06", "07", "08"),
+    rounds: tuple[str, ...] = ("01", "02", "03", "05", "06", "07", "08", "09"),
 ) -> set[str]:
     """Names with a driver row in the given rounds (missing files
     skipped). Pinned to the rounds known when the current window was

@@ -238,10 +238,17 @@ _ORACLE_TABLES = (
 ).split()
 
 
-def _time_oracles(names: list[str], repeat: int) -> dict[str, float]:
+def _time_oracles(
+    names: list[str], repeat: int, match_runs: dict[str, int] | None = None
+) -> tuple[dict[str, float], dict[str, int]]:
     """Time the DuckDB oracle of each named query on the same parquet —
     the measured anchor for the 'within 2x of baseline' bar. Same
-    discipline as the Spark side: one warm run, then min of N."""
+    discipline as the Spark side: one warm run, then adaptive min-of-N,
+    AND at least as many timed runs as the Spark side took for that
+    query (match_runs) — a per-engine-only trigger would smooth
+    outliers away for whichever engine is slower on a query while
+    recording the faster engine's single shot as-is, biasing the ratio
+    on exactly the Spark-slow queries."""
     import duckdb
 
     from google_cloud_ecommerce_spark.queries import all_oracles
@@ -254,6 +261,7 @@ def _time_oracles(names: list[str], repeat: int) -> dict[str, float]:
         )
     oracles = all_oracles()
     timings: dict[str, float] = {}
+    n_runs: dict[str, int] = {}
     for name in names:
         sql = oracles.get(name)
         if sql is None:
@@ -265,19 +273,23 @@ def _time_oracles(names: list[str], repeat: int) -> dict[str, float]:
             return time.perf_counter() - t0
 
         conn.execute(sql).fetchall()  # warm
-        best, _ = _min_of_adaptive(run_once, repeat)
+        floor = (match_runs or {}).get(name, repeat)
+        best, n = _min_of_adaptive(run_once, repeat, min_total=floor)
         timings[name] = round(best, 4)
-    return timings
+        n_runs[name] = n
+    return timings, n_runs
 
 
-def _min_of_adaptive(run_once, repeat: int) -> tuple[float, int]:
+def _min_of_adaptive(run_once, repeat: int, min_total: int = 0) -> tuple[float, int]:
     """min-of-N with the slow-query top-up: N = repeat, plus
     SLOW_EXTRA_RUNS more when the best run still exceeds
-    SLOW_THRESHOLD_S (identical discipline for Spark and the DuckDB
-    anchor, so the ratio stays apples-to-apples)."""
+    SLOW_THRESHOLD_S, and never fewer than min_total (used to keep the
+    two engines' sample counts symmetric per query)."""
     runs = [run_once() for _ in range(repeat)]
     if min(runs) > SLOW_THRESHOLD_S:
         runs += [run_once() for _ in range(SLOW_EXTRA_RUNS)]
+    while len(runs) < min_total:
+        runs.append(run_once())
     return min(runs), len(runs)
 
 
@@ -347,7 +359,23 @@ def main() -> None:
         "methodology": "warm run then min-of-N; noop sink; detail JSON above",
     }
     if with_oracle:
-        oracle = _time_oracles(HEADLINE, repeat)
+        oracle, oracle_runs = _time_oracles(HEADLINE, repeat, match_runs=n_runs)
+        # symmetry in the other direction: where the DuckDB side took
+        # more samples (its own slow-query top-up), give Spark the same
+        # number so neither engine's min is taken over more tries
+        for name, n_oracle in oracle_runs.items():
+            fn = queries[name]
+            while n_runs[name] < n_oracle:
+                t0 = time.perf_counter()
+                _materialize(fn(spark, SF_DIR))
+                timings[name] = round(
+                    min(timings[name], time.perf_counter() - t0), 4
+                )
+                n_runs[name] += 1
+        detail["queries"] = timings
+        detail["value"] = round(sum(timings.values()), 4)
+        summary["value"] = detail["value"]
+        detail["oracle_timed_runs"] = oracle_runs
         shared = [n for n in oracle if n in timings]
         spark_total = sum(timings[n] for n in shared)
         duck_total = sum(oracle[n] for n in shared)

@@ -114,22 +114,37 @@ def _compacted_source(spark: SparkSession, path: str) -> str:
         f"{os.path.basename(path)}.{st.st_size}.{st.st_mtime_ns}.parquet",
     )
     if not os.path.exists(dest):
+        import glob
         import shutil
 
         os.makedirs(root, exist_ok=True)
         n_slices = min(cores, max(2, -(-meta.num_rows // _COMPACT_MIN_GROUP_ROWS)))
         df = spark.read.parquet(path)
         tmp = f"{dest}.tmp.{os.getpid()}"
-        (
-            df.repartitionByRange(n_slices, F.col(df.columns[0]))
-            .sortWithinPartitions(df.columns[0])
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
         try:
-            os.rename(tmp, dest)  # atomic publish; a concurrent winner keeps
-        except OSError:  # its mirror and the loser's staging is dropped
-            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                df.repartitionByRange(n_slices, F.col(df.columns[0]))
+                .sortWithinPartitions(df.columns[0])
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            # range boundaries come from sampling the leading key: a
+            # low-cardinality leading column can collapse to 1-2
+            # non-empty partitions, silently recreating the serial-scan
+            # problem the mirror exists to fix — fall back to round-
+            # robin (clustering lost, parallelism guaranteed)
+            if len(glob.glob(os.path.join(tmp, "*.parquet"))) < max(2, n_slices // 2):
+                df.repartition(n_slices).write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, dest)  # atomic publish
+        except OSError:
+            # dest appearing between our exists() check and the rename
+            # is the benign concurrent-winner race; anything else
+            # (EACCES, EROFS, vanished cache root) must surface rather
+            # than return a path that does not exist
+            if not os.path.isdir(dest):
+                raise
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)  # no staging leaks
     return dest
 
 

@@ -9,33 +9,46 @@ Layout (all under one table root):
 
     root/
       _manifest/
-        v0.json, v1.json, ...        # one immutable manifest per version
+        v0.json, v1.json, ...      # one immutable manifest per version
       slices/
-        v0/day=2024-01-01/*.parquet  # slice dir per (version, partition)
-        v1/day=2024-01-03/...        # a rewrite writes ONLY touched days
+        v0-3fa9c1d2/day=2024-01-01/*.parquet   # slice dir per
+        v1-0b7e44aa/day=2024-01-03/...         #   (commit, partition)
 
 A manifest maps partition directory name -> the slice directory that
 holds the partition's newest rows as of that version. Commit protocol
 (the Delta/Iceberg/Hudi copy-on-write discipline):
 
-1. write the rewritten partitions' data under a FRESH ``slices/v{n}/``
-   prefix — committed slices are immutable, so concurrent readers of
-   any older version are never disturbed;
-2. publish by exclusively creating ``_manifest/v{n}.json`` (O_CREAT |
-   O_EXCL — create-if-absent at the filesystem level, the same
-   discipline as the wire sink's epoch manifests). Two racing writers
-   cannot both win a version; the loser's orphaned slice data is
-   reclaimed by VACUUM.
+1. write the rewritten partitions' data under a FRESH, WRITER-UNIQUE
+   ``slices/v{n}-{token}/`` prefix — committed slices are immutable, so
+   concurrent readers of any older version are never disturbed, and two
+   writers racing for the same version can never commingle part files
+   in one directory (each stages under its own token; the loser's
+   staging becomes a VACUUM-able orphan);
+2. publish by hard-linking a fully written temp file to
+   ``_manifest/v{n}.json`` — the manifest's content is complete the
+   instant it becomes visible (no torn reads for concurrent readers,
+   no permanently bricked table if the writer dies mid-publish), and
+   link() is create-if-absent so the loser of a version race fails
+   loudly. On filesystems without hard links the wire sink's
+   O_CREAT|O_EXCL fallback applies, with the manifest unlinked if the
+   content copy fails.
 
-Reads resolve a manifest into one Spark scan per referenced version,
-each listing EXACTLY its slice directories — version resolution costs
-file-listing on the touched partitions only, never a data-proportional
-filter, and dead (expired/orphaned) slices are never listed at all.
+Deletes: a rewrite that leaves a touched partition EMPTY writes no
+slice dir for it, so the prior pointer would silently survive —
+callers must declare emptied partitions via ``drop_partitions``, which
+removes their manifest entries for the new version (older versions
+still see them: that is what makes the delete time-travelable).
+
+Reads resolve a manifest into one Spark scan per referenced slice
+prefix, each listing EXACTLY its slice directories — version
+resolution costs file-listing on the touched partitions only, never a
+data-proportional filter, and dead (expired/orphaned) slices are never
+listed at all.
 
 VACUUM classifies every slice directory as live (referenced by a
 retained manifest), expired (referenced only by dropped manifests) or
-orphan (referenced by none — a failed/lost commit), deletes the
-non-live ones, and returns the classification for accounting.
+orphan (referenced by none — a failed/lost commit or a race loser's
+staging), deletes the non-live ones, and returns the classification.
 
 Local-filesystem implementation: manifest IO is plain Python file
 handling — on cloud object stores this step is the table format's
@@ -49,8 +62,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# link() errnos meaning "hard links unsupported here" — shared with the
+# wire sink, whose manifest commit uses the identical discipline.
+from google_cloud_ecommerce_spark.sources.wire import _LINK_UNSUPPORTED_ERRNOS
 
 _MANIFEST_DIR = "_manifest"
 _SLICES_DIR = "slices"
@@ -81,30 +99,61 @@ def _read_manifest(root: str, version: int) -> dict[str, str]:
 
 
 def _publish_manifest(root: str, version: int, partitions: dict[str, str]) -> None:
-    """Exclusive-create commit: the loser of a version race fails loudly
-    instead of clobbering the winner (its slice data becomes VACUUM-able
-    orphans)."""
+    """Commit-by-link: the manifest is fully written to a temp file
+    first, so it is complete the instant it becomes visible (a writer
+    crash mid-publish leaves only the temp file, never a torn
+    v{n}.json that would brick every read and VACUUM). link() is
+    create-if-absent, so the loser of a version race fails loudly; its
+    slice staging becomes a VACUUM-able orphan."""
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     doc = json.dumps(
         {"version": version, "partitions": dict(sorted(partitions.items()))},
         indent=0,
         sort_keys=True,
     )
-    fd = os.open(
-        _manifest_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-    )
-    with os.fdopen(fd, "w", encoding="utf-8") as out:
+    final = _manifest_path(root, version)
+    tmp = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as out:
         out.write(doc)
+    race = FileExistsError(
+        f"version {version} already committed at {root}: a concurrent "
+        "writer won the race; this writer's slice staging is a "
+        "VACUUM-able orphan"
+    )
+    try:
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise race from None
+        except OSError as exc:
+            if exc.errno not in _LINK_UNSUPPORTED_ERRNOS:
+                raise  # a real failure (EACCES, EMLINK, ...) must surface
+            try:
+                fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise race from None
+            try:
+                with os.fdopen(fd, "w", encoding="utf-8") as out:
+                    out.write(doc)
+            except Exception:
+                os.unlink(final)  # no torn manifest on a failed copy
+                raise
+    finally:
+        os.remove(tmp)
 
 
 def _write_slices(
     df: DataFrame, root: str, version: int, partition_col: str
 ) -> dict[str, str]:
-    """Write df's partitions under slices/v{version}/ and return the
-    partition -> slice-dir mapping they create."""
-    vdir = os.path.join(root, _SLICES_DIR, f"v{version}")
+    """Write df's partitions under a writer-unique slices/v{version}-
+    {token}/ staging prefix and return the partition -> slice-dir
+    mapping they create. The token is what keeps two writers racing for
+    one version from ever interleaving part files in a directory the
+    winner's manifest will reference."""
+    vname = f"v{version}-{uuid.uuid4().hex[:8]}"
+    vdir = os.path.join(root, _SLICES_DIR, vname)
     df.write.mode("errorifexists").partitionBy(partition_col).parquet(vdir)
-    rel = f"{_SLICES_DIR}/v{version}"
+    rel = f"{_SLICES_DIR}/{vname}"
     return {
         name: f"{rel}/{name}"
         for name in os.listdir(vdir)
@@ -123,18 +172,32 @@ def table_create(df: DataFrame, root: str, partition_col: str = "day") -> int:
 
 
 def table_commit_rewrite(
-    df: DataFrame, root: str, partition_col: str = "day"
+    df: DataFrame,
+    root: str,
+    partition_col: str = "day",
+    drop_partitions: list[str] | None = None,
 ) -> int:
     """Commit df — the full rewritten rows of the TOUCHED partitions
     only — as the next version. Untouched partitions keep their prior
     slice pointers; nothing the rewrite read is ever overwritten (the
-    new slices land under a fresh version prefix and only then does the
-    manifest flip — commit-after-write). Returns the new version."""
+    new slices land under a fresh staging prefix and only then does the
+    manifest flip — commit-after-write). A touched partition the
+    rewrite left EMPTY must be named in ``drop_partitions`` (e.g.
+    ``["day=2024-01-05"]``) — an empty partition writes no slice dir,
+    so without the declaration its old pointer would silently survive
+    into the new version. Returns the new version."""
     versions = table_versions(root)
     if not versions:
         raise ValueError(f"no table at {root}; table_create first")
     latest = versions[-1]
     merged = dict(_read_manifest(root, latest))
+    for name in drop_partitions or ():
+        if name not in merged:
+            raise ValueError(
+                f"drop_partitions entry {name!r} is not a partition of "
+                f"version {latest} at {root}"
+            )
+        del merged[name]
     new_version = latest + 1
     merged.update(_write_slices(df, root, new_version, partition_col))
     _publish_manifest(root, new_version, merged)
@@ -143,14 +206,14 @@ def table_commit_rewrite(
 
 def read_slices(spark: SparkSession, root: str, rels: list[str]) -> DataFrame:
     """Scan an explicit set of slice-relative dirs: one Spark scan per
-    version prefix, each listing exactly the given dirs (the partition
+    slice prefix, each listing exactly the given dirs (the partition
     column is recovered via basePath), unioned. Used by version
     resolution and by VACUUM accounting reads."""
-    by_version: dict[str, list[str]] = {}
+    by_prefix: dict[str, list[str]] = {}
     for rel in rels:
-        by_version.setdefault(rel.split("/")[1], []).append(rel)
+        by_prefix.setdefault(rel.split("/")[1], []).append(rel)
     out: DataFrame | None = None
-    for vdir, group in sorted(by_version.items()):
+    for vdir, group in sorted(by_prefix.items()):
         base = os.path.join(root, _SLICES_DIR, vdir)
         paths = [os.path.join(root, rel) for rel in sorted(group)]
         scan = spark.read.option("basePath", base).parquet(*paths)
@@ -166,6 +229,8 @@ def table_read(
     """Resolve a version (default: latest) into a DataFrame. Slice dirs
     a newer rewrite superseded are never even listed."""
     versions = table_versions(root)
+    if not versions:
+        raise ValueError(f"no table at {root}")
     if version is None:
         version = versions[-1]
     if version not in versions:
@@ -177,8 +242,8 @@ def table_slice_states(root: str, retain_latest: int = 1) -> dict[str, list[str]
     """Classify every slice dir under slices/: ``live`` (referenced by
     a retained manifest — the newest ``retain_latest`` versions),
     ``expired`` (referenced only by older manifests) or ``orphan``
-    (referenced by no manifest at all: a failed or lost commit).
-    Values are slice-relative paths, sorted."""
+    (referenced by no manifest at all: a failed/lost commit or a race
+    loser's staging). Values are slice-relative paths, sorted."""
     versions = table_versions(root)
     retained = set(versions[-retain_latest:]) if retain_latest > 0 else set()
     live: set[str] = set()

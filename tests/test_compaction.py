@@ -146,3 +146,39 @@ def test_scan_compaction_parallelizes_the_scan(spark, tmp_path, monkeypatch):
         assert df.rdd.getNumPartitions() >= 8
     finally:
         catalog._PLAN_CACHE.clear()  # don't leak tmp-cache plans to other tests
+
+
+def test_scan_compaction_low_cardinality_leading_column_falls_back(
+    spark, tmp_path, monkeypatch
+):
+    """Range partitioning samples the LEADING column's values, so a
+    low-cardinality leading key would collapse the mirror to 1-2 files
+    — exactly the serial-scan problem compaction exists to fix. The
+    rewrite must detect the collapse and fall back to round-robin
+    (clustering lost, parallelism kept)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from google_cloud_ecommerce_spark import catalog
+
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_CACHE", str(tmp_path / "cache"))
+    src = str(tmp_path / "flag_led.parquet")
+    n = 60_000
+    pq.write_table(
+        pa.table(
+            {
+                "flag": pa.array([i % 2 for i in range(n)], type=pa.int64()),
+                "v": pa.array([float(i) for i in range(n)]),
+            }
+        ),
+        src,
+        row_group_size=n,  # one row group: the pathological layout
+    )
+    mirrored = catalog._compacted_source(spark, src)
+    assert mirrored != src
+    files = _parquet_files(mirrored)
+    assert len(files) >= max(2, min(spark.sparkContext.defaultParallelism, n // 8192) // 2)
+    a = pq.read_table(mirrored)
+    b = pq.read_table(src)
+    keys = [(c, "ascending") for c in b.column_names]
+    assert a.sort_by(keys).equals(b.sort_by(keys))

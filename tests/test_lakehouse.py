@@ -1,7 +1,8 @@
 """Unit tests for the copy-on-write manifest layer (lakehouse.py,
 round-10): version-chain resolution, commit-after-write immutability,
-the exclusive-create commit race, VACUUM classification/deletion, and
-the MERGE exactly-once property routed through versioned commits."""
+the exclusive-create commit race, writer-unique slice staging, declared
+deletes, VACUUM classification/deletion, and the MERGE exactly-once
+property routed through versioned commits."""
 
 import datetime as dt
 import os
@@ -10,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from google_cloud_ecommerce_spark.lakehouse import (
+    _read_manifest,
     read_slices,
     table_commit_rewrite,
     table_create,
@@ -53,12 +55,17 @@ def test_version_chain_resolution_and_immutability(spark, tmp_path):
         assert v1[eid] == expected
     # v0 still resolves byte-identically — committed slices are immutable
     assert _state(table_read(spark, root, 0)) == v0_before
-    # and the v1 resolution never lists the superseded v0 slices
+    # the v1 resolution never lists the superseded v0 slices: rewritten
+    # days' files live only under the dirs manifest v1 references
+    m0, m1 = _read_manifest(root, 0), _read_manifest(root, 1)
+    rewritten_days = {"day=2024-01-01", "day=2024-01-02"}
+    for day in rewritten_days:
+        assert m1[day] != m0[day]
     v1_files = table_read(spark, root).inputFiles()
-    assert not any(
-        "/slices/v0/" in f and ("day=2024-01-01" in f or "day=2024-01-02" in f)
-        for f in v1_files
-    )
+    for f in v1_files:
+        day = next(p for p in f.split("/") if p.startswith("day="))
+        want = m1[day]
+        assert f"/{want}/" in f, (f, want)
 
 
 def test_commit_guards(spark, tmp_path):
@@ -70,17 +77,64 @@ def test_commit_guards(spark, tmp_path):
         table_read(spark, root, 5)
     with pytest.raises(ValueError, match="no table"):
         table_commit_rewrite(df, str(tmp_path / "missing"))
+    with pytest.raises(ValueError, match="no table"):
+        table_read(spark, str(tmp_path / "missing"))
     # a racing writer that already published this version: the loser's
-    # manifest create fails loudly (exclusive create, same discipline
-    # as the wire sink) instead of clobbering the winner — and the
-    # winner's manifest survives verbatim
+    # manifest create fails loudly (commit-by-link create-if-absent,
+    # same discipline as the wire sink) and the winner's manifest
+    # survives verbatim; no temp file is left behind either way
     from google_cloud_ecommerce_spark.lakehouse import _publish_manifest
 
-    _publish_manifest(root, 1, {"day=2024-01-01": "slices/v1/day=2024-01-01"})
-    before = open(os.path.join(root, "_manifest", "v1.json")).read()
-    with pytest.raises(FileExistsError):
-        _publish_manifest(root, 1, {"day=2024-01-02": "slices/v1/day=2024-01-02"})
-    assert open(os.path.join(root, "_manifest", "v1.json")).read() == before
+    _publish_manifest(root, 1, {"day=2024-01-01": "slices/v1-aaaa/day=2024-01-01"})
+    mpath = os.path.join(root, "_manifest", "v1.json")
+    before = open(mpath).read()
+    with pytest.raises(FileExistsError, match="already committed"):
+        _publish_manifest(
+            root, 1, {"day=2024-01-02": "slices/v1-bbbb/day=2024-01-02"}
+        )
+    assert open(mpath).read() == before
+    leftovers = [p for p in os.listdir(os.path.dirname(mpath)) if ".tmp." in p]
+    assert leftovers == []
+
+
+def test_racing_writers_stage_in_disjoint_prefixes(spark, tmp_path):
+    """Two writers racing for one version must never interleave part
+    files in a directory the winner's manifest references: each stages
+    under its own token, so the loser's data classifies as orphan."""
+    from google_cloud_ecommerce_spark.lakehouse import _write_slices
+
+    root = str(tmp_path / "t")
+    df = _mk_table(spark, root)
+    a = _write_slices(df.filter("event_id < 100"), root, 1, "day")
+    b = _write_slices(df.filter("event_id < 100"), root, 1, "day")
+    assert set(a) == set(b) == {"day=2024-01-01"}
+    assert a["day=2024-01-01"] != b["day=2024-01-01"]
+    # winner publishes a's mapping; b's staging is an orphan
+    from google_cloud_ecommerce_spark.lakehouse import _publish_manifest
+
+    merged = {**_read_manifest(root, 0), **a}
+    _publish_manifest(root, 1, merged)
+    states = table_slice_states(root, retain_latest=1)
+    assert states["orphan"] == [b["day=2024-01-01"]]
+    assert b["day=2024-01-01"] not in set(states["live"])
+
+
+def test_declared_delete_drops_partition_from_new_version(spark, tmp_path):
+    """A rewrite that empties a partition writes no slice dir, so the
+    delete must be declared via drop_partitions — the new version no
+    longer lists the day, older versions still do (time-travelable
+    delete), and an unknown name fails loudly."""
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    empty = table_read(spark, root).filter("1=0")
+    with pytest.raises(ValueError, match="drop_partitions entry"):
+        table_commit_rewrite(empty, root, drop_partitions=["day=2099-01-01"])
+    table_commit_rewrite(empty, root, drop_partitions=["day=2024-01-03"])
+    assert "day=2024-01-03" not in _read_manifest(root, 1)
+    days_v1 = {r.day for r in table_read(spark, root).select("day").distinct().collect()}
+    assert dt.date(2024, 1, 3) not in days_v1 and len(days_v1) == 5
+    days_v0 = {r.day for r in table_read(spark, root, 0).select("day").distinct().collect()}
+    assert dt.date(2024, 1, 3) in days_v0
 
 
 def test_vacuum_classifies_deletes_and_preserves_latest(spark, tmp_path):
@@ -104,24 +158,21 @@ def test_vacuum_classifies_deletes_and_preserves_latest(spark, tmp_path):
         F.col("day") == dt.date(2024, 1, 1)
     ).write.partitionBy("day").parquet(os.path.join(root, "slices", "vorphan"))
 
+    m = {v: _read_manifest(root, v) for v in (0, 1, 2)}
     states = table_slice_states(root, retain_latest=1)
-    # live: v2 days 1-2, v1 days 3-4, v0 days 5-6
-    assert sorted(states["live"]) == [
-        "slices/v0/day=2024-01-05",
-        "slices/v0/day=2024-01-06",
-        "slices/v1/day=2024-01-03",
-        "slices/v1/day=2024-01-04",
-        "slices/v2/day=2024-01-01",
-        "slices/v2/day=2024-01-02",
-    ]
-    assert sorted(states["expired"]) == [
-        "slices/v0/day=2024-01-01",
-        "slices/v0/day=2024-01-02",
-        "slices/v0/day=2024-01-03",
-        "slices/v0/day=2024-01-04",
-        "slices/v1/day=2024-01-01",
-        "slices/v1/day=2024-01-02",
-    ]
+    # live = exactly what v2 references: its own 2 rewritten days, v1's
+    # days 3-4, v0's days 5-6
+    assert set(states["live"]) == set(m[2].values())
+    assert len(states["live"]) == 6
+    assert m[2]["day=2024-01-01"].startswith("slices/v2-")
+    assert m[2]["day=2024-01-03"] == m[1]["day=2024-01-03"]
+    assert m[2]["day=2024-01-05"] == m[0]["day=2024-01-05"]
+    # expired = referenced by v0/v1 only: v0 days 1-4, v1 days 1-2
+    expected_expired = (set(m[0].values()) | set(m[1].values())) - set(
+        m[2].values()
+    )
+    assert set(states["expired"]) == expected_expired
+    assert len(states["expired"]) == 6
     assert states["orphan"] == ["slices/vorphan/day=2024-01-01"]
 
     latest_before = _state(table_read(spark, root))

@@ -1013,36 +1013,35 @@ def test_time_travel_resolution_lists_only_manifest_slices(spark, sf_smoke, tmp_
     }
     assert rewritten_days  # the fixture must actually rewrite something
 
+    from google_cloud_ecommerce_spark.lakehouse import _read_manifest
+
+    m0, m1 = _read_manifest(root, 0), _read_manifest(root, 1)
+    assert all(m1[d] != m0[d] for d in rewritten_days)
+    untouched_days = set(m0) - rewritten_days
+    assert all(m1[d] == m0[d] for d in untouched_days)
+
+    def day_of(f: str) -> str:
+        return next(p for p in f.split("/") if p.startswith("day="))
+
     v1 = table_read(spark, root)
     v1_files = v1.inputFiles()
-    v0_dirs_in_v1 = {
-        f.split("/slices/v0/")[1].split("/")[0]
-        for f in v1_files
-        if "/slices/v0/" in f
-    }
-    v1_dirs_in_v1 = {
-        f.split("/slices/v1/")[1].split("/")[0]
-        for f in v1_files
-        if "/slices/v1/" in f
-    }
-    assert v1_dirs_in_v1 == rewritten_days
-    assert not (v0_dirs_in_v1 & rewritten_days), (
-        "v1 resolution listed superseded v0 slices"
-    )
+    # every file the v1 resolution lists sits under exactly the slice
+    # dir manifest v1 references for its day — superseded v0 slices of
+    # rewritten days are never listed
+    assert {day_of(f) for f in v1_files} == set(m1)
+    for f in v1_files:
+        assert f"/{m1[day_of(f)]}/" in f, (f, m1[day_of(f)])
     plan = v1._jdf.queryExecution().executedPlan().toString()
     # the round-9 mechanism filtered on dayofmonth(day); the manifest
     # resolution needs no predicate at all
     assert "dayofmonth" not in plan, plan
 
     v0_files = table_read(spark, root, 0).inputFiles()
-    assert all("/slices/v0/" in f for f in v0_files)
+    for f in v0_files:
+        assert f"/{m0[day_of(f)]}/" in f, (f, m0[day_of(f)])
     # and the two versions' untouched-day files are the SAME files
-    untouched_v1 = {f for f in v1_files if "/slices/v0/" in f}
-    untouched_v0 = {
-        f
-        for f in v0_files
-        if f.split("/slices/v0/")[1].split("/")[0] not in rewritten_days
-    }
+    untouched_v1 = {f for f in v1_files if day_of(f) in untouched_days}
+    untouched_v0 = {f for f in v0_files if day_of(f) in untouched_days}
     assert untouched_v1 == untouched_v0
 
 

@@ -69,9 +69,10 @@ def _modules():
 # never-checked tail is EMPTY — window slots are re-checks by
 # necessity (plus the round-10 additions). Slate composition, in the
 # r9-directed order:
-# 2 round-10 additions (vacuum_report — the lakehouse VACUUM
-# accounting over the new N-version manifest — and skew_join_demo —
-# the AQE skew-split hot-key join);
+# 3 round-10 additions (vacuum_report — the lakehouse VACUUM
+# accounting over the new N-version manifest — skew_join_demo — the
+# AQE skew-split hot-key join — and version_diff_pruned — the
+# manifest-pruned incremental version diff);
 # 5 re-checks whose code changed in round-10 commits: the three
 # queries rerouted through the lakehouse manifest (merge_upsert_rewrite,
 # streaming_merge_upsert, time_travel_read — VERDICT r9 #2 + ADVICE
@@ -79,21 +80,23 @@ def _modules():
 # + configurable poll deadline, ADVICE r9), and
 # tpch_q1_pricing_summary — the canary for the distributed scan-layout
 # compaction rewrite (VERDICT r9 #3; also itself an r03-last name);
-# then strictly oldest evidence: the first 43 of the remaining 45
-# r03-last names, alphabetical (wire_format_source and zorder_curve
-# roll to round 11). Every name has an oracle; tests/test_registry.py
-# pins the slate and the no-wasted-slot rule.
+# then strictly oldest evidence: the first 42 of the remaining 45
+# r03-last names, alphabetical (weekday_eventtype_chisq,
+# wire_format_source and zorder_curve roll to round 11). Every name
+# has an oracle; tests/test_registry.py pins the slate and the
+# no-wasted-slot rule.
 PRIORITY: tuple[str, ...] = (
-    # --- 2 round-10 additions (never driver-checked) ---
+    # --- 3 round-10 additions (never driver-checked) ---
     "vacuum_report",
     "skew_join_demo",
+    "version_diff_pruned",
     # --- 5 re-checks: code changed in round-10 commits ---
     "merge_upsert_rewrite",
     "streaming_merge_upsert",
     "time_travel_read",
     "wire_stream_sink",
     "tpch_q1_pricing_summary",
-    # --- 43 re-checks: oldest driver evidence (r03-last), alphabetical ---
+    # --- 42 re-checks: oldest driver evidence (r03-last), alphabetical ---
     "asof_purchase_view",
     "batch_sessionization",
     "bloom_membership",
@@ -136,7 +139,6 @@ PRIORITY: tuple[str, ...] = (
     "train_eval_split",
     "triangle_coview",
     "value_zscore_outliers",
-    "weekday_eventtype_chisq",
 )
 
 

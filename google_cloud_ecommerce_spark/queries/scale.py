@@ -1558,6 +1558,101 @@ ORACLE["vacuum_report"] = VACUUM_REPORT_SQL
 
 
 # ---------------------------------------------------------------------------
+# version_diff_pruned — incremental consumption off the manifest chain
+# (round-10; the read-side complement of vacuum_report): what changed
+# between two table versions, computed WITHOUT scanning unchanged
+# data. Two manifests are compared pointer-by-pointer — a partition
+# participates only when its slice dir changed — so the diff's input
+# is proportional to the delta, not the table (at 100 TB with a
+# day-bounded MERGE, that is the difference between scanning ~3% and
+# scanning everything; the plan/behavior test asserts unchanged days'
+# files are never even listed). The per-day report joins old and new
+# slices FULL OUTER on the row key, counting rows added, removed and
+# type-changed — the event_type flip is the change marker because the
+# rewrite sets a sentinel type ('tt_adjusted') no source row carries,
+# making the count deterministic for the oracle (a value comparison
+# could collide with a source row that already equals the set value).
+# ---------------------------------------------------------------------------
+
+
+def version_diff_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.lakehouse import (
+        _read_manifest,
+        read_slices,
+        table_commit_rewrite,
+        table_create,
+        table_read,
+    )
+
+    src = ensure_day_partitioned_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="spark_graft_vdiff_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table_create(spark.read.parquet(src), root)
+
+    v0 = table_read(spark, root, 0)
+    touched = F.dayofmonth("day") <= TT_DAY_CUTOFF
+    is_upd = (F.col("event_id") % MERGE_UPD_MOD == MERGE_UPD_RESIDUE) & touched
+    table_commit_rewrite(
+        v0.filter(touched).withColumn(
+            "event_type",
+            F.when(is_upd, F.lit("tt_adjusted")).otherwise(F.col("event_type")),
+        ),
+        root,
+    )
+
+    m0, m1 = _read_manifest(root, 0), _read_manifest(root, 1)
+    changed = sorted(p for p in m1 if m1[p] != m0.get(p))
+    old = read_slices(spark, root, [m0[p] for p in changed if p in m0])
+    new = read_slices(spark, root, [m1[p] for p in changed])
+    j = old.select(
+        F.col("day").alias("day0"), "event_id", F.col("event_type").alias("t0")
+    ).join(
+        new.select(
+            F.col("day").alias("day1"), "event_id", F.col("event_type").alias("t1")
+        ),
+        "event_id",
+        "full_outer",
+    )
+    return j.groupBy(F.coalesce("day0", "day1").alias("day")).agg(
+        F.sum(F.col("day1").isNull().cast("long")).alias("n_removed"),
+        F.sum(F.col("day0").isNull().cast("long")).alias("n_added"),
+        F.sum(
+            (
+                F.col("day0").isNotNull()
+                & F.col("day1").isNotNull()
+                & (F.col("t0") != F.col("t1"))
+            ).cast("long")
+        ).alias("n_type_changed"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+VERSION_DIFF_SQL = f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, event_id
+        FROM events
+        WHERE dayofmonth(CAST(ts AS DATE)) <= {TT_DAY_CUTOFF}
+    )
+    SELECT day,
+           CAST(0 AS BIGINT) AS n_removed,
+           CAST(0 AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN event_id % {MERGE_UPD_MOD} = {MERGE_UPD_RESIDUE}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_type_changed,
+           count(*) AS n_rows
+    FROM ev GROUP BY 1
+"""
+
+
+QUERIES["version_diff_pruned"] = version_diff_pruned
+ORACLE["version_diff_pruned"] = VERSION_DIFF_SQL
+
+
+# ---------------------------------------------------------------------------
 # jdbc_roundtrip — the external-database sink/source exercised against
 # a REAL embedded database (Apache Derby ships inside Spark's JVM for
 # the Hive metastore, so an in-memory Derby instance needs no extra

@@ -1092,3 +1092,43 @@ def test_skew_join_demo_aqe_splits_hot_key(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_version_diff_reads_only_changed_partitions(spark, sf_smoke, tmp_path):
+    """Round-10: the manifest diff prunes at POINTER-comparison time —
+    a version-to-version diff lists files only for partitions whose
+    slice dir changed; unchanged days' files appear in neither side's
+    scan (input proportional to the delta, not the table)."""
+    import pyspark.sql.functions as F
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.lakehouse import (
+        _read_manifest,
+        read_slices,
+        table_commit_rewrite,
+        table_create,
+        table_read,
+    )
+    from google_cloud_ecommerce_spark.queries.scale import TT_DAY_CUTOFF
+
+    src = ensure_day_partitioned_events(spark, sf_smoke)
+    root = str(tmp_path / "vdiff")
+    table_create(spark.read.parquet(src), root)
+    table_commit_rewrite(
+        table_read(spark, root, 0).filter(F.dayofmonth("day") <= TT_DAY_CUTOFF),
+        root,
+    )
+    m0, m1 = _read_manifest(root, 0), _read_manifest(root, 1)
+    changed = sorted(p for p in m1 if m1[p] != m0.get(p))
+    unchanged = set(m0) - set(changed)
+    assert changed and unchanged  # both sides of the split must exist
+
+    files = set(
+        read_slices(spark, root, [m0[p] for p in changed]).inputFiles()
+    ) | set(read_slices(spark, root, [m1[p] for p in changed]).inputFiles())
+    days_scanned = {
+        next(part for part in f.split("/") if part.startswith("day="))
+        for f in files
+    }
+    assert days_scanned == set(changed)
+    assert not (days_scanned & unchanged)

@@ -49,19 +49,21 @@ _FAMILY_ANCHORS = {
 
 # Round-10 window slate (VERDICT r9 directive #1): CORRECTNESS_r09
 # landed 50/50 and the never-checked tail is EMPTY, so apart from the
-# 2 round-10 additions (vacuum_report, skew_join_demo) every slot is a
+# 3 round-10 additions (vacuum_report, skew_join_demo,
+# version_diff_pruned) every slot is a
 # DOCUMENTED re-check — justified only when the operator's code
 # changed in round-10 commits (the lakehouse manifest reroute of the
 # three MERGE/time-travel queries, the wire prefix-divergence fix, the
 # distributed-compaction canary tpch_q1) or by strictly oldest
-# evidence (the first 43 of the remaining 45 r03-last names,
-# alphabetical; wire_format_source and zorder_curve roll to round 11).
+# evidence (the first 42 of the remaining 45 r03-last names,
+# alphabetical; weekday_eventtype_chisq, wire_format_source and
+# zorder_curve roll to round 11).
 # An undocumented re-check is still a wasted slot.
 _RECHECK_SLATE = {
     # round-10 code changes
     "merge_upsert_rewrite", "streaming_merge_upsert", "time_travel_read",
     "wire_stream_sink", "tpch_q1_pricing_summary",
-    # oldest evidence: last driver row is r03 (first 43, alphabetical)
+    # oldest evidence: last driver row is r03 (first 42, alphabetical)
     "asof_purchase_view", "batch_sessionization", "bloom_membership",
     "corpus_drift", "daily_events", "data_quality_report", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_simhash_pairs", "doc_chunking",
@@ -76,7 +78,7 @@ _RECHECK_SLATE = {
     "similarity_topk", "snapshot_diff", "sql_udf_revenue_bands",
     "streaming_daily_events", "streaming_hourly_window", "text_lang_id",
     "text_quality", "time_weighted_value", "train_eval_split",
-    "triangle_coview", "value_zscore_outliers", "weekday_eventtype_chisq",
+    "triangle_coview", "value_zscore_outliers",
 }
 
 

@@ -5,6 +5,17 @@ Round-10 generalization (VERDICT r9 next #2) of the round-9 two-version
 every versioned writer in the repo routes through, so no writer ever
 overwrites a path it is reading (ADVICE r9 on merge_upsert_rewrite).
 
+Round-11 (VERDICT r10 next #1/#2/#3/#5 + ADVICE r10): manifests now
+carry per-partition min/max FILE STATS for a declared stats column and
+the commit-time SCHEMA; ``table_read`` prunes on a partition-name
+predicate and/or a stats range BEFORE listing anything; commits get a
+Delta-style optimistic-concurrency rebase (a race loser whose touched
+partitions are disjoint from the winner's re-merges and retries);
+``table_changes`` / ``write_change_feed`` expose the version chain as a
+row-level change feed (the readChangeFeed half of the MERGE story); and
+VACUUM gained an orphan retention window so it can no longer delete a
+concurrent writer's still-uncommitted staging.
+
 Layout (all under one table root):
 
     root/
@@ -15,8 +26,13 @@ Layout (all under one table root):
         v1-0b7e44aa/day=2024-01-03/...         #   (commit, partition)
 
 A manifest maps partition directory name -> the slice directory that
-holds the partition's newest rows as of that version. Commit protocol
-(the Delta/Iceberg/Hudi copy-on-write discipline):
+holds the partition's newest rows as of that version, plus (round 11)
+``stats_column`` / per-partition ``stats`` ``[min, max]`` pairs read
+from the parquet FOOTERS of the slice files (metadata-only — never a
+data scan; the Iceberg/Delta commit-time stats discipline) and
+``schema`` (the committing DataFrame's schema as JSON, so a column-add
+commit reads correctly at both the pre- and post-evolution versions).
+Commit protocol (the Delta/Iceberg/Hudi copy-on-write discipline):
 
 1. write the rewritten partitions' data under a FRESH, WRITER-UNIQUE
    ``slices/v{n}-{token}/`` prefix — committed slices are immutable, so
@@ -28,10 +44,22 @@ holds the partition's newest rows as of that version. Commit protocol
    ``_manifest/v{n}.json`` — the manifest's content is complete the
    instant it becomes visible (no torn reads for concurrent readers,
    no permanently bricked table if the writer dies mid-publish), and
-   link() is create-if-absent so the loser of a version race fails
-   loudly. On filesystems without hard links the wire sink's
-   O_CREAT|O_EXCL fallback applies, with the manifest unlinked if the
-   content copy fails.
+   link() is create-if-absent so the loser of a version race detects
+   the loss. On filesystems without hard links the fallback claims the
+   version through an O_CREAT|O_EXCL ``.claim`` sentinel and then
+   os.replace()s the fully written temp file into place (ADVICE r10:
+   the old fallback made the manifest visible before its content
+   landed, so a concurrent reader could hit a torn JSON; the sentinel
+   keeps the race check atomic while readers only ever see complete
+   content);
+3. (round 11) a publish loser REBASES instead of failing when its
+   touched partitions are disjoint from everything that changed since
+   its base version: the already-staged slices are reused verbatim
+   (immutable — no data rewrite), the pointer map is re-merged onto
+   the new latest manifest, and the publish retries at the next
+   version. Overlapping writers still fail loudly with
+   ``CommitConflictError`` — that is the Delta optimistic-concurrency
+   protocol, not last-writer-wins.
 
 Deletes: a rewrite that leaves a touched partition EMPTY writes no
 slice dir for it, so the prior pointer would silently survive —
@@ -42,13 +70,21 @@ still see them: that is what makes the delete time-travelable).
 Reads resolve a manifest into one Spark scan per referenced slice
 prefix, each listing EXACTLY its slice directories — version
 resolution costs file-listing on the touched partitions only, never a
-data-proportional filter, and dead (expired/orphaned) slices are never
-listed at all.
+data-proportional filter, and dead (expired/orphaned/pruned) slices
+are never listed at all. With a partition predicate or stats range the
+listing shrinks further to the matching partitions (at 100 TB, a
+day-bounded query on a 3-year table lists ~0.1% of the manifest's
+dirs); stats pruning is a PERFORMANCE contract only — surviving
+partitions still contain non-matching rows, so callers keep their row
+filters and Catalyst pushes them into the pruned scan.
 
 VACUUM classifies every slice directory as live (referenced by a
-retained manifest), expired (referenced only by dropped manifests) or
+retained manifest), expired (referenced only by dropped manifests),
 orphan (referenced by none — a failed/lost commit or a race loser's
-staging), deletes the non-live ones, and returns the classification.
+staging) or — round 11 — pending (unreferenced but YOUNGER than the
+retention window: indistinguishable from a concurrent writer's
+mid-commit staging, so never deleted; ADVICE r10), deletes the
+non-live aged ones, and returns the classification.
 
 Local-filesystem implementation: manifest IO is plain Python file
 handling — on cloud object stores this step is the table format's
@@ -59,12 +95,17 @@ not a Spark job. Slice data always moves through Spark writers.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
+import time
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 # link() errnos meaning "hard links unsupported here" — shared with the
 # wire sink, whose manifest commit uses the identical discipline.
@@ -72,6 +113,26 @@ from google_cloud_ecommerce_spark.sources.wire import _LINK_UNSUPPORTED_ERRNOS
 
 _MANIFEST_DIR = "_manifest"
 _SLICES_DIR = "slices"
+
+# How long an unreferenced slice dir must sit untouched before VACUUM
+# may call it an orphan (Delta's default retention is 7 days; ours is
+# shorter because staging -> publish is seconds, not a long job — but
+# the guard exists for the same reason: a concurrent writer's staged
+# slices are unreferenced until its manifest lands, and deleting them
+# would corrupt the commit it is about to publish).
+ORPHAN_RETAIN_SECONDS_DEFAULT = 24 * 3600.0
+
+# How long a publish loser waits for the racing winner's manifest to
+# become visible before giving up on the rebase (the no-hardlink
+# fallback claims the version a beat before the content lands; same
+# deadline the wire sink polls with).
+_REBASE_POLL_DEADLINE_S = 2.0
+
+
+class CommitConflictError(RuntimeError):
+    """Two writers committed overlapping partitions concurrently; the
+    loser's rewrite was computed against a base the winner has since
+    replaced, so rebasing would silently drop the winner's rows."""
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -90,27 +151,44 @@ def table_versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest(root: str, version: int) -> dict[str, str]:
+def _read_manifest_doc(root: str, version: int) -> dict:
     with open(_manifest_path(root, version), encoding="utf-8") as fh:
         doc = json.load(fh)
     if doc.get("version") != version:  # a renamed/corrupt manifest file
         raise ValueError(f"manifest {version} self-reports {doc.get('version')}")
-    return doc["partitions"]
+    return doc
 
 
-def _publish_manifest(root: str, version: int, partitions: dict[str, str]) -> None:
+def _read_manifest(root: str, version: int) -> dict[str, str]:
+    return _read_manifest_doc(root, version)["partitions"]
+
+
+def _publish_manifest(
+    root: str,
+    version: int,
+    partitions: dict[str, str],
+    *,
+    schema_json: str | None = None,
+    stats_column: str | None = None,
+    stats: dict[str, list] | None = None,
+) -> None:
     """Commit-by-link: the manifest is fully written to a temp file
     first, so it is complete the instant it becomes visible (a writer
     crash mid-publish leaves only the temp file, never a torn
     v{n}.json that would brick every read and VACUUM). link() is
     create-if-absent, so the loser of a version race fails loudly; its
-    slice staging becomes a VACUUM-able orphan."""
+    slice staging becomes a VACUUM-able orphan. Where hard links are
+    unsupported, an O_CREAT|O_EXCL ``.claim`` sentinel carries the
+    create-if-absent race check and the content lands via os.replace —
+    readers never observe a partially written manifest (ADVICE r10)."""
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
-    doc = json.dumps(
-        {"version": version, "partitions": dict(sorted(partitions.items()))},
-        indent=0,
-        sort_keys=True,
-    )
+    body: dict = {"version": version, "partitions": dict(sorted(partitions.items()))}
+    if schema_json is not None:
+        body["schema"] = json.loads(schema_json)
+    if stats_column is not None:
+        body["stats_column"] = stats_column
+        body["stats"] = {k: stats[k] for k in sorted(stats or {})}
+    doc = json.dumps(body, indent=0, sort_keys=True)
     final = _manifest_path(root, version)
     tmp = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as out:
@@ -128,18 +206,76 @@ def _publish_manifest(root: str, version: int, partitions: dict[str, str]) -> No
         except OSError as exc:
             if exc.errno not in _LINK_UNSUPPORTED_ERRNOS:
                 raise  # a real failure (EACCES, EMLINK, ...) must surface
+            if os.path.exists(final):
+                raise race from None
+            claim = f"{final}.claim"
             try:
-                fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
             except FileExistsError:
                 raise race from None
             try:
-                with os.fdopen(fd, "w", encoding="utf-8") as out:
-                    out.write(doc)
+                # content is already complete in tmp; replace is atomic,
+                # so no reader ever sees a partial v{n}.json
+                os.replace(tmp, final)
             except Exception:
-                os.unlink(final)  # no torn manifest on a failed copy
+                os.unlink(claim)  # keep the version retryable
                 raise
     finally:
-        os.remove(tmp)
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def _stats_value(v):
+    """JSON-encodable, order-preserving projection of a footer stat
+    (dates/timestamps via isoformat — lexicographic == chronological)."""
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, (int, float, str)):
+        return v
+    return None  # binary/decimal/etc.: no pruning rather than wrong pruning
+
+
+def _collect_partition_stats(
+    root: str, parts: dict[str, str], stats_col: str
+) -> dict[str, list]:
+    """Per-partition [min, max] of ``stats_col`` read from the parquet
+    FOOTERS of the just-written slice files — metadata-only (the
+    Iceberg manifest-stats discipline; a data scan here would double
+    the commit's IO). A partition where any row group lacks usable
+    min/max gets NO entry: missing stats mean "cannot prune", never
+    "prune wrongly"."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list] = {}
+    for name, rel in parts.items():
+        pdir = os.path.join(root, rel)
+        lo = hi = None
+        usable = True
+        for fn in os.listdir(pdir):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(pdir, fn)).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            if stats_col not in names:
+                usable = False
+                break
+            ci = names.index(stats_col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    usable = False
+                    break
+                mn, mx = _stats_value(st.min), _stats_value(st.max)
+                if mn is None or mx is None:
+                    usable = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if not usable:
+                break
+        if usable and lo is not None:
+            out[name] = [lo, hi]
+    return out
 
 
 def _write_slices(
@@ -149,7 +285,10 @@ def _write_slices(
     {token}/ staging prefix and return the partition -> slice-dir
     mapping they create. The token is what keeps two writers racing for
     one version from ever interleaving part files in a directory the
-    winner's manifest will reference."""
+    winner's manifest will reference. (After a rebase the committed
+    version can exceed the staged prefix's number — the prefix is a
+    staging label, never an address: only the manifest maps versions
+    to slices.)"""
     vname = f"v{version}-{uuid.uuid4().hex[:8]}"
     vdir = os.path.join(root, _SLICES_DIR, vname)
     df.write.mode("errorifexists").partitionBy(partition_col).parquet(vdir)
@@ -162,13 +301,33 @@ def _write_slices(
     }
 
 
-def table_create(df: DataFrame, root: str, partition_col: str = "day") -> int:
+def table_create(
+    df: DataFrame, root: str, partition_col: str = "day", stats_col: str | None = None
+) -> int:
     """Create version 0 of a table from df. Returns the version (0)."""
     if table_versions(root):
         raise ValueError(f"table already exists at {root}")
     parts = _write_slices(df, root, 0, partition_col)
-    _publish_manifest(root, 0, parts)
+    stats = _collect_partition_stats(root, parts, stats_col) if stats_col else None
+    _publish_manifest(
+        root, 0, parts,
+        schema_json=df.schema.json(), stats_column=stats_col, stats=stats,
+    )
     return 0
+
+
+def _await_version(root: str, version: int) -> dict:
+    """Read a manifest that is known to be committed or mid-publish (the
+    loser saw the winner's claim); poll briefly for visibility on the
+    no-hardlink fallback path where the claim lands a beat early."""
+    deadline = time.monotonic() + _REBASE_POLL_DEADLINE_S
+    while True:
+        try:
+            return _read_manifest_doc(root, version)
+        except FileNotFoundError:
+            if time.monotonic() >= deadline:
+                raise
+            time.sleep(0.02)
 
 
 def table_commit_rewrite(
@@ -176,6 +335,9 @@ def table_commit_rewrite(
     root: str,
     partition_col: str = "day",
     drop_partitions: list[str] | None = None,
+    stats_col: str | None = None,
+    max_commit_retries: int = 3,
+    _race_hook: Callable[[], None] | None = None,
 ) -> int:
     """Commit df — the full rewritten rows of the TOUCHED partitions
     only — as the next version. Untouched partitions keep their prior
@@ -185,30 +347,122 @@ def table_commit_rewrite(
     rewrite left EMPTY must be named in ``drop_partitions`` (e.g.
     ``["day=2024-01-05"]``) — an empty partition writes no slice dir,
     so without the declaration its old pointer would silently survive
-    into the new version. Returns the new version."""
+    into the new version.
+
+    Optimistic concurrency (round 11, the Delta protocol): losing the
+    publish race no longer fails outright. If every partition this
+    writer touched (wrote or dropped) is untouched between its base
+    version and the new latest, the already-staged slices are re-merged
+    onto the winner's manifest and the publish retries at the next
+    version — data is written exactly once. Overlap raises
+    ``CommitConflictError``; more than ``max_commit_retries`` straight
+    losses re-raises the race error. Returns the committed version.
+
+    ``_race_hook`` is a test seam: called once after slices are staged
+    and before the first publish attempt (the window a concurrent
+    winner lands in)."""
     versions = table_versions(root)
     if not versions:
         raise ValueError(f"no table at {root}; table_create first")
-    latest = versions[-1]
-    merged = dict(_read_manifest(root, latest))
+    base_version = versions[-1]
+    base_doc = _read_manifest_doc(root, base_version)
+    base_parts = base_doc["partitions"]
     for name in drop_partitions or ():
-        if name not in merged:
+        if name not in base_parts:
             raise ValueError(
                 f"drop_partitions entry {name!r} is not a partition of "
-                f"version {latest} at {root}"
+                f"version {base_version} at {root}"
             )
-        del merged[name]
-    new_version = latest + 1
-    merged.update(_write_slices(df, root, new_version, partition_col))
-    _publish_manifest(root, new_version, merged)
-    return new_version
+    new_parts = _write_slices(df, root, base_version + 1, partition_col)
+    touched = set(new_parts) | set(drop_partitions or ())
+    eff_stats_col = stats_col or base_doc.get("stats_column")
+    new_stats = (
+        _collect_partition_stats(root, new_parts, eff_stats_col)
+        if eff_stats_col
+        else {}
+    )
+    if _race_hook is not None:
+        _race_hook()
+
+    cur_version, cur_doc = base_version, base_doc
+    for _ in range(max_commit_retries + 1):
+        merged = dict(cur_doc["partitions"])
+        for name in drop_partitions or ():
+            merged.pop(name, None)  # overlap with a winner's drop is caught below
+        merged.update(new_parts)
+        stats = None
+        if eff_stats_col:
+            carried = (
+                cur_doc.get("stats", {})
+                if cur_doc.get("stats_column") == eff_stats_col
+                else {}
+            )
+            stats = {
+                p: carried[p] for p in merged if p in carried and p not in new_parts
+            }
+            stats.update(new_stats)
+        try:
+            _publish_manifest(
+                root,
+                cur_version + 1,
+                merged,
+                schema_json=df.schema.json(),
+                stats_column=eff_stats_col,
+                stats=stats,
+            )
+            return cur_version + 1
+        except FileExistsError as race:
+            latest = table_versions(root)[-1]
+            latest_doc = _await_version(root, max(latest, cur_version + 1))
+            latest_parts = latest_doc["partitions"]
+            changed_since_base = {
+                p
+                for p in set(base_parts) | set(latest_parts)
+                if base_parts.get(p) != latest_parts.get(p)
+            }
+            overlap = touched & changed_since_base
+            if overlap:
+                raise CommitConflictError(
+                    f"concurrent commit at {root} touched partitions this "
+                    f"rewrite also touched ({sorted(overlap)[:5]}...); "
+                    "rebasing would drop the winner's rows — recompute "
+                    "against the new latest version"
+                ) from None
+            cur_version = latest_doc["version"]
+            cur_doc = latest_doc
+            last_race = race
+    raise last_race
 
 
-def read_slices(spark: SparkSession, root: str, rels: list[str]) -> DataFrame:
+def _align_to_schema(scan: DataFrame, target: StructType | None) -> DataFrame:
+    """Project a slice scan onto the manifest's recorded schema: columns
+    the slice predates (schema evolution) read as typed NULLs, columns
+    a later schema dropped disappear, order follows the manifest. Cast
+    nothing that exists — the slice's own parquet types are
+    authoritative for data it actually stores."""
+    if target is None:
+        return scan
+    have = set(scan.columns)
+    return scan.select(
+        *[
+            F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+    )
+
+
+def read_slices(
+    spark: SparkSession,
+    root: str,
+    rels: list[str],
+    schema: StructType | None = None,
+) -> DataFrame:
     """Scan an explicit set of slice-relative dirs: one Spark scan per
     slice prefix, each listing exactly the given dirs (the partition
-    column is recovered via basePath), unioned. Used by version
-    resolution and by VACUUM accounting reads."""
+    column is recovered via basePath), unioned. When a manifest schema
+    is supplied each scan is aligned to it first (schema evolution:
+    older slices null-fill columns they predate). Used by version
+    resolution, the change feed, and VACUUM accounting reads."""
     by_prefix: dict[str, list[str]] = {}
     for rel in rels:
         by_prefix.setdefault(rel.split("/")[1], []).append(rel)
@@ -216,34 +470,210 @@ def read_slices(spark: SparkSession, root: str, rels: list[str]) -> DataFrame:
     for vdir, group in sorted(by_prefix.items()):
         base = os.path.join(root, _SLICES_DIR, vdir)
         paths = [os.path.join(root, rel) for rel in sorted(group)]
-        scan = spark.read.option("basePath", base).parquet(*paths)
+        scan = _align_to_schema(
+            spark.read.option("basePath", base).parquet(*paths), schema
+        )
         out = scan if out is None else out.unionByName(scan)
     if out is None:
         raise ValueError("empty slice set")
     return out
 
 
-def table_read(
-    spark: SparkSession, root: str, version: int | None = None
-) -> DataFrame:
-    """Resolve a version (default: latest) into a DataFrame. Slice dirs
-    a newer rewrite superseded are never even listed."""
+def _manifest_schema(doc: dict) -> StructType | None:
+    raw = doc.get("schema")
+    return StructType.fromJson(raw) if raw else None
+
+
+def _resolve_version(root: str, version: int | None) -> int:
     versions = table_versions(root)
     if not versions:
         raise ValueError(f"no table at {root}")
     if version is None:
-        version = versions[-1]
+        return versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in {versions} at {root}")
-    return read_slices(spark, root, list(_read_manifest(root, version).values()))
+    return version
 
 
-def table_slice_states(root: str, retain_latest: int = 1) -> dict[str, list[str]]:
+def table_read(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    *,
+    partition_filter: Callable[[str], bool] | None = None,
+    stats_range: tuple | None = None,
+) -> DataFrame:
+    """Resolve a version (default: latest) into a DataFrame. Slice dirs
+    a newer rewrite superseded are never even listed.
+
+    Round 11 (VERDICT r10 next #1): ``partition_filter`` is a predicate
+    over partition directory NAMES (``"day=2024-01-15"`` — lexicographic
+    range tests work because the day encoding is ISO); ``stats_range``
+    is an inclusive ``(lo, hi)`` over the manifest's ``stats_column`` —
+    a partition whose recorded footer [min, max] misses the range is
+    skipped WITHOUT LISTING IT (partitions with no recorded stats are
+    kept: missing stats never prune). Both prune at manifest-resolution
+    time, before any filesystem listing — on a 100 TB table a
+    day-bounded read lists only the matching days' slice dirs. Stats
+    pruning is a superset guarantee, not a filter: callers keep their
+    row predicates; Catalyst pushes them into the shrunken scan."""
+    version = _resolve_version(root, version)
+    doc = _read_manifest_doc(root, version)
+    parts = doc["partitions"]
+    names = sorted(parts)
+    if partition_filter is not None:
+        names = [n for n in names if partition_filter(n)]
+    if stats_range is not None:
+        lo, hi = stats_range
+        stats = doc.get("stats", {})
+        names = [
+            n
+            for n in names
+            if n not in stats or (stats[n][1] >= lo and stats[n][0] <= hi)
+        ]
+    schema = _manifest_schema(doc)
+    if not names:
+        if schema is None:
+            raise ValueError(
+                f"no partitions of version {version} at {root} match the "
+                "predicate (and the manifest predates recorded schemas, "
+                "so an empty frame cannot be typed)"
+            )
+        return spark.createDataFrame([], schema)
+    return read_slices(spark, root, [parts[n] for n in names], schema=schema)
+
+
+_CHANGE_TYPE_COL = "_change_type"
+_COMMIT_VERSION_COL = "_commit_version"
+
+
+def table_changes(
+    spark: SparkSession, root: str, v_from: int, v_to: int, key_col: str
+) -> DataFrame:
+    """Row-level change feed between two committed versions (Delta
+    readChangeFeed / Iceberg incremental read, VERDICT r10 next #3):
+    emits ``insert`` / ``delete`` / ``update_preimage`` /
+    ``update_postimage`` rows plus ``_commit_version``. Input is
+    MANIFEST-PRUNED — only partitions whose slice pointer changed are
+    listed (the version_diff_pruned discipline made row-level), so the
+    diff costs the delta, not the table. Within each changed partition
+    the old and new slices full-outer join on ``key_col``; a row copied
+    verbatim by the rewrite null-safe-compares equal and emits nothing.
+    Single pass: each joined row explodes into its 0-2 change records —
+    no per-change-type re-scan of the join."""
+    doc_from = _read_manifest_doc(root, _resolve_version(root, v_from))
+    doc_to = _read_manifest_doc(root, _resolve_version(root, v_to))
+    m0, m1 = doc_from["partitions"], doc_to["partitions"]
+    changed = sorted(p for p in set(m0) | set(m1) if m0.get(p) != m1.get(p))
+    schema = _manifest_schema(doc_to) or _manifest_schema(doc_from)
+    old_rels = [m0[p] for p in changed if p in m0]
+    new_rels = [m1[p] for p in changed if p in m1]
+    if schema is not None:
+        cols = [f.name for f in schema.fields]
+    else:  # pre-round-11 manifests: derive columns from a slice scan
+        probe = read_slices(spark, root, new_rels or old_rels)
+        cols = probe.columns
+    data_cols = [c for c in cols if c != key_col]
+
+    def side(rels: list[str], tag: str) -> DataFrame:
+        if rels:
+            df = read_slices(spark, root, rels, schema=schema)
+        else:
+            df = spark.createDataFrame([], schema) if schema is not None else None
+            if df is None:
+                raise ValueError("change feed on empty side needs a recorded schema")
+        return df.select(
+            F.col(key_col).alias(f"{tag}_{key_col}"),
+            *[F.col(c).alias(f"{tag}_{c}") for c in data_cols],
+        )
+
+    o, n = side(old_rels, "o"), side(new_rels, "n")
+    j = o.join(n, o[f"o_{key_col}"] == n[f"n_{key_col}"], "full_outer")
+
+    def record(tag: str, change: str):
+        return F.struct(
+            F.col(f"{tag}_{key_col}").alias(key_col),
+            *[F.col(f"{tag}_{c}").alias(c) for c in data_cols],
+            F.lit(change).alias(_CHANGE_TYPE_COL),
+        )
+
+    differs = F.lit(False)
+    for c in data_cols:
+        differs = differs | ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+    changes = (
+        F.when(F.col(f"o_{key_col}").isNull(), F.array(record("n", "insert")))
+        .when(F.col(f"n_{key_col}").isNull(), F.array(record("o", "delete")))
+        .when(
+            differs,
+            F.array(record("o", "update_preimage"), record("n", "update_postimage")),
+        )
+        .otherwise(F.array())
+    )
+    return (
+        j.select(F.explode(changes).alias("ch"))
+        .select("ch.*")
+        .withColumn(_COMMIT_VERSION_COL, F.lit(v_to).cast("long"))
+    )
+
+
+def write_change_feed(
+    spark: SparkSession,
+    root: str,
+    feed_dir: str,
+    key_col: str,
+    versions: list[int] | None = None,
+    files_per_commit: int = 1,
+) -> list[int]:
+    """Materialize the change feed of consecutive version transitions
+    as parquet under ``feed_dir`` — the commit-time change-file
+    discipline (Delta CDF writes these during MERGE; computing them
+    from the manifest chain afterwards is equivalent for CoW tables
+    because slices are immutable). One file batch per commit, so a
+    file-source stream with maxFilesPerTrigger=1 replays the chain one
+    COMMIT per micro-batch. ``files_per_commit`` bounds the coalesce —
+    at scale this stays at the natural shuffle width and the stream
+    triggers on listing order instead. Returns the versions written."""
+    vs = versions if versions is not None else table_versions(root)
+    done = []
+    for v_prev, v in zip(vs, vs[1:]):
+        (
+            table_changes(spark, root, v_prev, v, key_col)
+            .coalesce(files_per_commit)
+            .write.mode("append")
+            .parquet(feed_dir)
+        )
+        done.append(v)
+    return done
+
+
+def _slice_age_seconds(root: str, rel: str) -> float:
+    """Age of a slice dir = now minus the newest mtime among the
+    partition dir and its version prefix (file creation bumps the dir
+    mtime, so an actively-staging commit always looks young)."""
+    pdir = os.path.join(root, rel)
+    vdir = os.path.dirname(pdir)
+    newest = 0.0
+    for p in (pdir, vdir):
+        try:
+            newest = max(newest, os.path.getmtime(p))
+        except OSError:
+            pass
+    return time.time() - newest
+
+
+def table_slice_states(
+    root: str,
+    retain_latest: int = 1,
+    orphan_retain_seconds: float = ORPHAN_RETAIN_SECONDS_DEFAULT,
+) -> dict[str, list[str]]:
     """Classify every slice dir under slices/: ``live`` (referenced by
     a retained manifest — the newest ``retain_latest`` versions),
-    ``expired`` (referenced only by older manifests) or ``orphan``
-    (referenced by no manifest at all: a failed/lost commit or a race
-    loser's staging). Values are slice-relative paths, sorted."""
+    ``expired`` (referenced only by older manifests), ``orphan``
+    (referenced by no manifest at all AND older than
+    ``orphan_retain_seconds``: a failed/lost commit or a race loser's
+    staging) or ``pending`` (unreferenced but young — indistinguishable
+    from a concurrent writer's mid-commit staging, so VACUUM must not
+    touch it; ADVICE r10). Values are slice-relative paths, sorted."""
     versions = table_versions(root)
     retained = set(versions[-retain_latest:]) if retain_latest > 0 else set()
     live: set[str] = set()
@@ -262,21 +692,38 @@ def table_slice_states(root: str, retain_latest: int = 1) -> dict[str, list[str]
         for pname in os.listdir(vpath):
             if os.path.isdir(os.path.join(vpath, pname)):
                 on_disk.add(f"{_SLICES_DIR}/{vname}/{pname}")
+    unreferenced = on_disk - referenced
+    orphan = {
+        rel
+        for rel in unreferenced
+        if _slice_age_seconds(root, rel) >= orphan_retain_seconds
+    }
     return {
         "live": sorted(live),
         "expired": sorted((referenced - live) & on_disk),
-        "orphan": sorted(on_disk - referenced),
+        "orphan": sorted(orphan),
+        "pending": sorted(unreferenced - orphan),
     }
 
 
-def table_vacuum(root: str, retain_latest: int = 1) -> dict[str, list[str]]:
-    """Delete expired and orphan slice dirs (and the manifests of
-    dropped versions); keep the newest ``retain_latest`` versions fully
-    readable. Returns the classification that was applied."""
-    states = table_slice_states(root, retain_latest)
+def table_vacuum(
+    root: str,
+    retain_latest: int = 1,
+    orphan_retain_seconds: float = ORPHAN_RETAIN_SECONDS_DEFAULT,
+) -> dict[str, list[str]]:
+    """Delete expired and (aged) orphan slice dirs and the manifests of
+    dropped versions; keep the newest ``retain_latest`` versions fully
+    readable and leave ``pending`` (young unreferenced) staging alone —
+    a concurrent writer mid-commit is indistinguishable from a dead
+    orphan until the retention window passes (ADVICE r10). Returns the
+    classification that was applied."""
+    states = table_slice_states(root, retain_latest, orphan_retain_seconds)
     for rel in states["expired"] + states["orphan"]:
         shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
     versions = table_versions(root)
     for v in versions[:-retain_latest] if retain_latest > 0 else versions:
         os.remove(_manifest_path(root, v))
+        claim = f"{_manifest_path(root, v)}.claim"
+        if os.path.exists(claim):
+            os.remove(claim)
     return states

@@ -1475,7 +1475,11 @@ def vacuum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "slices", "vorphan")
     )
 
-    states = table_slice_states(root, retain_latest=1)
+    # retention 0: this entry owns the table exclusively and planted
+    # the orphan itself — the default window exists for tables with
+    # concurrent writers (ADVICE r10), where fresh unreferenced staging
+    # classifies as "pending" and is never deleted.
+    states = table_slice_states(root, retain_latest=1, orphan_retain_seconds=0.0)
 
     def class_agg(state: str, rels: list[str]) -> DataFrame:
         return read_slices(spark, root, rels).groupBy().agg(
@@ -1497,7 +1501,7 @@ def vacuum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, report, ignore_errors=True)
     pre.write.mode("overwrite").parquet(report)
 
-    applied = table_vacuum(root, retain_latest=1)
+    applied = table_vacuum(root, retain_latest=1, orphan_retain_seconds=0.0)
     post = class_agg("live_post_vacuum", applied["live"])
     return spark.read.parquet(report).unionByName(post)
 

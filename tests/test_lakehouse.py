@@ -114,7 +114,10 @@ def test_racing_writers_stage_in_disjoint_prefixes(spark, tmp_path):
 
     merged = {**_read_manifest(root, 0), **a}
     _publish_manifest(root, 1, merged)
-    states = table_slice_states(root, retain_latest=1)
+    # retention 0: this test wants the loser classified NOW (the
+    # default window would call fresh staging "pending" — see
+    # test_vacuum_retention_guard)
+    states = table_slice_states(root, retain_latest=1, orphan_retain_seconds=0.0)
     assert states["orphan"] == [b["day=2024-01-01"]]
     assert b["day=2024-01-01"] not in set(states["live"])
 
@@ -159,7 +162,7 @@ def test_vacuum_classifies_deletes_and_preserves_latest(spark, tmp_path):
     ).write.partitionBy("day").parquet(os.path.join(root, "slices", "vorphan"))
 
     m = {v: _read_manifest(root, v) for v in (0, 1, 2)}
-    states = table_slice_states(root, retain_latest=1)
+    states = table_slice_states(root, retain_latest=1, orphan_retain_seconds=0.0)
     # live = exactly what v2 references: its own 2 rewritten days, v1's
     # days 3-4, v0's days 5-6
     assert set(states["live"]) == set(m[2].values())
@@ -176,7 +179,7 @@ def test_vacuum_classifies_deletes_and_preserves_latest(spark, tmp_path):
     assert states["orphan"] == ["slices/vorphan/day=2024-01-01"]
 
     latest_before = _state(table_read(spark, root))
-    applied = table_vacuum(root, retain_latest=1)
+    applied = table_vacuum(root, retain_latest=1, orphan_retain_seconds=0.0)
     assert applied == states
     for rel in states["expired"] + states["orphan"]:
         assert not os.path.exists(os.path.join(root, rel)), rel
@@ -243,3 +246,259 @@ def test_merge_exactly_once_through_versioned_commits(spark, sf_smoke):
             )
             == v0_before
         )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: stats/partition pruning, schema evolution, optimistic
+# concurrency, orphan retention, row-level change feed.
+# ---------------------------------------------------------------------------
+
+
+def _mk_bucketed_table(spark, root):
+    """Partition names carry NO order information ('bucket=a'..), but
+    event_id ranges are disjoint per bucket — stats prune where names
+    cannot."""
+    rows = [
+        (b * 1000 + i, "abc"[b], float(i))
+        for b in range(3)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, bucket string, value double")
+    table_create(df, root, partition_col="bucket", stats_col="event_id")
+    return df
+
+
+def test_stats_range_prunes_without_listing(spark, tmp_path):
+    from google_cloud_ecommerce_spark.lakehouse import _read_manifest_doc
+
+    root = str(tmp_path / "t")
+    _mk_bucketed_table(spark, root)
+    doc = _read_manifest_doc(root, 0)
+    assert doc["stats_column"] == "event_id"
+    assert doc["stats"]["bucket=a"] == [0, 4]
+    assert doc["stats"]["bucket=c"] == [2000, 2004]
+    # a range inside bucket b's ids: buckets a and c are never listed
+    view = table_read(spark, root, stats_range=(1000, 1500))
+    assert all("/bucket=b/" in f for f in view.inputFiles())
+    # pruning is a superset guarantee: the row filter still applies
+    got = sorted(
+        r.event_id
+        for r in view.filter(F.col("event_id") <= 1002).collect()
+    )
+    assert got == [1000, 1001, 1002]
+    # a partition with no recorded stats is never pruned
+    import json, os
+
+    mpath = os.path.join(root, "_manifest", "v0.json")
+    raw = json.load(open(mpath))
+    del raw["stats"]["bucket=b"]
+    os.remove(mpath)
+    with open(mpath, "w") as fh:
+        json.dump(raw, fh)
+    view2 = table_read(spark, root, stats_range=(2000, 2001))
+    listed = {f.split("/bucket=")[1][0] for f in view2.inputFiles()}
+    assert listed == {"b", "c"}
+
+
+def test_partition_filter_prunes_and_empty_selection_is_typed(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    view = table_read(
+        spark, root, partition_filter=lambda n: n >= "day=2024-01-04"
+    )
+    assert view.count() == 3 * 4
+    assert all(
+        any(f"/day=2024-01-0{d}/" in f for d in (4, 5, 6))
+        for f in view.inputFiles()
+    )
+    empty = table_read(spark, root, partition_filter=lambda n: False)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["event_id", "day", "value"]
+
+
+def test_stats_carry_and_refresh_across_commits(spark, tmp_path):
+    from google_cloud_ecommerce_spark.lakehouse import _read_manifest_doc
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)  # partitioned by day, event_id = d*100+i
+    # enable stats at v1 by rewriting days 1-2 with stats_col declared
+    rewritten = table_read(spark, root).filter(F.col("day") <= dt.date(2024, 1, 2))
+    table_commit_rewrite(rewritten, root, stats_col="event_id")
+    d1 = _read_manifest_doc(root, 1)
+    assert d1["stats_column"] == "event_id"
+    assert set(d1["stats"]) == {"day=2024-01-01", "day=2024-01-02"}
+    # v2 rewrites day 1 only, without re-declaring the column: the
+    # effective column is inherited, day 2's stats carry, day 1's refresh
+    table_commit_rewrite(
+        table_read(spark, root).filter(F.col("day") == dt.date(2024, 1, 1)), root
+    )
+    d2 = _read_manifest_doc(root, 2)
+    assert d2["stats_column"] == "event_id"
+    assert d2["stats"]["day=2024-01-02"] == d1["stats"]["day=2024-01-02"]
+    assert d2["stats"]["day=2024-01-01"] == [0, 3]
+    # stats prune on v2: day 1 (stats [0,3]) misses the range and is
+    # never listed; days 3-6 carry NO stats (their pointers predate the
+    # stats column) so they are conservatively kept — missing stats
+    # never prune
+    view = table_read(spark, root, stats_range=(100, 103))
+    days = {f.split("/day=")[1][:10] for f in view.inputFiles()}
+    assert "2024-01-01" not in days
+    assert days == {f"2024-01-0{d}" for d in range(2, 7)}
+
+
+def test_schema_evolution_reads_both_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    evolved = (
+        table_read(spark, root)
+        .filter(F.col("day") <= dt.date(2024, 1, 2))
+        .withColumn("band", F.when(F.col("value") >= 101.0, "high").otherwise("low"))
+    )
+    table_commit_rewrite(evolved, root)
+    v1 = table_read(spark, root)
+    assert "band" in v1.columns
+    rows = {r.event_id: r.band for r in v1.collect()}
+    assert rows[1] == "low" and rows[101] == "high"  # rewritten days: real values
+    assert rows[301] is None  # untouched v0 slices: typed NULL fill
+    assert v1.schema["band"].dataType.simpleString() == "string"
+    # v0 still reads with its own schema: no band column at all
+    v0 = table_read(spark, root, 0)
+    assert "band" not in v0.columns
+    assert v0.count() == 24
+
+
+def test_optimistic_commit_rebases_on_disjoint_partitions(spark, tmp_path):
+    from google_cloud_ecommerce_spark.lakehouse import _read_manifest_doc
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    base = table_read(spark, root, 0)
+    winner_df = base.filter(F.col("day") == dt.date(2024, 1, 1)).withColumn(
+        "value", F.lit(-10.0)
+    )
+    loser_df = base.filter(F.col("day") == dt.date(2024, 1, 5)).withColumn(
+        "value", F.lit(-50.0)
+    )
+
+    def land_winner():
+        assert table_commit_rewrite(winner_df, root) == 1
+
+    got = table_commit_rewrite(loser_df, root, _race_hook=land_winner)
+    assert got == 2
+    assert table_versions(root) == [0, 1, 2]
+    m1 = _read_manifest_doc(root, 1)["partitions"]
+    m2 = _read_manifest_doc(root, 2)["partitions"]
+    # the rebase kept the winner's day-1 pointer and added day 5
+    assert m2["day=2024-01-01"] == m1["day=2024-01-01"]
+    assert m2["day=2024-01-05"] != m1["day=2024-01-05"]
+    vals = {r.event_id: r.value for r in table_read(spark, root).collect()}
+    assert vals[1] == -10.0
+    assert vals[401] == -50.0
+    assert vals[201] == 201.0  # untouched
+
+
+def test_optimistic_commit_conflicts_on_overlap(spark, tmp_path):
+    from google_cloud_ecommerce_spark.lakehouse import CommitConflictError
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    base = table_read(spark, root, 0)
+    same_day = base.filter(F.col("day") == dt.date(2024, 1, 2))
+
+    def land_winner():
+        table_commit_rewrite(same_day.withColumn("value", F.lit(-20.0)), root)
+
+    with pytest.raises(CommitConflictError, match="touched partitions"):
+        table_commit_rewrite(
+            same_day.withColumn("value", F.lit(-99.0)), root, _race_hook=land_winner
+        )
+    # the winner's commit stands; the loser's staging is unreferenced
+    assert table_versions(root) == [0, 1]
+    vals = {r.event_id: r.value for r in table_read(spark, root).collect()}
+    assert vals[100] == -20.0
+    states = table_slice_states(root, retain_latest=2, orphan_retain_seconds=0.0)
+    assert len(states["orphan"]) == 1
+    # a drop of a partition the winner rewrote is an overlap too
+    def land_winner_2():
+        table_commit_rewrite(
+            base.filter(F.col("day") == dt.date(2024, 1, 4)).withColumn(
+                "value", F.lit(-40.0)
+            ),
+            root,
+        )
+
+    with pytest.raises(CommitConflictError):
+        table_commit_rewrite(
+            base.filter("1=0"),
+            root,
+            drop_partitions=["day=2024-01-04"],
+            _race_hook=land_winner_2,
+        )
+
+
+def test_vacuum_retention_guard_protects_fresh_staging(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "t")
+    df = _mk_table(spark, root)
+    # a commit mid-flight: slices staged seconds ago, manifest not yet up
+    from google_cloud_ecommerce_spark.lakehouse import _write_slices
+
+    staged = _write_slices(df.filter("event_id < 100"), root, 1, "day")
+    rel = staged["day=2024-01-01"]
+    states = table_slice_states(root, retain_latest=1)  # default retention
+    assert states["pending"] == [rel] and states["orphan"] == []
+    applied = table_vacuum(root, retain_latest=1)  # default retention
+    assert applied["pending"] == [rel]
+    assert os.path.exists(os.path.join(root, rel))  # never deleted
+    # once aged (simulated by zero retention) it is a deletable orphan
+    applied = table_vacuum(root, retain_latest=1, orphan_retain_seconds=0.0)
+    assert applied["orphan"] == [rel]
+    assert not os.path.exists(os.path.join(root, rel))
+
+
+def test_change_feed_rows_and_pruning(spark, tmp_path):
+    from google_cloud_ecommerce_spark.lakehouse import table_changes, write_change_feed
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)  # 6 days x 4 rows, event_id = d*100+i
+    v0 = table_read(spark, root, 0)
+    # v1: update two rows of day 1 (and copy day 1's other rows verbatim)
+    day1 = v0.filter(F.col("day") == dt.date(2024, 1, 1))
+    table_commit_rewrite(
+        day1.withColumn(
+            "value", F.when(F.col("event_id") < 2, F.lit(-1.0)).otherwise(F.col("value"))
+        ),
+        root,
+    )
+    # v2: rewrite day 2 dropping one key and inserting a new one
+    day2 = table_read(spark, root).filter(F.col("day") == dt.date(2024, 1, 2))
+    inserted = spark.createDataFrame(
+        [(999, dt.date(2024, 1, 2), 9.5)], "event_id long, day date, value double"
+    )
+    table_commit_rewrite(
+        day2.filter(F.col("event_id") != 103).unionByName(inserted), root
+    )
+
+    ch1 = table_changes(spark, root, 0, 1, key_col="event_id")
+    # only day 1's slices are ever listed — unchanged days never appear
+    assert all("/day=2024-01-01/" in f for f in ch1.inputFiles())
+    got1 = sorted(
+        (r.event_id, r._change_type, r.value, r._commit_version)
+        for r in ch1.collect()
+    )
+    assert got1 == [
+        (0, "update_postimage", -1.0, 1),
+        (0, "update_preimage", 0.0, 1),
+        (1, "update_postimage", -1.0, 1),
+        (1, "update_preimage", 1.0, 1),
+    ]
+    ch2 = table_changes(spark, root, 1, 2, key_col="event_id")
+    got2 = sorted((r.event_id, r._change_type, r.value) for r in ch2.collect())
+    assert got2 == [(103, "delete", 103.0), (999, "insert", 9.5)]
+    # the feed writer materializes one file batch per commit
+    feed = str(tmp_path / "feed")
+    assert write_change_feed(spark, root, feed, key_col="event_id") == [1, 2]
+    all_changes = spark.read.parquet(feed)
+    assert all_changes.count() == 6
+    assert {r._commit_version for r in all_changes.collect()} == {1, 2}

@@ -1732,3 +1732,305 @@ JDBC_ROUNDTRIP_SQL = """
 
 QUERIES["jdbc_roundtrip"] = jdbc_roundtrip
 ORACLE["jdbc_roundtrip"] = JDBC_ROUNDTRIP_SQL
+
+
+# ---------------------------------------------------------------------------
+# lakehouse_pruned_read — predicate-driven pruning INSIDE the versioned
+# read path (round-11, VERDICT r10 next #1): the manifest records
+# per-partition [min, max] footer stats for a declared stats column at
+# commit time (metadata-only — the Iceberg/Delta stats discipline), and
+# table_read skips partitions whose recorded range misses the query's
+# range WITHOUT LISTING THEM. The table commits twice so the read
+# exercises the stats lifecycle: v1 refreshes the rewritten days' stats
+# from their new slices' footers and CARRIES the untouched days' v0
+# entries forward. Pruning is a superset guarantee, not a filter — the
+# row predicate stays on the query and Catalyst pushes it into the
+# shrunken scan. The behavior test (test_scale.py) proves non-matching
+# partitions' files are never listed; events' ids are ts-ordered, so
+# per-day id ranges are disjoint and the id range below touches ~1/3 of
+# the days at sf0.001 (and ~3% at sf0.1 — the fraction a 100 TB read
+# would list).
+# ---------------------------------------------------------------------------
+
+PRUNE_STATS_LO, PRUNE_STATS_HI = 100, 400  # present at every fixture SF
+PRUNE_REFRESH_CUTOFF = 3  # v1 rewrites dayofmonth <= 3 (stats refresh path)
+
+
+def lakehouse_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_commit_rewrite,
+        table_create,
+        table_read,
+    )
+
+    src = ensure_day_partitioned_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="spark_graft_pruned_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table_create(spark.read.parquet(src), root, stats_col="event_id")
+    # an identity rewrite of the first days: new slices, fresh footer
+    # stats for them, carried stats for the rest — the read below
+    # resolves a MIXED manifest
+    table_commit_rewrite(
+        table_read(spark, root, 0).filter(
+            F.dayofmonth("day") <= PRUNE_REFRESH_CUTOFF
+        ),
+        root,
+    )
+    view = table_read(
+        spark, root, stats_range=(PRUNE_STATS_LO, PRUNE_STATS_HI)
+    )
+    return (
+        view.filter(F.col("event_id").between(PRUNE_STATS_LO, PRUNE_STATS_HI))
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+QUERIES["lakehouse_pruned_read"] = lakehouse_pruned_read
+ORACLE["lakehouse_pruned_read"] = f"""
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id BETWEEN {PRUNE_STATS_LO} AND {PRUNE_STATS_HI}
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# lakehouse_schema_evolution — schema change through the manifest chain
+# (round-11, VERDICT r10 next #5): each manifest records the schema its
+# commit wrote, so a column-add commit reads correctly at BOTH
+# versions. v1 adds a value_band column on a day-bounded rewrite; the
+# v1 read mixes evolved slices (real bands) with v0 slices null-filled
+# to the new schema, while the v0 read still presents the ORIGINAL
+# schema — no value_band column at all (the marker row below is derived
+# from the v0 frame's actual columns, so the oracle equality proves the
+# old version's schema is genuinely band-free). One report aggregates
+# both reads.
+# ---------------------------------------------------------------------------
+
+SE_DAY_CUTOFF = 10  # v1 (the column-add commit) rewrites dayofmonth <= 10
+SE_BAND_CUT = 50.0  # exactly representable: IEEE-identical in both engines
+
+
+def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_commit_rewrite,
+        table_create,
+        table_read,
+    )
+
+    src = ensure_day_partitioned_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="spark_graft_schemev_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table_create(spark.read.parquet(src), root)
+    evolved = (
+        table_read(spark, root, 0)
+        .filter(F.dayofmonth("day") <= SE_DAY_CUTOFF)
+        .withColumn(
+            "value_band",
+            F.when(F.col("value") >= SE_BAND_CUT, F.lit("high")).otherwise(
+                F.lit("low")
+            ),
+        )
+    )
+    table_commit_rewrite(evolved, root)
+
+    v1 = table_read(spark, root)  # evolved schema; old slices null-fill
+    v1_agg = v1.groupBy(
+        F.coalesce(F.col("value_band"), F.lit("pre_evolution")).alias("value_band")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    ).select(F.lit("v1").alias("version_tag"), "*")
+
+    v0 = table_read(spark, root, 0)  # original schema: band-free
+    band_marker = (
+        F.lit("no_column") if "value_band" not in v0.columns else F.col("value_band")
+    )
+    v0_agg = v0.groupBy(band_marker.alias("value_band")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    ).select(F.lit("v0").alias("version_tag"), "*")
+    return v1_agg.unionByName(v0_agg)
+
+
+ORACLE["lakehouse_schema_evolution"] = f"""
+    WITH ev AS (
+        SELECT dayofmonth(CAST(ts AS DATE)) AS dom, value FROM events
+    )
+    SELECT 'v1' AS version_tag,
+           CASE WHEN dom <= {SE_DAY_CUTOFF}
+                THEN CASE WHEN value >= CAST({SE_BAND_CUT} AS DOUBLE)
+                          THEN 'high' ELSE 'low' END
+                ELSE 'pre_evolution' END AS value_band,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ev GROUP BY 1, 2
+    UNION ALL
+    SELECT 'v0', 'no_column', count(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM ev
+"""
+QUERIES["lakehouse_schema_evolution"] = lakehouse_schema_evolution
+
+
+# ---------------------------------------------------------------------------
+# lakehouse_change_feed — row-level CDC off the version chain
+# (round-11, VERDICT r10 next #3; the readChangeFeed half of the MERGE
+# story): table_changes compares two manifests pointer-by-pointer,
+# full-outer-joins ONLY the changed partitions' old and new slices on
+# the row key, and emits insert / delete / update_preimage /
+# update_postimage records — rows the rewrite copied verbatim
+# null-safe-compare equal and emit nothing, and unchanged partitions'
+# files are never listed (input proportional to the delta, not the
+# table). The table commits two deterministic rewrites so the oracle
+# reconstructs every change class from the source events: v1 updates
+# the residue-3 keys of the first {CDC_UPDATE_CUTOFF} days; v2
+# row-level-deletes the residue-1 keys and inserts re-keyed backfill
+# copies of the residue-7 keys within the first {CDC_ROWLEVEL_CUTOFF}
+# days. streaming_version_feed (streaming/jobs.py) replays the same
+# feed one COMMIT per micro-batch and must converge to the same state.
+# ---------------------------------------------------------------------------
+
+CDC_SET_VALUE = 555.25  # exactly representable: IEEE-identical in both engines
+CDC_UPDATE_CUTOFF = 15  # v1 updates within dayofmonth <= 15
+CDC_ROWLEVEL_CUTOFF = 7  # v2 deletes/inserts within dayofmonth <= 7
+CDC_DEL_RESIDUE = 1
+CDC_INS_RESIDUE = 7
+CDC_INSERT_OFFSET = 2_000_000_000
+
+
+def _build_cdc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Day-partitioned events as a 3-version lakehouse table whose two
+    rewrites are key-targeted, so every change row is reconstructable
+    from the source events alone. Shared by the batch change-feed entry
+    and streaming_version_feed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_commit_rewrite,
+        table_create,
+        table_read,
+    )
+
+    src = ensure_day_partitioned_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table_create(spark.read.parquet(src), root)
+
+    # v1: absolute-state UPDATE of residue-3 keys in the first 15 days
+    v0 = table_read(spark, root, 0)
+    is_upd = F.col("event_id") % MERGE_UPD_MOD == MERGE_UPD_RESIDUE
+    table_commit_rewrite(
+        v0.filter(F.dayofmonth("day") <= CDC_UPDATE_CUTOFF).withColumns(
+            {
+                "event_type": F.when(is_upd, F.lit("cdc_adjusted")).otherwise(
+                    F.col("event_type")
+                ),
+                "value": F.when(is_upd, F.lit(CDC_SET_VALUE)).otherwise(
+                    F.col("value")
+                ),
+            }
+        ),
+        root,
+    )
+    # v2: row-level DELETE (residue-1 keys) + INSERT (re-keyed backfill
+    # of residue-7 keys) within the first 7 days; residue-3 rows ride
+    # along UNCHANGED from v1 — the feed must not emit them
+    tgt = table_read(spark, root).filter(
+        F.dayofmonth("day") <= CDC_ROWLEVEL_CUTOFF
+    )
+    inserts = tgt.filter(
+        F.col("event_id") % MERGE_UPD_MOD == CDC_INS_RESIDUE
+    ).withColumns(
+        {
+            "event_id": F.col("event_id") + CDC_INSERT_OFFSET,
+            "event_type": F.lit("cdc_backfill"),
+        }
+    )
+    table_commit_rewrite(
+        tgt.filter(
+            F.col("event_id") % MERGE_UPD_MOD != CDC_DEL_RESIDUE
+        ).unionByName(inserts),
+        root,
+    )
+    return root
+
+
+def lakehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.lakehouse import table_changes
+
+    root = _build_cdc_table(spark, sf_dir)
+    changes = table_changes(spark, root, 0, 1, key_col="event_id").unionByName(
+        table_changes(spark, root, 1, 2, key_col="event_id")
+    )
+    return changes.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+        "day",
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+CHANGE_FEED_SQL = f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day,
+               dayofmonth(CAST(ts AS DATE)) AS dom,
+               event_id, value
+        FROM events
+    )
+    SELECT CAST(1 AS BIGINT) AS commit_version,
+           'update_preimage' AS change_type, day, count(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ev
+    WHERE dom <= {CDC_UPDATE_CUTOFF}
+      AND event_id % {MERGE_UPD_MOD} = {MERGE_UPD_RESIDUE}
+    GROUP BY day
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'update_postimage', day, count(*),
+           CAST(SUM(CAST(CAST({CDC_SET_VALUE} AS DOUBLE) AS DECIMAL(18,4)))
+                AS DOUBLE)
+    FROM ev
+    WHERE dom <= {CDC_UPDATE_CUTOFF}
+      AND event_id % {MERGE_UPD_MOD} = {MERGE_UPD_RESIDUE}
+    GROUP BY day
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete', day, count(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM ev
+    WHERE dom <= {CDC_ROWLEVEL_CUTOFF}
+      AND event_id % {MERGE_UPD_MOD} = {CDC_DEL_RESIDUE}
+    GROUP BY day
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'insert', day, count(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM ev
+    WHERE dom <= {CDC_ROWLEVEL_CUTOFF}
+      AND event_id % {MERGE_UPD_MOD} = {CDC_INS_RESIDUE}
+    GROUP BY day
+"""
+
+
+QUERIES["lakehouse_change_feed"] = lakehouse_change_feed
+ORACLE["lakehouse_change_feed"] = CHANGE_FEED_SQL

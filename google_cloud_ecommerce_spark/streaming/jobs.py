@@ -1757,3 +1757,97 @@ ORACLE["streaming_gap_replay"] = """
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_version_feed — incremental (CDC) streaming consumption of
+# the lakehouse version chain (round-11, VERDICT r10 next #3): the
+# manifest diffs of consecutive commits are materialized as change
+# files (lakehouse.write_change_feed — the commit-time change-file
+# discipline of Delta CDF; computing them from the immutable manifest
+# chain afterwards is equivalent for copy-on-write tables, and the diff
+# lists ONLY the partitions whose slice pointer changed), then a file
+# stream replays the chain ONE COMMIT PER MICRO-BATCH
+# (maxFilesPerTrigger=1 over one file batch per commit) into a
+# complete-mode aggregation. The converged state must equal the batch
+# change-feed oracle — the same derivation lakehouse_change_feed
+# (queries/scale.py) verifies day-by-day, aggregated per commit here
+# because the stream's value is the per-commit batch boundary. At scale
+# the feed keeps its natural shuffle width per commit and the stream
+# triggers on listing order; state is one row per (commit, change
+# type) — bounded, no watermark needed.
+# ---------------------------------------------------------------------------
+
+
+def streaming_version_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from google_cloud_ecommerce_spark.lakehouse import write_change_feed
+    from google_cloud_ecommerce_spark.queries.scale import _build_cdc_table
+
+    root = _build_cdc_table(spark, sf_dir)
+    feed = tempfile.mkdtemp(prefix="spark_graft_vfeed_")
+    try:
+        assert write_change_feed(spark, root, feed, key_col="event_id") == [1, 2]
+        schema = spark.read.parquet(feed).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        agg = stream.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        return _pin_result(_run_to_memory(agg, "complete"))
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+
+
+from google_cloud_ecommerce_spark.queries.scale import (  # noqa: E402
+    CDC_DEL_RESIDUE,
+    CDC_INS_RESIDUE,
+    CDC_ROWLEVEL_CUTOFF,
+    CDC_SET_VALUE,
+    CDC_UPDATE_CUTOFF,
+)
+from google_cloud_ecommerce_spark.queries.scale import (  # noqa: E402
+    MERGE_UPD_MOD as _CDC_MOD,
+)
+from google_cloud_ecommerce_spark.queries.scale import (  # noqa: E402
+    MERGE_UPD_RESIDUE as _CDC_UPD_RESIDUE,
+)
+
+QUERIES["streaming_version_feed"] = streaming_version_feed
+ORACLE["streaming_version_feed"] = f"""
+    WITH ev AS (
+        SELECT dayofmonth(CAST(ts AS DATE)) AS dom, event_id, value
+        FROM events
+    )
+    SELECT CAST(1 AS BIGINT) AS commit_version,
+           'update_preimage' AS change_type, count(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ev
+    WHERE dom <= {CDC_UPDATE_CUTOFF} AND event_id % {_CDC_MOD} = {_CDC_UPD_RESIDUE}
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'update_postimage', count(*),
+           CAST(SUM(CAST(CAST({CDC_SET_VALUE} AS DOUBLE) AS DECIMAL(18,4)))
+                AS DOUBLE)
+    FROM ev
+    WHERE dom <= {CDC_UPDATE_CUTOFF} AND event_id % {_CDC_MOD} = {_CDC_UPD_RESIDUE}
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete', count(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM ev
+    WHERE dom <= {CDC_ROWLEVEL_CUTOFF} AND event_id % {_CDC_MOD} = {CDC_DEL_RESIDUE}
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'insert', count(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM ev
+    WHERE dom <= {CDC_ROWLEVEL_CUTOFF} AND event_id % {_CDC_MOD} = {CDC_INS_RESIDUE}
+"""

@@ -205,6 +205,12 @@ HEADLINE = [
     # the 3-version COW fixture write, not query execution — registry-
     # oracle-verified at every SF instead.
     "skew_join_demo",
+    # round-11: the four manifest-machinery entries (lakehouse_pruned_read,
+    # lakehouse_schema_evolution, lakehouse_change_feed,
+    # streaming_version_feed) stay OUT like vacuum_report — their cost
+    # is the multi-version COW fixture write, not query execution; the
+    # listing/pruning behavior they exist for is plan/behavior-tested
+    # and registry-oracle-verified at every SF.
     # jdbc_roundtrip moved OUT of the headline (VERDICT r5 "what's
     # wrong" #5): its 2.3-2.4 s is constant embedded-Derby DDL+insert
     # setup, not query execution — a connector-parity entry, graded by
@@ -346,6 +352,11 @@ def main() -> None:
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "warm_runs_per_query": 1,
+        # scalar base count (the r01-r09 schema of this field) PLUS the
+        # per-query dict the r10 top-up introduced — cross-round tooling
+        # aggregates the scalar; the dict carries the adaptive detail
+        # (ADVICE r10: don't change a recorded field's type mid-series)
+        "timed_runs_base": repeat,
         "timed_runs_per_query": n_runs,
         "slow_threshold_s": SLOW_THRESHOLD_S,
         "slow_extra_runs": SLOW_EXTRA_RUNS,

@@ -89,6 +89,21 @@ def _table_cache_root() -> str:
     return os.environ.get("SPARK_GRAFT_TABLE_CACHE", "/tmp/spark_graft_table_cache")
 
 
+def _orderable(dt) -> bool:
+    """Whether a Spark type can key a range partitioning: maps never
+    can; arrays/structs only when every nested type can (mirrors
+    Catalyst's RowOrdering.isOrderable)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def _compacted_source(spark: SparkSession, path: str) -> str:
     """Return a scan path with enough row groups to parallelize, else `path`."""
     if not os.path.isfile(path):
@@ -122,12 +137,20 @@ def _compacted_source(spark: SparkSession, path: str) -> str:
         df = spark.read.parquet(path)
         tmp = f"{dest}.tmp.{os.getpid()}"
         try:
-            (
-                df.repartitionByRange(n_slices, F.col(df.columns[0]))
-                .sortWithinPartitions(df.columns[0])
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
+            if _orderable(df.schema.fields[0].dataType):
+                (
+                    df.repartitionByRange(n_slices, F.col(df.columns[0]))
+                    .sortWithinPartitions(df.columns[0])
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+            else:
+                # a map/struct-of-map leading column cannot drive
+                # repartitionByRange (AnalysisException, ADVICE r10):
+                # round-robin keeps the parallelism without the
+                # clustering — no testdata table hits this today, but a
+                # user table may lead with a properties map
+                df.repartition(n_slices).write.mode("overwrite").parquet(tmp)
             # range boundaries come from sampling the leading key: a
             # low-cardinality leading column can collapse to 1-2
             # non-empty partitions, silently recreating the serial-scan

@@ -182,3 +182,41 @@ def test_scan_compaction_low_cardinality_leading_column_falls_back(
     b = pq.read_table(src)
     keys = [(c, "ascending") for c in b.column_names]
     assert a.sort_by(keys).equals(b.sort_by(keys))
+
+
+def test_scan_compaction_map_leading_column_uses_round_robin(
+    spark, tmp_path, monkeypatch
+):
+    """A table whose LEADING column is a map cannot key
+    repartitionByRange (maps are not orderable — AnalysisException,
+    ADVICE r10): the mirror must detect it up front and round-robin
+    instead of failing the whole load."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from google_cloud_ecommerce_spark import catalog
+
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_CACHE", str(tmp_path / "cache"))
+    src = str(tmp_path / "map_led.parquet")
+    n = 60_000
+    pq.write_table(
+        pa.table(
+            {
+                "props": pa.array(
+                    [{"k": str(i % 7)} for i in range(n)],
+                    type=pa.map_(pa.string(), pa.string()),
+                ),
+                "v": pa.array([float(i) for i in range(n)]),
+            }
+        ),
+        src,
+        row_group_size=n,
+    )
+    mirrored = catalog._compacted_source(spark, src)
+    assert mirrored != src
+    files = _parquet_files(mirrored)
+    assert len(files) >= 2
+    # values survive the round-robin rewrite exactly
+    a = pq.read_table(mirrored).sort_by([("v", "ascending")])
+    b = pq.read_table(src).sort_by([("v", "ascending")])
+    assert a.column("v").equals(b.column("v"))

@@ -604,11 +604,11 @@ def _layout_recipe(layout: str) -> str:
     if layout == "ivf":
         return f"ivf:c{CENTROID_LO}-{CENTROID_HI}:v1"
     if layout == "pq":
-        return f"pq:m{PQ_M}k{PQ_K}d{PQ_SUB_DIM}:seed{PQ_K}:iters1:v1"
+        return f"pq:m{PQ_M}k{PQ_K}d{PQ_SUB_DIM}:seedmaxmin:iters1:v2"
     if layout == "ivfpq":
         return (
             f"ivfpq:c{CENTROID_LO}-{CENTROID_HI}:"
-            f"m{PQ_M}k{PQ_K}d{PQ_SUB_DIM}:seed{PQ_K}:iters1:v1"
+            f"m{PQ_M}k{PQ_K}d{PQ_SUB_DIM}:seedmaxmin:iters1:v2"
         )
     raise ValueError(layout)
 
@@ -661,9 +661,7 @@ def build_similarity_index(
     if force or not pq_marker.exists() or pq_marker.read_text() != _marker_content(fp, "pq"):
         emb = _emb(spark, sf_dir).select("vec_id", "v")
         sub = _pq_subvecs(emb).localCheckpoint(eager=False)
-        cents = sub.filter(F.col("vec_id") < PQ_K).select(
-            "m", F.col("vec_id").alias("c_id"), F.col("sv").alias("cv")
-        )
+        cents = _pq_seed_maxmin(sub)
         trained = _pq_update_step(_pq_assign_step(sub, cents))
         final = _pq_assign_step(sub, trained)
         codes = final.groupBy("vec_id").agg(
@@ -694,9 +692,7 @@ def build_similarity_index(
             F.expr("zip_with(v, cv, (a, b) -> a - b)").alias("v"),
         )
         sub = _pq_subvecs(resid.select("vec_id", "v")).localCheckpoint(eager=False)
-        seeds = sub.filter(F.col("vec_id") < PQ_K).select(
-            "m", F.col("vec_id").alias("c_id"), F.col("sv").alias("cv")
-        )
+        seeds = _pq_seed_maxmin(sub)
         trained = _pq_update_step(_pq_assign_step(sub, seeds))
         final = _pq_assign_step(sub, trained)
         codes = final.groupBy("vec_id").agg(
@@ -1200,6 +1196,46 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
 
 
+def _pq_seed_maxmin(sub: DataFrame) -> DataFrame:
+    """k-means++-style seeding, deterministic (VERDICT r10 next #7):
+    farthest-first traversal (Gonzalez) per subspace — seed 0 is the
+    vec_id-0 subvector (the deterministic anchor), each next seed is
+    the subvector maximizing its min squared distance to the seeds so
+    far, ties to the lower vec_id. Strictly better spread than the old
+    first-K-rows seeding (which took 4 NEIGHBORING corpus rows —
+    measured distortion drop recorded in artifacts/round11/). Chosen
+    over sampled k-means++ because the argmax is deterministic and
+    IEEE-exact in both engines (sq_dist is a fixed-order fold of
+    +,-,*), so the oracle reproduces the seed choice bit-for-bit; a
+    hash-salted sample would need a cross-engine-identical hash, which
+    Spark xxhash64 / DuckDB hash() are not. PQ_K-1 rounds, each one
+    broadcast join + one M-row aggregate over the pinned subvector
+    table — seeding cost is O(K) scans of sub, never quadratic."""
+    seeds = sub.filter(F.col("vec_id") == 0).select(
+        "m", F.lit(0).cast("long").alias("c_id"), F.col("sv").alias("cv")
+    )
+    for i in range(1, PQ_K):
+        seeds_row = seeds.groupBy("m").agg(F.collect_list("cv").alias("cvs"))
+        mind = f"array_min(transform(cvs, cv -> {_sqdist_expr('sv', 'cv')}))"
+        pick = (
+            sub.join(F.broadcast(seeds_row), "m")
+            .withColumn("mind", F.expr(mind))
+            .groupBy("m")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("mind"),
+                        (-F.col("vec_id")).alias("nid"),
+                        F.col("sv").alias("sv"),
+                    )
+                ).alias("p")
+            )
+            .select("m", F.lit(i).cast("long").alias("c_id"), F.col("p.sv").alias("cv"))
+        )
+        seeds = seeds.unionByName(pick)
+    return seeds
+
+
 def _pq_assign_step(sub: DataFrame, cents: DataFrame) -> DataFrame:
     """Shuffle-free PQ assignment (round 4, same rewrite as
     _kmeans_assign_step): the per-subspace codebook collapses to one
@@ -1252,9 +1288,7 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training round, and the final assignment — re-derived per
     # reference otherwise
     sub = _pq_subvecs(emb).localCheckpoint(eager=False)
-    cents = sub.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("c_id"), F.col("sv").alias("cv")
-    )
+    cents = _pq_seed_maxmin(sub)
     trained = _pq_update_step(_pq_assign_step(sub, cents))
     final = _pq_assign_step(sub, trained)
     # per-vector rollup: codes in subspace order; the error fold runs in
@@ -1294,19 +1328,47 @@ def _pq_assign_cte(src_c: str, n: int) -> str:
         )"""
 
 
+def _pq_seed_ctes() -> str:
+    """DuckDB twin of _pq_seed_maxmin: farthest-first seeding unrolled
+    as PQ_K-1 CTE rounds over ``sub`` (the iterative-algorithm-as-CTEs
+    policy of kmeans_assign), ending in ``c0`` (m, c_id, cv)."""
+    parts = [
+        f"seeds0 AS (SELECT m, CAST(0 AS BIGINT) AS c_id, sv AS cv "
+        f"FROM sub WHERE vec_id = 0)"
+    ]
+    for i in range(1, PQ_K):
+        parts.append(
+            f"""d{i} AS (
+            SELECT s.m, s.vec_id, s.sv,
+                   min({_sqdist_sql('s.sv', 'c.cv', PQ_SUB_DIM)}) AS mind
+            FROM sub s JOIN seeds{i - 1} c ON c.m = s.m
+            GROUP BY s.m, s.vec_id, s.sv
+        ), p{i} AS (
+            SELECT m, sv, row_number() OVER (
+                PARTITION BY m ORDER BY mind DESC, vec_id
+            ) AS rk
+            FROM d{i}
+        ), seeds{i} AS (
+            SELECT * FROM seeds{i - 1}
+            UNION ALL
+            SELECT m, CAST({i} AS BIGINT), sv FROM p{i} WHERE rk = 1
+        )"""
+        )
+    parts.append(f"c0 AS (SELECT m, c_id, cv FROM seeds{PQ_K - 1})")
+    return ", ".join(parts)
+
+
 def _pq_common_ctes(src: str = "e") -> str:
     """Shared oracle CTE chain over ``src`` (vec_id, v DOUBLE[]):
-    subvectors -> seed codebook -> one Lloyd round -> trained codebook
-    c1 -> final assignment m2 (every vector's per-subspace code). Used
-    by pq_encode, the ADC probe, and the IVF-PQ residual encoder (which
-    passes its residual CTE as src)."""
+    subvectors -> maxmin seed codebook -> one Lloyd round -> trained
+    codebook c1 -> final assignment m2 (every vector's per-subspace
+    code). Used by pq_encode, the ADC probe, and the IVF-PQ residual
+    encoder (which passes its residual CTE as src)."""
     return f"""sub AS (
             SELECT vec_id, m,
                    list_slice(v, m * {PQ_SUB_DIM} + 1, (m + 1) * {PQ_SUB_DIM}) AS sv
             FROM {src}, unnest(range(0, {PQ_M})) t(m)
-        ), c0 AS (
-            SELECT m, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < {PQ_K}
-        ), {_pq_assign_cte('c0', 1)}, u1 AS (
+        ), {_pq_seed_ctes()}, {_pq_assign_cte('c0', 1)}, u1 AS (
             SELECT m, c_id, i AS dim,
                    CAST(SUM(CAST(ROUND(sv[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
                        / count(*) AS comp
@@ -2177,9 +2239,7 @@ ORACLE["ivf_balance_report"] = _ivf_balance_report_sql()
 def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "v")
     sub = _pq_subvecs(emb).localCheckpoint(eager=False)
-    cents = sub.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("c_id"), F.col("sv").alias("cv")
-    )
+    cents = _pq_seed_maxmin(sub)
     trained = _pq_update_step(_pq_assign_step(sub, cents))
     final = _pq_assign_step(sub, trained)
     return (
@@ -2579,7 +2639,12 @@ ORACLE["similarity_sq_topk"] = _similarity_sq_topk_sql()
 # instead of one — still a partition-pruned read, never a scan.
 # ---------------------------------------------------------------------------
 
-N_EXTRA_PROBES = 3
+# Default raised 3 -> 7 at round 11 (VERDICT r10 next #6): the r10
+# planted-corpus dial sweep (artifacts/round10/ann_recall_curve.json)
+# put the recall knee at 8 buckets — recall@10 0.76 @ 4 buckets, 0.82 @
+# 8, and FLAT at 16 — so 7 extra probes is the cost-optimal default;
+# tests/test_recall.py pins the floor at the new dial.
+N_EXTRA_PROBES = 7
 
 
 def _margin_structs_expr() -> str:

@@ -171,8 +171,10 @@ def test_planted_corpus_recall_at_default_dials(spark, tmp_path):
     same-cluster, and asserts each approximate operator's DEFAULT dial
     recovers real neighbors: measured on the pinned seed — lsh 0.40
     (single sign-bucket, clusters straddle hyperplanes), multiprobe
-    0.76, binary 1.00, ivf 1.00. Floors are set below the measured
-    values only to absorb float-kernel drift, not behavior change.
+    0.82 (default raised to the r10 curve's knee, 7 extra probes —
+    VERDICT r10 #6), binary 1.00, ivf 1.00. Floors are set below the
+    measured values only to absorb float-kernel drift, not behavior
+    change.
     tests/tools/ann_recall_curve.py sweeps the dials and records the
     full recall-vs-cost curve as a round artifact."""
     import sys
@@ -202,7 +204,7 @@ def test_planted_corpus_recall_at_default_dials(spark, tmp_path):
         )
     }
     assert recall["lsh"] >= 0.3, recall
-    assert recall["multiprobe"] >= 0.6, recall
+    assert recall["multiprobe"] >= 0.75, recall
     assert recall["binary"] >= 0.9, recall
     assert recall["ivf"] >= 0.9, recall
     # the multi-probe expansion must actually buy recall over one bucket

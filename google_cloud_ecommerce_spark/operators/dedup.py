@@ -2077,23 +2077,82 @@ def _span_slide_sql() -> str:
     return f"list_transform(range(1, len(toks) - {SPAN_K - 2}), i -> {parts})"
 
 
-def repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
-        .filter(F.expr(f"size(toks) >= {SPAN_K}"))
+def _span_index_fingerprint(sf_dir: str) -> str:
+    import os
+    from pathlib import Path
+
+    src = Path(sf_dir) / "documents.parquet"
+    if src.is_dir():
+        stats = sorted(
+            (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+            for p in src.rglob("*")
+            if p.is_file()
+        )
+        return repr(stats)
+    st = os.stat(src)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def ensure_span_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized span-fingerprint position index over the documents
+    corpus: one parquet table of (doc_id, n_tokens, pos, h) — every
+    sliding SPAN_K-token window's xxhash64, with its token position —
+    built ONCE per source fingerprint (round-11, VERDICT r10 next #8).
+    This is the artifact an exact-substring dedup REWRITE pass (Lee et
+    al. 2022) materializes at corpus-build time; repeated_span_dedup,
+    dedup_span_excision, and the curation funnel all consume it as a
+    narrow columnar scan instead of each re-running the tokenize+slide
+    explode (the layout discipline of build_similarity_index /
+    ensure_day_partitioned_events applied to the span subtree — the
+    explode is the dominant cost of both headline entries). At 100 TB
+    the index is the inverted-index shard set of the dedup cluster,
+    partitioned by hash range."""
+    import os
+    from pathlib import Path
+
+    out = (
+        Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / "span_index"
+        / os.path.basename(os.path.normpath(sf_dir))
     )
-    # One explode pass reduced immediately to the NARROW (doc, span,
-    # occurrences) aggregate and pinned — the per-span doc counts and
-    # the per-doc rollup both read it, instead of re-running the
-    # tokenize+slide explode per branch (the pin-narrow/recompute-wide
-    # rule; the distinct-per-doc grain doubles as the exact n_docs
-    # input).
+    marker = out / "_SOURCE"
+    content = f"{_span_index_fingerprint(sf_dir)}|k{SPAN_K}:xxhash64:v1"
+    if not (marker.exists() and marker.read_text() == content):
+        toks = (
+            _docs(spark, sf_dir)
+            .select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
+            .filter(F.expr(f"size(toks) >= {SPAN_K}"))
+            .select(
+                "doc_id",
+                F.expr("size(toks)").cast("long").alias("n_tokens"),
+                F.col("toks"),
+            )
+        )
+        pos_spans = toks.select(
+            "doc_id", "n_tokens", F.explode(F.expr(_pos_span_spark())).alias("g")
+        ).select(
+            "doc_id",
+            "n_tokens",
+            F.col("g.pos").alias("pos"),
+            F.col("g.h").alias("h"),
+        )
+        pos_spans.write.mode("overwrite").parquet(str(out))
+        marker.write_text(content)
+    return str(out)
+
+
+# scan-audit: two scans of the narrow span_index parquet by design (the
+# per-span doc-count aggregate and the per-doc rollup join) — the parquet
+# IS the pin; re-deriving either side would re-run the corpus explode
+def repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the narrow (doc, span, occurrences) aggregate off the materialized
+    # span index — the per-span doc counts and the per-doc rollup both
+    # read it; the tokenize+slide explode ran once at index-build time
     per_doc_span = (
-        toks.select("doc_id", F.explode(F.expr(_span_slide_spark())).alias("h"))
+        spark.read.parquet(ensure_span_index(spark, sf_dir))
         .groupBy("doc_id", "h")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
     )
     per_span = per_doc_span.groupBy("h").agg(F.count("*").alias("n_docs"))
     return (
@@ -2166,44 +2225,41 @@ def _pos_span_spark() -> str:
     )
 
 
+# scan-audit: three scans of the narrow span_index parquet by design (per-span
+# doc counts, coverage expansion, per-doc base) — the parquet IS the pin;
+# re-deriving any side would re-run the corpus explode
 def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.expr(tokens_expr("lower(text)")).alias("toks"))
-        .filter(F.expr(f"size(toks) >= {SPAN_K}"))
-        .select("doc_id", F.expr("size(toks)").cast("long").alias("n_tokens"),
-                F.col("toks"))
-    )
-    # One explode pass, pinned as the narrow (doc, n_tokens, pos, h)
-    # position table: the per-span doc counts, the coverage expansion
-    # AND the per-doc base all read it — the prior shape re-ran the
-    # corpus explode per branch plus a third tokenize scan for the
-    # final join (same-epoch A/B: see repeated_span_dedup).
-    pos_spans = (
-        toks.select(
-            "doc_id", "n_tokens", F.explode(F.expr(_pos_span_spark())).alias("g")
-        )
-        .select(
-            "doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
-        )
-        .localCheckpoint(eager=False)
-    )
+    # the (doc, n_tokens, pos, h) position table comes from the
+    # materialized span index (shared with repeated_span_dedup and the
+    # curation funnel — VERDICT r10 #8): the per-span doc counts, the
+    # coverage computation AND the per-doc base all scan it columnar;
+    # the corpus tokenize+slide explode ran once at index-build time
+    pos_spans = spark.read.parquet(ensure_span_index(spark, sf_dir))
     per_span = (
-        pos_spans.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("n_docs"))
+        pos_spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
     )
+    # Covered-token count as an INTERVAL UNION instead of exploding each
+    # repeated position into SPAN_K token indices and distinct-counting
+    # them (round-11: the explode+distinct shuffled SPAN_K x the
+    # repeated-position rows; this shuffles them once): positions are
+    # unique per doc, so with positions sorted, interval [pos, pos+K-1]
+    # adds min(K, pos - prev_pos) NEW covered tokens (K for the first).
+    # Window is per-doc partitioned (lint: no unpartitioned windows).
+    w = W.partitionBy("doc_id").orderBy("pos")
     covered = (
         pos_spans.join(per_span, "h")
+        .select("doc_id", "pos")
+        .withColumn("prev", F.lag("pos").over(w))
         .select(
             "doc_id",
-            F.explode(F.expr(f"sequence(pos, pos + {SPAN_K - 1})")).alias("tok_idx"),
+            F.when(F.col("prev").isNull(), F.lit(SPAN_K))
+            .otherwise(F.least(F.lit(SPAN_K), F.col("pos") - F.col("prev")))
+            .alias("newly_covered"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_excised"))
+        .agg(F.sum("newly_covered").alias("n_excised"))
     )
     # every kept doc has >= 1 span position, so the per-doc base comes
     # from the pinned table — no third corpus scan

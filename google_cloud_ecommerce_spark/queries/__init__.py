@@ -64,81 +64,87 @@ def _modules():
 
 
 # The correctness driver oracle-checks the FIRST 50 registry entries only.
-# Round-10 rotation (VERDICT r9 "next round" #1): CORRECTNESS_r09
-# landed 50/50 green, the driver-green union is 280/280 and the
-# never-checked tail is EMPTY — window slots are re-checks by
-# necessity (plus the round-10 additions). Slate composition, in the
-# r9-directed order:
-# 3 round-10 additions (vacuum_report — the lakehouse VACUUM
-# accounting over the new N-version manifest — skew_join_demo — the
-# AQE skew-split hot-key join — and version_diff_pruned — the
-# manifest-pruned incremental version diff);
-# 5 re-checks whose code changed in round-10 commits: the three
-# queries rerouted through the lakehouse manifest (merge_upsert_rewrite,
-# streaming_merge_upsert, time_travel_read — VERDICT r9 #2 + ADVICE
-# r9), wire_stream_sink (the manifest prefix-divergence diagnosis fix
-# + configurable poll deadline, ADVICE r9), and
-# tpch_q1_pricing_summary — the canary for the distributed scan-layout
-# compaction rewrite (VERDICT r9 #3; also itself an r03-last name);
-# then strictly oldest evidence: the first 42 of the remaining 45
-# r03-last names, alphabetical (weekday_eventtype_chisq,
-# wire_format_source and zorder_curve roll to round 11). Every name
-# has an oracle; tests/test_registry.py pins the slate and the
+# Round-11 rotation (VERDICT r10 "next round" #4): CORRECTNESS_r10
+# landed 50/50 green, the driver-green union is 283/283 and the
+# never-checked tail is again EMPTY apart from the 4 round-11
+# additions — every other slot is a re-check by necessity. Slate
+# composition, in the r10-directed order:
+# 4 round-11 additions (lakehouse_pruned_read — stats/partition-pruned
+# versioned reads — lakehouse_schema_evolution — schema-per-version
+# manifests — lakehouse_change_feed — row-level CDC off the version
+# chain — and streaming_version_feed — the feed replayed one commit
+# per micro-batch);
+# 14 re-checks whose code changed in round-11 commits: the five
+# entries routed through the rewritten lakehouse manifest layer
+# (vacuum_report, version_diff_pruned, merge_upsert_rewrite,
+# streaming_merge_upsert, time_travel_read), the five ANN entries
+# under the new multiprobe default dial + farthest-first PQ seeding
+# (similarity_multiprobe_topk, pq_encode, pq_distortion_report,
+# similarity_pq_topk, similarity_ivfpq_topk), the three span-index
+# consumers (repeated_span_dedup, dedup_span_excision,
+# curation_funnel_v2), and tpch_q1_pricing_summary as the compaction
+# guard canary;
+# then strictly oldest evidence: the 3 r03-last names deferred since
+# round 10 (weekday_eventtype_chisq, wire_format_source,
+# zorder_curve), then the first 29 of the 44 r05-last names,
+# alphabetical (skipgram_pmi onward rolls to round 12). Every name has
+# an oracle; tests/test_registry.py pins the slate and the
 # no-wasted-slot rule.
 PRIORITY: tuple[str, ...] = (
-    # --- 3 round-10 additions (never driver-checked) ---
+    # --- 4 round-11 additions (never driver-checked) ---
+    "lakehouse_pruned_read",
+    "lakehouse_schema_evolution",
+    "lakehouse_change_feed",
+    "streaming_version_feed",
+    # --- 14 re-checks: code changed in round-11 commits ---
     "vacuum_report",
-    "skew_join_demo",
     "version_diff_pruned",
-    # --- 5 re-checks: code changed in round-10 commits ---
     "merge_upsert_rewrite",
     "streaming_merge_upsert",
     "time_travel_read",
-    "wire_stream_sink",
-    "tpch_q1_pricing_summary",
-    # --- 42 re-checks: oldest driver evidence (r03-last), alphabetical ---
-    "asof_purchase_view",
-    "batch_sessionization",
-    "bloom_membership",
-    "corpus_drift",
-    "daily_events",
-    "data_quality_report",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "doc_chunking",
-    "event_path_mining",
-    "event_type_stats_salted",
-    "events_cube_rollup",
-    "ewma_daily_value",
-    "feature_hash_vectors",
-    "fuzzy_name_matches",
-    "grouping_id_report",
-    "holt_daily_forecast",
-    "lineitem_quartiles_distributed",
-    "media_bmp_decode",
-    "media_wav_decode",
-    "pagerank_categories",
-    "part_skyline",
-    "pii_redaction",
+    "similarity_multiprobe_topk",
     "pq_encode",
-    "props_json_stats",
-    "props_schema_discovery",
-    "random_projection",
-    "session_stats_pandas",
-    "ship_delay_priority",
-    "similarity_lsh_topk",
-    "similarity_topk",
-    "snapshot_diff",
-    "sql_udf_revenue_bands",
-    "streaming_daily_events",
-    "streaming_hourly_window",
-    "text_lang_id",
-    "text_quality",
-    "time_weighted_value",
-    "train_eval_split",
-    "triangle_coview",
-    "value_zscore_outliers",
+    "pq_distortion_report",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "repeated_span_dedup",
+    "dedup_span_excision",
+    "curation_funnel_v2",
+    "tpch_q1_pricing_summary",
+    # --- 3 re-checks: oldest driver evidence (r03-last, deferred twice) ---
+    "weekday_eventtype_chisq",
+    "wire_format_source",
+    "zorder_curve",
+    # --- 29 re-checks: next-oldest evidence (r05-last), alphabetical ---
+    "ab_test_report",
+    "adaptive_quality_gates",
+    "ann_recall_report",
+    "cdc_chunk_dedup",
+    "conversion_latency_percentiles",
+    "cusum_changepoints",
+    "daily_value_gapfill",
+    "dedup_recall_report",
+    "dedup_threshold_sweep",
+    "dup_cluster_histogram",
+    "embedding_outliers",
+    "embedding_projection",
+    "epoch_shuffle_shards",
+    "eval_split_leakage",
+    "gate_attribution",
+    "heldout_perplexity",
+    "importance_sampling_weights",
+    "jsonl_roundtrip",
+    "kanon_suppression",
+    "lsh_band_sweep",
+    "media_chunks",
+    "media_phash_clusters",
+    "ngram_novelty",
+    "packing_capacity_sweep",
+    "quality_classifier_score",
+    "rolling_median_daily_value",
+    "rolling_weekly_active_users",
+    "series_similarity",
+    "skipgram_pairs",
 )
 
 

@@ -47,43 +47,47 @@ _FAMILY_ANCHORS = {
 # 101-name never-checked tail.
 
 
-# Round-10 window slate (VERDICT r9 directive #1): CORRECTNESS_r09
-# landed 50/50 and the never-checked tail is EMPTY, so apart from the
-# 3 round-10 additions (vacuum_report, skew_join_demo,
-# version_diff_pruned) every slot is a
-# DOCUMENTED re-check — justified only when the operator's code
-# changed in round-10 commits (the lakehouse manifest reroute of the
-# three MERGE/time-travel queries, the wire prefix-divergence fix, the
-# distributed-compaction canary tpch_q1) or by strictly oldest
-# evidence (the first 42 of the remaining 45 r03-last names,
-# alphabetical; weekday_eventtype_chisq, wire_format_source and
-# zorder_curve roll to round 11).
+# Round-11 window slate (VERDICT r10 directive #4): CORRECTNESS_r10
+# landed 50/50 and the never-checked tail is EMPTY apart from the 4
+# round-11 additions (lakehouse_pruned_read, lakehouse_schema_evolution,
+# lakehouse_change_feed, streaming_version_feed), so every other slot
+# is a DOCUMENTED re-check — justified only when the operator's code
+# changed in round-11 commits (the rewritten lakehouse manifest layer
+# behind the five versioned-table entries; the multiprobe default-dial
+# raise + farthest-first PQ seeding behind the five ANN entries; the
+# shared span-fingerprint index behind the three span consumers;
+# tpch_q1 as the compaction-guard canary) or by strictly oldest
+# evidence (the 3 r03-last names deferred since round 10, then the
+# first 29 of the 44 r05-last names alphabetically; skipgram_pmi
+# onward rolls to round 12).
 # An undocumented re-check is still a wasted slot.
 _RECHECK_SLATE = {
-    # round-10 code changes
-    "merge_upsert_rewrite", "streaming_merge_upsert", "time_travel_read",
-    "wire_stream_sink", "tpch_q1_pricing_summary",
-    # oldest evidence: last driver row is r03 (first 42, alphabetical)
-    "asof_purchase_view", "batch_sessionization", "bloom_membership",
-    "corpus_drift", "daily_events", "data_quality_report", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_simhash_pairs", "doc_chunking",
-    "event_path_mining", "event_type_stats_salted", "events_cube_rollup",
-    "ewma_daily_value", "feature_hash_vectors", "fuzzy_name_matches",
-    "grouping_id_report", "holt_daily_forecast",
-    "lineitem_quartiles_distributed", "media_bmp_decode",
-    "media_wav_decode", "pagerank_categories", "part_skyline",
-    "pii_redaction", "pq_encode", "props_json_stats",
-    "props_schema_discovery", "random_projection",
-    "session_stats_pandas", "ship_delay_priority", "similarity_lsh_topk",
-    "similarity_topk", "snapshot_diff", "sql_udf_revenue_bands",
-    "streaming_daily_events", "streaming_hourly_window", "text_lang_id",
-    "text_quality", "time_weighted_value", "train_eval_split",
-    "triangle_coview", "value_zscore_outliers",
+    # round-11 code changes
+    "vacuum_report", "version_diff_pruned", "merge_upsert_rewrite",
+    "streaming_merge_upsert", "time_travel_read",
+    "similarity_multiprobe_topk", "pq_encode", "pq_distortion_report",
+    "similarity_pq_topk", "similarity_ivfpq_topk",
+    "repeated_span_dedup", "dedup_span_excision", "curation_funnel_v2",
+    "tpch_q1_pricing_summary",
+    # oldest evidence: last driver row is r03 (deferred twice)
+    "weekday_eventtype_chisq", "wire_format_source", "zorder_curve",
+    # next-oldest evidence: last driver row is r05 (first 29, alphabetical)
+    "ab_test_report", "adaptive_quality_gates", "ann_recall_report",
+    "cdc_chunk_dedup", "conversion_latency_percentiles",
+    "cusum_changepoints", "daily_value_gapfill", "dedup_recall_report",
+    "dedup_threshold_sweep", "dup_cluster_histogram", "embedding_outliers",
+    "embedding_projection", "epoch_shuffle_shards", "eval_split_leakage",
+    "gate_attribution", "heldout_perplexity", "importance_sampling_weights",
+    "jsonl_roundtrip", "kanon_suppression", "lsh_band_sweep",
+    "media_chunks", "media_phash_clusters", "ngram_novelty",
+    "packing_capacity_sweep", "quality_classifier_score",
+    "rolling_median_daily_value", "rolling_weekly_active_users",
+    "series_similarity", "skipgram_pairs",
 }
 
 
 def _driver_checked_names(
-    rounds: tuple[str, ...] = ("01", "02", "03", "05", "06", "07", "08", "09"),
+    rounds: tuple[str, ...] = ("01", "02", "03", "05", "06", "07", "08", "09", "10"),
 ) -> set[str]:
     """Names with a driver row in the given rounds (missing files
     skipped). Pinned to the rounds known when the current window was

@@ -171,6 +171,8 @@ def _publish_manifest(
     schema_json: str | None = None,
     stats_column: str | None = None,
     stats: dict[str, list] | None = None,
+    deletes: dict[str, str] | None = None,
+    delete_key: str | None = None,
 ) -> None:
     """Commit-by-link: the manifest is fully written to a temp file
     first, so it is complete the instant it becomes visible (a writer
@@ -188,6 +190,9 @@ def _publish_manifest(
     if stats_column is not None:
         body["stats_column"] = stats_column
         body["stats"] = {k: stats[k] for k in sorted(stats or {})}
+    if deletes:
+        body["deletes"] = dict(sorted(deletes.items()))
+        body["delete_key"] = delete_key
     doc = json.dumps(body, indent=0, sort_keys=True)
     final = _manifest_path(root, version)
     tmp = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
@@ -401,6 +406,16 @@ def table_commit_rewrite(
                 p: carried[p] for p in merged if p in carried and p not in new_parts
             }
             stats.update(new_stats)
+        # deletion vectors: a REWRITTEN partition's DV is materialized —
+        # the rewrite df was computed from the DV-applied logical view,
+        # so the fresh slice already excludes the deleted rows and the
+        # DV pointer must not survive (it would re-delete re-inserted
+        # keys); untouched partitions carry their DVs forward.
+        deletes = {
+            p: rel
+            for p, rel in cur_doc.get("deletes", {}).items()
+            if p in merged and p not in new_parts
+        }
         try:
             _publish_manifest(
                 root,
@@ -409,29 +424,54 @@ def table_commit_rewrite(
                 schema_json=df.schema.json(),
                 stats_column=eff_stats_col,
                 stats=stats,
+                deletes=deletes,
+                delete_key=cur_doc.get("delete_key") if deletes else None,
             )
             return cur_version + 1
         except FileExistsError as race:
-            latest = table_versions(root)[-1]
-            latest_doc = _await_version(root, max(latest, cur_version + 1))
-            latest_parts = latest_doc["partitions"]
-            changed_since_base = {
-                p
-                for p in set(base_parts) | set(latest_parts)
-                if base_parts.get(p) != latest_parts.get(p)
-            }
-            overlap = touched & changed_since_base
-            if overlap:
-                raise CommitConflictError(
-                    f"concurrent commit at {root} touched partitions this "
-                    f"rewrite also touched ({sorted(overlap)[:5]}...); "
-                    "rebasing would drop the winner's rows — recompute "
-                    "against the new latest version"
-                ) from None
-            cur_version = latest_doc["version"]
-            cur_doc = latest_doc
+            cur_version, cur_doc = _rebase_or_conflict(
+                root, base_doc, touched, cur_version
+            )
             last_race = race
     raise last_race
+
+
+def _pointer_map(doc: dict) -> dict[str, tuple]:
+    """Per-partition (slice, dv) pointer pair — the unit of commit
+    conflict: two writers conflict iff any partition's pair changed
+    under one while the other assumed the old state."""
+    dvs = doc.get("deletes", {})
+    return {
+        p: (rel, dvs.get(p))
+        for p, rel in doc["partitions"].items()
+    } | {p: (None, rel) for p, rel in dvs.items() if p not in doc["partitions"]}
+
+
+def _rebase_or_conflict(
+    root: str, base_doc: dict, touched: set[str], cur_version: int
+) -> tuple[int, dict]:
+    """Shared publish-race handler (rewrites and DV deletes): wait for
+    the winner's manifest, then either hand back the new base for a
+    retry (every partition this writer touched has an unchanged
+    (slice, dv) pointer pair since its base) or raise
+    CommitConflictError."""
+    latest = table_versions(root)[-1]
+    latest_doc = _await_version(root, max(latest, cur_version + 1))
+    base_map, latest_map = _pointer_map(base_doc), _pointer_map(latest_doc)
+    changed_since_base = {
+        p
+        for p in set(base_map) | set(latest_map)
+        if base_map.get(p) != latest_map.get(p)
+    }
+    overlap = touched & changed_since_base
+    if overlap:
+        raise CommitConflictError(
+            f"concurrent commit at {root} touched partitions this "
+            f"writer also touched ({sorted(overlap)[:5]}...); "
+            "rebasing would drop the winner's rows — recompute "
+            "against the new latest version"
+        ) from None
+    return latest_doc["version"], latest_doc
 
 
 def _align_to_schema(scan: DataFrame, target: StructType | None) -> DataFrame:
@@ -482,6 +522,43 @@ def read_slices(
 def _manifest_schema(doc: dict) -> StructType | None:
     raw = doc.get("schema")
     return StructType.fromJson(raw) if raw else None
+
+
+def _partition_col_of(names) -> str:
+    """The partition column name, recovered from any partition dir name
+    (every name is '<col>=<value>')."""
+    return next(iter(names)).split("=", 1)[0]
+
+
+def _read_logical(
+    spark: SparkSession, root: str, doc: dict, names: list[str]
+) -> DataFrame:
+    """Resolve the LOGICAL content of the given partitions of one
+    manifest: slice scans, with each deletion-vectored partition's rows
+    anti-joined against its DV keys (merge-on-read, the Delta
+    deletion-vector / Iceberg equality-delete read path). Partitions
+    without a DV never pay the anti-join — the scan splits into a clean
+    union branch and a DV'd branch, so at 100 TB the join touches only
+    the deleted-from partitions' data (DV key sets are tiny relative to
+    data and AQE broadcasts them)."""
+    parts = doc["partitions"]
+    dvs = doc.get("deletes", {})
+    schema = _manifest_schema(doc)
+    clean = [parts[n] for n in names if n not in dvs]
+    dirty = [n for n in names if n in dvs]
+    out: DataFrame | None = None
+    if clean:
+        out = read_slices(spark, root, clean, schema=schema)
+    if dirty:
+        pcol = _partition_col_of(dirty)
+        key = doc["delete_key"]
+        data = read_slices(spark, root, [parts[n] for n in dirty], schema=schema)
+        dv_keys = read_slices(spark, root, [dvs[n] for n in dirty]).select(pcol, key)
+        undeleted = data.join(dv_keys, [pcol, key], "left_anti")
+        out = undeleted if out is None else out.unionByName(undeleted)
+    if out is None:
+        raise ValueError("empty partition set")
+    return out
 
 
 def _resolve_version(root: str, version: int | None) -> int:
@@ -540,7 +617,7 @@ def table_read(
                 "so an empty frame cannot be typed)"
             )
         return spark.createDataFrame([], schema)
-    return read_slices(spark, root, [parts[n] for n in names], schema=schema)
+    return _read_logical(spark, root, doc, names)
 
 
 _CHANGE_TYPE_COL = "_change_type"
@@ -563,21 +640,31 @@ def table_changes(
     no per-change-type re-scan of the join."""
     doc_from = _read_manifest_doc(root, _resolve_version(root, v_from))
     doc_to = _read_manifest_doc(root, _resolve_version(root, v_to))
-    m0, m1 = doc_from["partitions"], doc_to["partitions"]
-    changed = sorted(p for p in set(m0) | set(m1) if m0.get(p) != m1.get(p))
+    map0, map1 = _pointer_map(doc_from), _pointer_map(doc_to)
+    # a partition participates when its (slice, dv) pointer PAIR changed
+    # — covering rewrites, DV-only delete commits, and OPTIMIZE (slice
+    # changed + DV materialized away: the logical diff is empty and the
+    # feed correctly emits nothing, because both sides resolve through
+    # their DVs)
+    changed = sorted(p for p in set(map0) | set(map1) if map0.get(p) != map1.get(p))
     schema = _manifest_schema(doc_to) or _manifest_schema(doc_from)
-    old_rels = [m0[p] for p in changed if p in m0]
-    new_rels = [m1[p] for p in changed if p in m1]
+    old_names = [p for p in changed if p in doc_from["partitions"]]
+    new_names = [p for p in changed if p in doc_to["partitions"]]
     if schema is not None:
         cols = [f.name for f in schema.fields]
     else:  # pre-round-11 manifests: derive columns from a slice scan
-        probe = read_slices(spark, root, new_rels or old_rels)
-        cols = probe.columns
+        probe_doc, probe_names = (
+            (doc_to, new_names) if new_names else (doc_from, old_names)
+        )
+        cols = _read_logical(spark, root, probe_doc, probe_names).columns
     data_cols = [c for c in cols if c != key_col]
 
-    def side(rels: list[str], tag: str) -> DataFrame:
-        if rels:
-            df = read_slices(spark, root, rels, schema=schema)
+    def side(doc: dict, names: list[str], tag: str) -> DataFrame:
+        if names:
+            # align both sides to the newer schema: across a column-add
+            # commit the old side null-fills, exactly like a read at the
+            # new version would present the old slices
+            df = _align_to_schema(_read_logical(spark, root, doc, names), schema)
         else:
             df = spark.createDataFrame([], schema) if schema is not None else None
             if df is None:
@@ -587,7 +674,7 @@ def table_changes(
             *[F.col(c).alias(f"{tag}_{c}") for c in data_cols],
         )
 
-    o, n = side(old_rels, "o"), side(new_rels, "n")
+    o, n = side(doc_from, old_names, "o"), side(doc_to, new_names, "n")
     j = o.join(n, o[f"o_{key_col}"] == n[f"n_{key_col}"], "full_outer")
 
     def record(tag: str, change: str):
@@ -646,6 +733,133 @@ def write_change_feed(
     return done
 
 
+def table_delete_rows(
+    spark: SparkSession,
+    root: str,
+    keys_df: DataFrame,
+    key_col: str,
+    partition_col: str = "day",
+    max_commit_retries: int = 3,
+    _race_hook: Callable[[], None] | None = None,
+) -> int:
+    """Row-level DELETE as a deletion-vector commit (merge-on-read: the
+    Delta deletion-vector / Iceberg equality-delete discipline) —
+    ``keys_df`` is (partition_col, key_col) rows naming what to delete;
+    the commit writes ONLY those tiny key sets (staged under the same
+    writer-unique slice prefix) and the new manifest points each
+    touched partition at its cumulative DV. No data file is rewritten
+    or even read — on a 100 TB table a million-row delete costs a
+    million-row write, not a partition rewrite; reads anti-join the
+    DV'd partitions only, and the next rewrite or OPTIMIZE of a
+    partition materializes its DV away. Successive deletes UNION into
+    the partition's DV (the prior keys are re-staged with the new ones
+    — DV sets stay tiny relative to data; a DV that grows toward its
+    partition's size is the signal to OPTIMIZE). Per-partition footer
+    stats stay valid: the remaining rows are a subset of the recorded
+    [min, max], so pruning is still a superset guarantee. Same
+    optimistic concurrency as table_commit_rewrite — the (slice, dv)
+    pointer pair is the conflict unit, so a delete races a rewrite of
+    the same partition into a CommitConflictError. Returns the
+    committed version."""
+    versions = table_versions(root)
+    if not versions:
+        raise ValueError(f"no table at {root}; table_create first")
+    base_version = versions[-1]
+    base_doc = _read_manifest_doc(root, base_version)
+    base_key = base_doc.get("delete_key")
+    if base_key is not None and base_key != key_col:
+        raise ValueError(
+            f"table at {root} already carries deletion vectors keyed on "
+            f"{base_key!r}; mixed delete keys cannot anti-join in one pass"
+        )
+    keys = keys_df.select(partition_col, key_col)
+    prior = base_doc.get("deletes", {})
+    if prior:  # cumulative DV: union the prior keys of touched partitions
+        prior_keys = read_slices(spark, root, sorted(set(prior.values()))).select(
+            partition_col, key_col
+        )
+        touched_parts = keys.select(partition_col).distinct()
+        keys = keys.unionByName(
+            prior_keys.join(touched_parts, partition_col, "left_semi")
+        ).distinct()
+    new_dvs = _write_slices(keys, root, base_version + 1, partition_col)
+    unknown = set(new_dvs) - set(base_doc["partitions"])
+    if unknown:
+        raise ValueError(
+            f"delete keys name partitions not in version {base_version} "
+            f"at {root}: {sorted(unknown)[:5]}"
+        )
+    touched = set(new_dvs)
+    if _race_hook is not None:
+        _race_hook()
+
+    cur_version, cur_doc = base_version, base_doc
+    for _ in range(max_commit_retries + 1):
+        deletes = {
+            p: rel
+            for p, rel in cur_doc.get("deletes", {}).items()
+            if p in cur_doc["partitions"]
+        }
+        deletes.update(new_dvs)
+        try:
+            _publish_manifest(
+                root,
+                cur_version + 1,
+                cur_doc["partitions"],
+                schema_json=json.dumps(cur_doc["schema"])
+                if cur_doc.get("schema")
+                else None,
+                stats_column=cur_doc.get("stats_column"),
+                stats=cur_doc.get("stats"),
+                deletes=deletes,
+                delete_key=key_col,
+            )
+            return cur_version + 1
+        except FileExistsError as race:
+            cur_version, cur_doc = _rebase_or_conflict(
+                root, base_doc, touched, cur_version
+            )
+            last_race = race
+    raise last_race
+
+
+def table_optimize(spark: SparkSession, root: str) -> int:
+    """OPTIMIZE: commit a new version whose every partition is the
+    current LOGICAL content rewritten as one compacted slice —
+    bin-packing away small files (every prior commit/stream epoch left
+    its own part files) and MATERIALIZING deletion vectors (the
+    merge-on-read debt is paid once; subsequent reads drop the
+    anti-join). Logical content is byte-identical across the optimize —
+    table_changes across it emits NOTHING, because both sides resolve
+    through their DVs. A partition whose rows were all DV-deleted is
+    declared dropped (an empty rewrite writes no slice dir, and
+    silently keeping the pointer would resurrect the deleted rows once
+    its DV is discarded). Old slices and DVs become VACUUM-able
+    ``expired``. At 100 TB this is the nightly compaction job: one
+    shuffle keyed on the partition column, one file per partition
+    target (real deployments target a size, not a count)."""
+    versions = table_versions(root)
+    if not versions:
+        raise ValueError(f"no table at {root}")
+    doc = _read_manifest_doc(root, versions[-1])
+    names = sorted(doc["partitions"])
+    pcol = _partition_col_of(names)
+    cur = _read_logical(spark, root, doc, names)
+    # fully-deleted partitions: present in the manifest, absent from the
+    # logical view — driver-side partition-value list (metadata-scale)
+    present_vals = cur.groupBy().agg(
+        F.collect_set(F.col(pcol).cast("string")).alias("vals")
+    ).first()["vals"]
+    present = {f"{pcol}={v}" for v in present_vals}
+    drops = [n for n in names if n not in present]
+    return table_commit_rewrite(
+        cur.repartition(F.col(pcol)),
+        root,
+        partition_col=pcol,
+        drop_partitions=drops,
+    )
+
+
 def _slice_age_seconds(root: str, rel: str) -> float:
     """Age of a slice dir = now minus the newest mtime among the
     partition dir and its version prefix (file creation bumps the dir
@@ -679,7 +893,10 @@ def table_slice_states(
     live: set[str] = set()
     referenced: set[str] = set()
     for v in versions:
-        refs = set(_read_manifest(root, v).values())
+        doc = _read_manifest_doc(root, v)
+        # deletion-vector dirs are referenced slices too: vacuuming a
+        # live DV would resurrect its deleted rows
+        refs = set(doc["partitions"].values()) | set(doc.get("deletes", {}).values())
         referenced |= refs
         if v in retained:
             live |= refs

@@ -2034,3 +2034,162 @@ CHANGE_FEED_SQL = f"""
 
 QUERIES["lakehouse_change_feed"] = lakehouse_change_feed
 ORACLE["lakehouse_change_feed"] = CHANGE_FEED_SQL
+
+
+# ---------------------------------------------------------------------------
+# lakehouse_deletion_vectors — row-level DELETE without rewriting data
+# (round-11; merge-on-read, the Delta deletion-vector / Iceberg
+# equality-delete path, complementing the repo's copy-on-write MERGE):
+# a delete commit writes ONLY the tiny key set and points the touched
+# partitions at their cumulative DV — on a 100 TB table a million-row
+# delete costs a million-row write, not a partition rewrite. Reads
+# anti-join the DV'd partitions only (clean partitions take the plain
+# union branch — tested); a second overlapping delete UNIONS into the
+# cumulative DV. The report snapshots all three versions, so one
+# oracle proves isolation (v0 unchanged), the v1 delete, and the v2
+# union at once. test_lakehouse.py proves no data slice moved
+# (pointer-identical manifests) and that a live DV survives VACUUM.
+# ---------------------------------------------------------------------------
+
+DV_RES1, DV_CUT1 = 2, 15  # v1 deletes residue-2 keys within dom <= 15
+DV_RES2, DV_CUT2 = 6, 5  # v2 deletes residue-6 keys within dom <= 5
+
+
+def _dv_events_table(spark: SparkSession, sf_dir: str) -> str:
+    """Day-partitioned events as a lakehouse table with two successive
+    deletion-vector commits (shared by the DV snapshot entry and the
+    OPTIMIZE entry)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_create,
+        table_delete_rows,
+        table_read,
+    )
+
+    src = ensure_day_partitioned_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="spark_graft_dv_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table_create(spark.read.parquet(src), root)
+    v0 = table_read(spark, root, 0)
+
+    def keys(residue: int, cutoff: int) -> DataFrame:
+        return v0.filter(
+            (F.col("event_id") % MERGE_UPD_MOD == residue)
+            & (F.dayofmonth("day") <= cutoff)
+        ).select("day", "event_id")
+
+    table_delete_rows(spark, root, keys(DV_RES1, DV_CUT1), key_col="event_id")
+    table_delete_rows(spark, root, keys(DV_RES2, DV_CUT2), key_col="event_id")
+    return root
+
+
+def lakehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.lakehouse import table_read
+
+    root = _dv_events_table(spark, sf_dir)
+
+    def snapshot(version: int) -> DataFrame:
+        return table_read(spark, root, version).groupBy().agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    return snapshot(0).unionByName(snapshot(1)).unionByName(snapshot(2))
+
+
+_DV_D1 = (
+    f"(event_id % {MERGE_UPD_MOD} = {DV_RES1}"
+    f" AND dayofmonth(CAST(ts AS DATE)) <= {DV_CUT1})"
+)
+_DV_D2 = (
+    f"(event_id % {MERGE_UPD_MOD} = {DV_RES2}"
+    f" AND dayofmonth(CAST(ts AS DATE)) <= {DV_CUT2})"
+)
+
+ORACLE["lakehouse_deletion_vectors"] = f"""
+    SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), count(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM events WHERE NOT {_DV_D1}
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM events WHERE NOT {_DV_D1} AND NOT {_DV_D2}
+"""
+QUERIES["lakehouse_deletion_vectors"] = lakehouse_deletion_vectors
+
+
+# ---------------------------------------------------------------------------
+# lakehouse_optimize — small-file compaction + DV materialization
+# (round-11; Delta OPTIMIZE / Iceberg rewrite_data_files): every
+# partition's LOGICAL content is rewritten as one compacted slice, the
+# deletion vectors are paid off (subsequent reads drop the anti-join),
+# and a fully-DV-deleted partition is declared dropped rather than
+# silently resurrected. The report proves content is byte-identical
+# through the optimize AND that the change feed across it is EMPTY
+# (both sides of the diff resolve through their DVs — the logical
+# no-op is detected, not special-cased). test_lakehouse.py proves the
+# physical claims: one file per partition after, old slices + DVs
+# expire for VACUUM. At 100 TB this is the nightly compaction job: one
+# shuffle keyed on the partition column.
+# ---------------------------------------------------------------------------
+
+
+def lakehouse_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_changes,
+        table_optimize,
+        table_read,
+    )
+
+    root = _dv_events_table(spark, sf_dir)
+    pre = table_read(spark, root)  # v2: both DVs live
+    v3 = table_optimize(spark, root)
+    post = table_read(spark, root, v3)
+
+    def agg(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy().agg(
+            F.lit(stage).alias("stage"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    feed = table_changes(spark, root, v3 - 1, v3, key_col="event_id").groupBy().agg(
+        F.lit("feed_across_optimize").alias("stage"),
+        F.count("*").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), F.lit(0.0)
+        ).alias("sum_value"),
+    )
+    return agg(pre, "pre_optimize").unionByName(agg(post, "post_optimize")).unionByName(
+        feed
+    )
+
+
+ORACLE["lakehouse_optimize"] = f"""
+    WITH state AS (
+        SELECT value FROM events WHERE NOT {_DV_D1} AND NOT {_DV_D2}
+    ), a AS (
+        SELECT count(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM state
+    )
+    SELECT 'pre_optimize' AS stage, n_rows, sum_value FROM a
+    UNION ALL
+    SELECT 'post_optimize', n_rows, sum_value FROM a
+    UNION ALL
+    SELECT 'feed_across_optimize', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+"""
+QUERIES["lakehouse_optimize"] = lakehouse_optimize

@@ -502,3 +502,167 @@ def test_change_feed_rows_and_pruning(spark, tmp_path):
     all_changes = spark.read.parquet(feed)
     assert all_changes.count() == 6
     assert {r._commit_version for r in all_changes.collect()} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (continued): deletion vectors (merge-on-read) + OPTIMIZE.
+# ---------------------------------------------------------------------------
+
+
+def _dv_keys(spark, rows):
+    return spark.createDataFrame(rows, "day date, event_id long")
+
+
+def test_deletion_vector_deletes_without_rewrite(spark, tmp_path):
+    from google_cloud_ecommerce_spark.lakehouse import (
+        _read_manifest_doc,
+        table_delete_rows,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    keys = _dv_keys(
+        spark,
+        [
+            (dt.date(2024, 1, 1), 0),
+            (dt.date(2024, 1, 1), 1),
+            (dt.date(2024, 1, 3), 202),
+        ],
+    )
+    assert table_delete_rows(spark, root, keys, key_col="event_id") == 1
+    d1 = _read_manifest_doc(root, 1)
+    d0 = _read_manifest_doc(root, 0)
+    # no data file moved: every slice pointer is v0's
+    assert d1["partitions"] == d0["partitions"]
+    assert set(d1["deletes"]) == {"day=2024-01-01", "day=2024-01-03"}
+    got = {r.event_id for r in table_read(spark, root).collect()}
+    assert got == {d * 100 + i for d in range(6) for i in range(4)} - {0, 1, 202}
+    # v0 still reads everything (time-travel through the delete)
+    assert len(table_read(spark, root, 0).collect()) == 24
+    # a second delete UNIONS into the cumulative DV
+    assert (
+        table_delete_rows(
+            spark, root, _dv_keys(spark, [(dt.date(2024, 1, 1), 2)]), key_col="event_id"
+        )
+        == 2
+    )
+    got2 = {r.event_id for r in table_read(spark, root).collect()}
+    assert got2 == got - {2}
+    # mixed delete keys are refused
+    bad = spark.createDataFrame([(dt.date(2024, 1, 2), 100.0)], "day date, value double")
+    with pytest.raises(ValueError, match="mixed delete keys"):
+        table_delete_rows(spark, root, bad, key_col="value")
+
+
+def test_change_feed_sees_dv_deletes_and_optimize_is_silent(spark, tmp_path):
+    import glob
+
+    from google_cloud_ecommerce_spark.lakehouse import (
+        _read_manifest_doc,
+        table_changes,
+        table_delete_rows,
+        table_optimize,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    # delete two keys of day 2 + ALL four keys of day 5
+    keys = [(dt.date(2024, 1, 2), 100), (dt.date(2024, 1, 2), 103)] + [
+        (dt.date(2024, 1, 5), 400 + i) for i in range(4)
+    ]
+    table_delete_rows(spark, root, _dv_keys(spark, keys), key_col="event_id")
+    ch = table_changes(spark, root, 0, 1, key_col="event_id")
+    got = sorted((r.event_id, r._change_type) for r in ch.collect())
+    assert got == sorted((k, "delete") for _, k in keys)
+    before = sorted(
+        (r.event_id, r.value) for r in table_read(spark, root).collect()
+    )
+    assert table_optimize(spark, root) == 2
+    d2 = _read_manifest_doc(root, 2)
+    # DVs materialized away; the fully-deleted day 5 is dropped
+    assert "deletes" not in d2
+    assert "day=2024-01-05" not in d2["partitions"]
+    assert len(d2["partitions"]) == 5
+    # logical content byte-identical through the optimize...
+    assert sorted(
+        (r.event_id, r.value) for r in table_read(spark, root).collect()
+    ) == before
+    # ...so the change feed across it is EMPTY
+    assert table_changes(spark, root, 1, 2, key_col="event_id").count() == 0
+    # and each partition compacted to one file
+    for name, rel in d2["partitions"].items():
+        files = glob.glob(os.path.join(root, rel, "*.parquet"))
+        assert len(files) == 1, (name, files)
+
+
+def test_delete_conflicts_with_rewrite_and_rebases_when_disjoint(spark, tmp_path):
+    from google_cloud_ecommerce_spark.lakehouse import (
+        CommitConflictError,
+        table_delete_rows,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    base = table_read(spark, root, 0)
+
+    def rewrite_day2():
+        table_commit_rewrite(
+            base.filter(F.col("day") == dt.date(2024, 1, 2)).withColumn(
+                "value", F.lit(-2.0)
+            ),
+            root,
+        )
+
+    with pytest.raises(CommitConflictError):
+        table_delete_rows(
+            spark,
+            root,
+            _dv_keys(spark, [(dt.date(2024, 1, 2), 100)]),
+            key_col="event_id",
+            _race_hook=rewrite_day2,
+        )
+    # disjoint: the delete rebases onto the rewrite
+    def rewrite_day4():
+        table_commit_rewrite(
+            base.filter(F.col("day") == dt.date(2024, 1, 4)).withColumn(
+                "value", F.lit(-4.0)
+            ),
+            root,
+        )
+
+    got = table_delete_rows(
+        spark,
+        root,
+        _dv_keys(spark, [(dt.date(2024, 1, 6), 500)]),
+        key_col="event_id",
+        _race_hook=rewrite_day4,
+    )
+    assert got == 3  # v1 = day-2 rewrite (winner above), v2 = day-4, v3 = delete
+    rows = {r.event_id: r.value for r in table_read(spark, root).collect()}
+    assert 500 not in rows
+    assert rows[301] == -4.0  # the raced rewrite survived the rebase
+
+
+def test_vacuum_never_deletes_live_dvs_and_expires_them_after_optimize(
+    spark, tmp_path
+):
+    from google_cloud_ecommerce_spark.lakehouse import (
+        _read_manifest_doc,
+        table_delete_rows,
+        table_optimize,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    table_delete_rows(
+        spark, root, _dv_keys(spark, [(dt.date(2024, 1, 1), 0)]), key_col="event_id"
+    )
+    dv_rel = _read_manifest_doc(root, 1)["deletes"]["day=2024-01-01"]
+    states = table_slice_states(root, retain_latest=1, orphan_retain_seconds=0.0)
+    assert dv_rel in states["live"]
+    before = sorted(r.event_id for r in table_read(spark, root).collect())
+    table_optimize(spark, root)
+    applied = table_vacuum(root, retain_latest=1, orphan_retain_seconds=0.0)
+    assert dv_rel in applied["expired"]
+    assert not os.path.exists(os.path.join(root, dv_rel))
+    assert sorted(r.event_id for r in table_read(spark, root).collect()) == before

@@ -48,9 +48,10 @@ _FAMILY_ANCHORS = {
 
 
 # Round-11 window slate (VERDICT r10 directive #4): CORRECTNESS_r10
-# landed 50/50 and the never-checked tail is EMPTY apart from the 4
+# landed 50/50 and the never-checked tail is EMPTY apart from the 6
 # round-11 additions (lakehouse_pruned_read, lakehouse_schema_evolution,
-# lakehouse_change_feed, streaming_version_feed), so every other slot
+# lakehouse_change_feed, streaming_version_feed,
+# lakehouse_deletion_vectors, lakehouse_optimize), so every other slot
 # is a DOCUMENTED re-check — justified only when the operator's code
 # changed in round-11 commits (the rewritten lakehouse manifest layer
 # behind the five versioned-table entries; the multiprobe default-dial
@@ -58,7 +59,7 @@ _FAMILY_ANCHORS = {
 # shared span-fingerprint index behind the three span consumers;
 # tpch_q1 as the compaction-guard canary) or by strictly oldest
 # evidence (the 3 r03-last names deferred since round 10, then the
-# first 29 of the 44 r05-last names alphabetically; skipgram_pmi
+# first 27 of the 44 r05-last names alphabetically; series_similarity
 # onward rolls to round 12).
 # An undocumented re-check is still a wasted slot.
 _RECHECK_SLATE = {
@@ -71,7 +72,7 @@ _RECHECK_SLATE = {
     "tpch_q1_pricing_summary",
     # oldest evidence: last driver row is r03 (deferred twice)
     "weekday_eventtype_chisq", "wire_format_source", "zorder_curve",
-    # next-oldest evidence: last driver row is r05 (first 29, alphabetical)
+    # next-oldest evidence: last driver row is r05 (first 27, alphabetical)
     "ab_test_report", "adaptive_quality_gates", "ann_recall_report",
     "cdc_chunk_dedup", "conversion_latency_percentiles",
     "cusum_changepoints", "daily_value_gapfill", "dedup_recall_report",
@@ -82,7 +83,6 @@ _RECHECK_SLATE = {
     "media_chunks", "media_phash_clusters", "ngram_novelty",
     "packing_capacity_sweep", "quality_classifier_score",
     "rolling_median_daily_value", "rolling_weekly_active_users",
-    "series_similarity", "skipgram_pairs",
 }
 
 

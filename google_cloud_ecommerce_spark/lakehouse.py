@@ -173,6 +173,7 @@ def _publish_manifest(
     stats: dict[str, list] | None = None,
     deletes: dict[str, str] | None = None,
     delete_key: str | None = None,
+    txn: dict[str, int] | None = None,
 ) -> None:
     """Commit-by-link: the manifest is fully written to a temp file
     first, so it is complete the instant it becomes visible (a writer
@@ -193,6 +194,8 @@ def _publish_manifest(
     if deletes:
         body["deletes"] = dict(sorted(deletes.items()))
         body["delete_key"] = delete_key
+    if txn:
+        body["txn"] = dict(sorted(txn.items()))
     doc = json.dumps(body, indent=0, sort_keys=True)
     final = _manifest_path(root, version)
     tmp = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
@@ -426,6 +429,7 @@ def table_commit_rewrite(
                 stats=stats,
                 deletes=deletes,
                 delete_key=cur_doc.get("delete_key") if deletes else None,
+                txn=cur_doc.get("txn"),
             )
             return cur_version + 1
         except FileExistsError as race:
@@ -442,7 +446,7 @@ def _pointer_map(doc: dict) -> dict[str, tuple]:
     under one while the other assumed the old state."""
     dvs = doc.get("deletes", {})
     return {
-        p: (rel, dvs.get(p))
+        p: (tuple(_rels_of(rel)), dvs.get(p))
         for p, rel in doc["partitions"].items()
     } | {p: (None, rel) for p, rel in dvs.items() if p not in doc["partitions"]}
 
@@ -530,6 +534,20 @@ def _partition_col_of(names) -> str:
     return next(iter(names)).split("=", 1)[0]
 
 
+def _rels_of(pointer) -> list[str]:
+    """A partition pointer is one slice-relative dir (str — the common
+    rewrite case, and the only pre-round-11 form) or a list of them
+    (append commits accumulate slices until an OPTIMIZE re-packs the
+    partition). Normalize to a list."""
+    return [pointer] if isinstance(pointer, str) else list(pointer)
+
+
+def _pointer_of(rels: list[str]):
+    """Inverse of _rels_of: singletons serialize as plain strings so
+    rewrite-only tables keep the exact pre-append manifest form."""
+    return rels[0] if len(rels) == 1 else rels
+
+
 def _read_logical(
     spark: SparkSession, root: str, doc: dict, names: list[str]
 ) -> DataFrame:
@@ -544,7 +562,7 @@ def _read_logical(
     parts = doc["partitions"]
     dvs = doc.get("deletes", {})
     schema = _manifest_schema(doc)
-    clean = [parts[n] for n in names if n not in dvs]
+    clean = [r for n in names if n not in dvs for r in _rels_of(parts[n])]
     dirty = [n for n in names if n in dvs]
     out: DataFrame | None = None
     if clean:
@@ -552,7 +570,9 @@ def _read_logical(
     if dirty:
         pcol = _partition_col_of(dirty)
         key = doc["delete_key"]
-        data = read_slices(spark, root, [parts[n] for n in dirty], schema=schema)
+        data = read_slices(
+            spark, root, [r for n in dirty for r in _rels_of(parts[n])], schema=schema
+        )
         dv_keys = read_slices(spark, root, [dvs[n] for n in dirty]).select(pcol, key)
         undeleted = data.join(dv_keys, [pcol, key], "left_anti")
         out = undeleted if out is None else out.unionByName(undeleted)
@@ -733,6 +753,120 @@ def write_change_feed(
     return done
 
 
+def table_commit_append(
+    df: DataFrame,
+    root: str,
+    partition_col: str = "day",
+    stats_col: str | None = None,
+    txn: tuple[str, int] | None = None,
+    max_commit_retries: int = 3,
+    _race_hook: Callable[[], None] | None = None,
+) -> int:
+    """Blind APPEND: commit df's rows as ADDITIONAL slices of their
+    partitions — no survivors join, no partition rewrite, no prior data
+    read (the streaming-ingest write path: each micro-batch costs its
+    own rows, while table_commit_rewrite costs the touched partitions).
+    A partition accumulates a slice list until OPTIMIZE re-packs it.
+
+    Appends never conflict (the Delta blind-append rule): losing the
+    publish race always rebases — the staged slice is appended onto
+    whatever the winner left, even for the same partition, because
+    appended rows cannot invalidate a concurrent rewrite's survivor
+    set. The one exclusion is a partition currently carrying a
+    DELETION VECTOR: the DV's keys would anti-join freshly appended
+    rows that reuse a deleted key, so appends to DV'd partitions raise
+    — OPTIMIZE the partition first (Delta avoids this because its DVs
+    are per-file; ours are per-partition equality deletes).
+
+    ``txn`` is the Delta idempotent-writer protocol: (app_id, version)
+    — a commit whose version is <= the manifest's recorded high-water
+    mark for app_id is a REDELIVERY and is skipped without writing
+    (exactly-once for restarted streaming epochs). Per-partition stats
+    WIDEN: the appended slice's footer range unions into the carried
+    range; a partition with no prior stats record gains none (the old
+    rows' range is unknown — missing stats never prune wrongly).
+    Returns the committed (or already-applied) version."""
+    versions = table_versions(root)
+    if not versions:
+        raise ValueError(f"no table at {root}; table_create first")
+    base_version = versions[-1]
+    base_doc = _read_manifest_doc(root, base_version)
+
+    def already_applied(doc: dict) -> bool:
+        return (
+            txn is not None
+            and doc.get("txn", {}).get(txn[0], -1) >= txn[1]
+        )
+
+    if already_applied(base_doc):
+        return base_version
+    new_parts = _write_slices(df, root, base_version + 1, partition_col)
+    eff_stats_col = stats_col or base_doc.get("stats_column")
+    new_stats = (
+        _collect_partition_stats(root, new_parts, eff_stats_col)
+        if eff_stats_col
+        else {}
+    )
+    if _race_hook is not None:
+        _race_hook()
+
+    cur_version, cur_doc = base_version, base_doc
+    for _ in range(max_commit_retries + 1):
+        if already_applied(cur_doc):  # the race winner was our own retry
+            return cur_version
+        dv_hit = set(new_parts) & set(cur_doc.get("deletes", {}))
+        if dv_hit:
+            raise ValueError(
+                f"append touches deletion-vectored partitions "
+                f"{sorted(dv_hit)[:5]} at {root}: the per-partition DV "
+                "would anti-join the appended rows — run table_optimize "
+                "first"
+            )
+        merged = dict(cur_doc["partitions"])
+        for name, rel in new_parts.items():
+            merged[name] = _pointer_of(_rels_of(merged[name]) + [rel]
+                                       if name in merged else [rel])
+        stats = None
+        if eff_stats_col:
+            carried = (
+                cur_doc.get("stats", {})
+                if cur_doc.get("stats_column") == eff_stats_col
+                else {}
+            )
+            stats = {p: carried[p] for p in merged if p in carried}
+            for name, (lo, hi) in new_stats.items():
+                if name in stats:
+                    stats[name] = [min(stats[name][0], lo), max(stats[name][1], hi)]
+                elif name not in cur_doc["partitions"]:
+                    stats[name] = [lo, hi]  # brand-new partition: exact
+                else:
+                    stats.pop(name, None)  # old rows' range unknown
+        merged_txn = dict(cur_doc.get("txn", {}))
+        if txn is not None:
+            merged_txn[txn[0]] = txn[1]
+        try:
+            _publish_manifest(
+                root,
+                cur_version + 1,
+                merged,
+                schema_json=df.schema.json(),
+                stats_column=eff_stats_col,
+                stats=stats,
+                deletes=cur_doc.get("deletes"),
+                delete_key=cur_doc.get("delete_key"),
+                txn=merged_txn or None,
+            )
+            return cur_version + 1
+        except FileExistsError as race:
+            # blind appends rebase unconditionally: wait for the winner
+            # and re-merge (no conflict set — appends commute)
+            latest = table_versions(root)[-1]
+            cur_doc = _await_version(root, max(latest, cur_version + 1))
+            cur_version = cur_doc["version"]
+            last_race = race
+    raise last_race
+
+
 def table_delete_rows(
     spark: SparkSession,
     root: str,
@@ -813,6 +947,7 @@ def table_delete_rows(
                 stats=cur_doc.get("stats"),
                 deletes=deletes,
                 delete_key=key_col,
+                txn=cur_doc.get("txn"),
             )
             return cur_version + 1
         except FileExistsError as race:
@@ -896,7 +1031,9 @@ def table_slice_states(
         doc = _read_manifest_doc(root, v)
         # deletion-vector dirs are referenced slices too: vacuuming a
         # live DV would resurrect its deleted rows
-        refs = set(doc["partitions"].values()) | set(doc.get("deletes", {}).values())
+        refs = {
+            r for v in doc["partitions"].values() for r in _rels_of(v)
+        } | set(doc.get("deletes", {}).values())
         referenced |= refs
         if v in retained:
             live |= refs

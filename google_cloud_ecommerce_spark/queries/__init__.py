@@ -66,15 +66,18 @@ def _modules():
 # The correctness driver oracle-checks the FIRST 50 registry entries only.
 # Round-11 rotation (VERDICT r10 "next round" #4): CORRECTNESS_r10
 # landed 50/50 green, the driver-green union is 283/283 and the
-# never-checked tail is again EMPTY apart from the 6 round-11
+# never-checked tail is again EMPTY apart from the 8 round-11
 # additions — every other slot is a re-check by necessity. Slate
 # composition, in the r10-directed order:
-# 6 round-11 additions (lakehouse_pruned_read — stats/partition-pruned
+# 8 round-11 additions (lakehouse_pruned_read — stats/partition-pruned
 # versioned reads — lakehouse_schema_evolution — schema-per-version
 # manifests — lakehouse_change_feed — row-level CDC off the version
 # chain — streaming_version_feed — the feed replayed one commit per
 # micro-batch — lakehouse_deletion_vectors — merge-on-read row deletes
-# — and lakehouse_optimize — compaction + DV materialization);
+# — lakehouse_optimize — compaction + DV materialization —
+# lakehouse_append_ingest — blind multi-slice appends — and
+# streaming_manifest_ingest — per-epoch append commits with the
+# idempotent-writer txn protocol);
 # 14 re-checks whose code changed in round-11 commits: the five
 # entries routed through the rewritten lakehouse manifest layer
 # (vacuum_report, version_diff_pruned, merge_upsert_rewrite,
@@ -87,18 +90,21 @@ def _modules():
 # guard canary;
 # then strictly oldest evidence: the 3 r03-last names deferred since
 # round 10 (weekday_eventtype_chisq, wire_format_source,
-# zorder_curve), then the first 27 of the 44 r05-last names,
-# alphabetical (series_similarity onward rolls to round 12). Every name has
+# zorder_curve), then the first 25 of the 44 r05-last names,
+# alphabetical (rolling_median_daily_value onward rolls to round 12).
+# Every name has
 # an oracle; tests/test_registry.py pins the slate and the
 # no-wasted-slot rule.
 PRIORITY: tuple[str, ...] = (
-    # --- 6 round-11 additions (never driver-checked) ---
+    # --- 8 round-11 additions (never driver-checked) ---
     "lakehouse_pruned_read",
     "lakehouse_schema_evolution",
     "lakehouse_change_feed",
     "streaming_version_feed",
     "lakehouse_deletion_vectors",
     "lakehouse_optimize",
+    "lakehouse_append_ingest",
+    "streaming_manifest_ingest",
     # --- 14 re-checks: code changed in round-11 commits ---
     "vacuum_report",
     "version_diff_pruned",
@@ -118,7 +124,7 @@ PRIORITY: tuple[str, ...] = (
     "weekday_eventtype_chisq",
     "wire_format_source",
     "zorder_curve",
-    # --- 27 re-checks: next-oldest evidence (r05-last), alphabetical ---
+    # --- 25 re-checks: next-oldest evidence (r05-last), alphabetical ---
     "ab_test_report",
     "adaptive_quality_gates",
     "ann_recall_report",
@@ -144,8 +150,6 @@ PRIORITY: tuple[str, ...] = (
     "ngram_novelty",
     "packing_capacity_sweep",
     "quality_classifier_score",
-    "rolling_median_daily_value",
-    "rolling_weekly_active_users",
 )
 
 

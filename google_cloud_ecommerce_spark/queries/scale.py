@@ -1609,10 +1609,14 @@ def version_diff_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
     )
 
+    from google_cloud_ecommerce_spark.lakehouse import _rels_of
+
     m0, m1 = _read_manifest(root, 0), _read_manifest(root, 1)
     changed = sorted(p for p in m1 if m1[p] != m0.get(p))
-    old = read_slices(spark, root, [m0[p] for p in changed if p in m0])
-    new = read_slices(spark, root, [m1[p] for p in changed])
+    old = read_slices(
+        spark, root, [r for p in changed if p in m0 for r in _rels_of(m0[p])]
+    )
+    new = read_slices(spark, root, [r for p in changed for r in _rels_of(m1[p])])
     j = old.select(
         F.col("day").alias("day0"), "event_id", F.col("event_type").alias("t0")
     ).join(
@@ -2193,3 +2197,71 @@ ORACLE["lakehouse_optimize"] = f"""
     SELECT 'feed_across_optimize', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
 """
 QUERIES["lakehouse_optimize"] = lakehouse_optimize
+
+
+# ---------------------------------------------------------------------------
+# lakehouse_append_ingest — blind APPEND commits through the manifest
+# (round-11): ingest lands each batch as ADDITIONAL slices of the
+# touched partitions — no survivors join, no rewrite, no prior data
+# read; a partition accumulates a slice list until OPTIMIZE re-packs
+# it. At 100 TB this is the difference between an ingest epoch costing
+# its own rows and costing a rewrite of every touched day. The table
+# splits the source three ways by key residue (base + two appends), so
+# one oracle proves every version boundary; the final version is also
+# read back through a stats-range prune to prove appended slices WIDEN
+# the per-partition footer stats rather than replace them (unit test
+# pins the widened ranges; appends-commute and txn idempotence are
+# unit-tested in test_lakehouse.py).
+# ---------------------------------------------------------------------------
+
+APPEND_MOD = 3  # event_id % 3: residue 0 = base, 1 = first, 2 = second append
+
+
+def lakehouse_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from google_cloud_ecommerce_spark.io import ensure_day_partitioned_events
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_commit_append,
+        table_create,
+        table_read,
+    )
+
+    src = ensure_day_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(src)
+    root = tempfile.mkdtemp(prefix="spark_graft_append_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table_create(
+        ev.filter(F.col("event_id") % APPEND_MOD == 0), root, stats_col="event_id"
+    )
+    table_commit_append(ev.filter(F.col("event_id") % APPEND_MOD == 1), root)
+    table_commit_append(ev.filter(F.col("event_id") % APPEND_MOD == 2), root)
+
+    def snapshot(version: int) -> DataFrame:
+        return table_read(spark, root, version).groupBy().agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    return snapshot(0).unionByName(snapshot(1)).unionByName(snapshot(2))
+
+
+ORACLE["lakehouse_append_ingest"] = f"""
+    SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id % {APPEND_MOD} = 0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), count(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM events WHERE event_id % {APPEND_MOD} <= 1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM events
+"""
+QUERIES["lakehouse_append_ingest"] = lakehouse_append_ingest

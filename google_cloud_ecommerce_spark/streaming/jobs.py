@@ -1851,3 +1851,71 @@ ORACLE["streaming_version_feed"] = f"""
     FROM ev
     WHERE dom <= {CDC_ROWLEVEL_CUTOFF} AND event_id % {_CDC_MOD} = {CDC_INS_RESIDUE}
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_manifest_ingest — streaming ingest committed as blind
+# APPENDS through the lakehouse manifest (round-11; contrast
+# streaming_lakehouse_ingest, which lands epoch-keyed dirs OUTSIDE the
+# table format): each micro-batch costs exactly its own rows — no
+# survivors join, no partition rewrite — and commits version N+1 with
+# the Delta idempotent-writer txn protocol, (query_id, epoch_id), so a
+# redelivered epoch after a restart is skipped at the manifest, not
+# deduplicated downstream (the exactly-once upgrade lives in the
+# COMMIT, where streaming_merge_upsert put it in the MERGE semantics).
+# The verification read resolves the final manifest — one slice list
+# per day — and aggregates; the batch oracle over the source events
+# must match exactly. State lives in the table and the manifest's
+# txn high-water mark; the stream itself is stateless.
+# ---------------------------------------------------------------------------
+
+
+def streaming_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_commit_append,
+        table_create,
+        table_read,
+    )
+
+    replay = write_replay_dir(spark, sf_dir, n_files=8)
+    root = tempfile.mkdtemp(prefix="spark_graft_mingest_")
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_mingest_ckpt_")
+    try:
+        stream = read_replay_stream(spark, replay)
+        created = {"v": False}
+
+        def append_epoch(batch_df, epoch_id: int) -> None:
+            rows = batch_df.withColumn("day", F.to_date("ts"))
+            if not created["v"]:
+                # epoch 0 creates the table (v0); later epochs append
+                table_create(rows, root)
+                created["v"] = True
+                return
+            table_commit_append(rows, root, txn=("mingest", int(epoch_id)))
+
+        q = (
+            stream.writeStream.foreachBatch(append_epoch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = table_read(spark, root).groupBy("day").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        return _pin_result(final)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+QUERIES["streaming_manifest_ingest"] = streaming_manifest_ingest
+ORACLE["streaming_manifest_ingest"] = """
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+"""

@@ -666,3 +666,125 @@ def test_vacuum_never_deletes_live_dvs_and_expires_them_after_optimize(
     assert dv_rel in applied["expired"]
     assert not os.path.exists(os.path.join(root, dv_rel))
     assert sorted(r.event_id for r in table_read(spark, root).collect()) == before
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (continued): blind-append commits (multi-slice partitions,
+# txn idempotence, appends-commute rebase).
+# ---------------------------------------------------------------------------
+
+
+def test_append_accumulates_slices_and_optimize_repacks(spark, tmp_path):
+    from google_cloud_ecommerce_spark.lakehouse import (
+        _read_manifest_doc,
+        _rels_of,
+        table_commit_append,
+        table_optimize,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root, n_days=2)  # days 1-2, ids 0..3 / 100..103
+    extra1 = spark.createDataFrame(
+        [(10, dt.date(2024, 1, 1), 10.0), (300, dt.date(2024, 1, 3), 300.0)],
+        "event_id long, day date, value double",
+    )
+    assert table_commit_append(extra1, root) == 1
+    d1 = _read_manifest_doc(root, 1)
+    # day 1 now has TWO slices; day 3 is a brand-new single-slice partition
+    assert len(_rels_of(d1["partitions"]["day=2024-01-01"])) == 2
+    assert isinstance(d1["partitions"]["day=2024-01-03"], str)
+    got = {r.event_id for r in table_read(spark, root).collect()}
+    assert got == {0, 1, 2, 3, 100, 101, 102, 103, 10, 300}
+    # v0 unchanged; the diff between v0 and v1 is pure inserts
+    assert len(table_read(spark, root, 0).collect()) == 8
+    from google_cloud_ecommerce_spark.lakehouse import table_changes
+
+    ch = table_changes(spark, root, 0, 1, key_col="event_id")
+    assert sorted((r.event_id, r._change_type) for r in ch.collect()) == [
+        (10, "insert"),
+        (300, "insert"),
+    ]
+    # optimize re-packs the multi-slice partition to one slice
+    table_optimize(spark, root)
+    d2 = _read_manifest_doc(root, 2)
+    assert isinstance(d2["partitions"]["day=2024-01-01"], str)
+    assert {r.event_id for r in table_read(spark, root).collect()} == got
+
+
+def test_append_stats_widen_and_unknown_ranges_stay_unpruned(spark, tmp_path):
+    from google_cloud_ecommerce_spark.lakehouse import (
+        _read_manifest_doc,
+        table_commit_append,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [(i, dt.date(2024, 1, 1), float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "event_id long, day date, value double")
+    table_create(df, root, stats_col="event_id")
+    assert _read_manifest_doc(root, 0)["stats"]["day=2024-01-01"] == [0, 3]
+    extra = spark.createDataFrame(
+        [(50, dt.date(2024, 1, 1), 50.0)], "event_id long, day date, value double"
+    )
+    table_commit_append(extra, root)
+    d1 = _read_manifest_doc(root, 1)
+    assert d1["stats"]["day=2024-01-01"] == [0, 50]  # widened, not replaced
+    # stats still prune correctly across the append
+    view = table_read(spark, root, stats_range=(40, 60))
+    assert {r.event_id for r in view.collect()} == {0, 1, 2, 3, 50}
+
+
+def test_append_txn_makes_redelivery_a_noop(spark, tmp_path):
+    from google_cloud_ecommerce_spark.lakehouse import table_commit_append
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root, n_days=1)
+    extra = spark.createDataFrame(
+        [(9, dt.date(2024, 1, 1), 9.0)], "event_id long, day date, value double"
+    )
+    assert table_commit_append(extra, root, txn=("ingest", 0)) == 1
+    # redelivered epoch: skipped entirely, version unchanged, no dup row
+    assert table_commit_append(extra, root, txn=("ingest", 0)) == 1
+    assert table_versions(root) == [0, 1]
+    assert [r.event_id for r in table_read(spark, root).collect()].count(9) == 1
+    # the next epoch lands normally
+    assert table_commit_append(extra, root, txn=("ingest", 1)) == 2
+
+
+def test_appends_commute_with_concurrent_rewrites(spark, tmp_path):
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_commit_append,
+        table_delete_rows,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    base = table_read(spark, root, 0)
+    extra = spark.createDataFrame(
+        [(9, dt.date(2024, 1, 1), 9.0)], "event_id long, day date, value double"
+    )
+
+    def rewrite_same_day():
+        table_commit_rewrite(
+            base.filter(F.col("day") == dt.date(2024, 1, 1)).withColumn(
+                "value", F.lit(-1.0)
+            ),
+            root,
+        )
+
+    # the append loses the race ON THE SAME PARTITION and still lands
+    got = table_commit_append(extra, root, _race_hook=rewrite_same_day)
+    assert got == 2
+    rows = {r.event_id: r.value for r in table_read(spark, root).collect()}
+    assert rows[9] == 9.0  # the append survived
+    assert rows[0] == -1.0  # so did the raced rewrite
+    # but an append onto a DV'd partition is refused
+    table_delete_rows(
+        spark, root, spark.createDataFrame(
+            [(dt.date(2024, 1, 2), 100)], "day date, event_id long"
+        ), key_col="event_id"
+    )
+    dv_extra = spark.createDataFrame(
+        [(100, dt.date(2024, 1, 2), 1.0)], "event_id long, day date, value double"
+    )
+    with pytest.raises(ValueError, match="deletion-vectored"):
+        table_commit_append(dv_extra, root)

@@ -48,10 +48,12 @@ _FAMILY_ANCHORS = {
 
 
 # Round-11 window slate (VERDICT r10 directive #4): CORRECTNESS_r10
-# landed 50/50 and the never-checked tail is EMPTY apart from the 6
+# landed 50/50 and the never-checked tail is EMPTY apart from the 8
 # round-11 additions (lakehouse_pruned_read, lakehouse_schema_evolution,
 # lakehouse_change_feed, streaming_version_feed,
-# lakehouse_deletion_vectors, lakehouse_optimize), so every other slot
+# lakehouse_deletion_vectors, lakehouse_optimize,
+# lakehouse_append_ingest, streaming_manifest_ingest), so every other
+# slot
 # is a DOCUMENTED re-check — justified only when the operator's code
 # changed in round-11 commits (the rewritten lakehouse manifest layer
 # behind the five versioned-table entries; the multiprobe default-dial
@@ -59,8 +61,8 @@ _FAMILY_ANCHORS = {
 # shared span-fingerprint index behind the three span consumers;
 # tpch_q1 as the compaction-guard canary) or by strictly oldest
 # evidence (the 3 r03-last names deferred since round 10, then the
-# first 27 of the 44 r05-last names alphabetically; series_similarity
-# onward rolls to round 12).
+# first 25 of the 44 r05-last names alphabetically;
+# rolling_median_daily_value onward rolls to round 12).
 # An undocumented re-check is still a wasted slot.
 _RECHECK_SLATE = {
     # round-11 code changes
@@ -72,7 +74,7 @@ _RECHECK_SLATE = {
     "tpch_q1_pricing_summary",
     # oldest evidence: last driver row is r03 (deferred twice)
     "weekday_eventtype_chisq", "wire_format_source", "zorder_curve",
-    # next-oldest evidence: last driver row is r05 (first 27, alphabetical)
+    # next-oldest evidence: last driver row is r05 (first 25, alphabetical)
     "ab_test_report", "adaptive_quality_gates", "ann_recall_report",
     "cdc_chunk_dedup", "conversion_latency_percentiles",
     "cusum_changepoints", "daily_value_gapfill", "dedup_recall_report",
@@ -82,7 +84,6 @@ _RECHECK_SLATE = {
     "jsonl_roundtrip", "kanon_suppression", "lsh_band_sweep",
     "media_chunks", "media_phash_clusters", "ngram_novelty",
     "packing_capacity_sweep", "quality_classifier_score",
-    "rolling_median_daily_value", "rolling_weekly_active_users",
 }
 
 

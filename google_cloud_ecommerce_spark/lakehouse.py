@@ -128,6 +128,13 @@ ORPHAN_RETAIN_SECONDS_DEFAULT = 24 * 3600.0
 # deadline the wire sink polls with).
 _REBASE_POLL_DEADLINE_S = 2.0
 
+# A .claim sentinel (no-hardlink publish fallback) whose manifest never
+# appeared within this window belongs to a writer that died between
+# claim and replace — later writers break it instead of treating the
+# version as permanently taken. Claim -> replace is microseconds, so
+# seconds of age is already conclusive; 60 s is paranoid-generous.
+_CLAIM_STALE_SECONDS = 60.0
+
 
 class CommitConflictError(RuntimeError):
     """Two writers committed overlapping partitions concurrently; the
@@ -217,10 +224,29 @@ def _publish_manifest(
             if os.path.exists(final):
                 raise race from None
             claim = f"{final}.claim"
-            try:
-                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-            except FileExistsError:
-                raise race from None
+            for attempt in (0, 1):
+                try:
+                    os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                    break
+                except FileExistsError:
+                    # a claim with no manifest is either a racing writer
+                    # mid-publish (claim -> replace is microseconds) or a
+                    # writer that DIED in that window; an aged claim is
+                    # the corpse — break it so the version stays
+                    # commitable (self-review r11: a stale claim used to
+                    # brick every future commit on no-hardlink FSes)
+                    if (
+                        attempt == 0
+                        and not os.path.exists(final)
+                        and time.time() - os.path.getmtime(claim)
+                        > _CLAIM_STALE_SECONDS
+                    ):
+                        try:
+                            os.unlink(claim)
+                        except FileNotFoundError:
+                            pass  # another claim-breaker got there first
+                        continue
+                    raise race from None
             try:
                 # content is already complete in tmp; replace is atomic,
                 # so no reader ever sees a partial v{n}.json
@@ -451,16 +477,51 @@ def _pointer_map(doc: dict) -> dict[str, tuple]:
     } | {p: (None, rel) for p, rel in dvs.items() if p not in doc["partitions"]}
 
 
+def _schema_shape(doc: dict):
+    """(name, type) pairs of the recorded schema, IGNORING nullability:
+    a rewrite that sets a column via a literal flips nullable without
+    changing what the table stores, and treating that as a metadata
+    conflict would make nearly every rebase fail."""
+    raw = doc.get("schema")
+    if not raw:
+        return None
+    st = StructType.fromJson(raw)
+    return tuple((f.name, f.dataType.simpleString()) for f in st.fields)
+
+
+def _metadata_conflict_guard(root: str, base_doc: dict, latest_doc: dict) -> None:
+    """Manifest-GLOBAL metadata (schema shape, stats column, delete
+    key) conflicts with EVERYTHING (the Delta rule): a loser that
+    rebased past a concurrent schema evolution would republish its own
+    stale schema_json and silently undo the winner's column-add
+    table-wide (self-review r11)."""
+    if _schema_shape(base_doc) != _schema_shape(latest_doc):
+        raise CommitConflictError(
+            f"concurrent commit at {root} changed table metadata "
+            "(schema); metadata changes conflict with every in-flight "
+            "commit — recompute against the new latest version"
+        ) from None
+    for field in ("stats_column", "delete_key"):
+        if base_doc.get(field) != latest_doc.get(field):
+            raise CommitConflictError(
+                f"concurrent commit at {root} changed table metadata "
+                f"({field}); metadata changes conflict with every "
+                "in-flight commit — recompute against the new latest "
+                "version"
+            ) from None
+
+
 def _rebase_or_conflict(
     root: str, base_doc: dict, touched: set[str], cur_version: int
 ) -> tuple[int, dict]:
     """Shared publish-race handler (rewrites and DV deletes): wait for
     the winner's manifest, then either hand back the new base for a
     retry (every partition this writer touched has an unchanged
-    (slice, dv) pointer pair since its base) or raise
-    CommitConflictError."""
+    (slice, dv) pointer pair since its base, and no table-global
+    metadata moved) or raise CommitConflictError."""
     latest = table_versions(root)[-1]
     latest_doc = _await_version(root, max(latest, cur_version + 1))
+    _metadata_conflict_guard(root, base_doc, latest_doc)
     base_map, latest_map = _pointer_map(base_doc), _pointer_map(latest_doc)
     changed_since_base = {
         p
@@ -695,7 +756,19 @@ def table_changes(
         )
 
     o, n = side(doc_from, old_names, "o"), side(doc_to, new_names, "n")
-    j = o.join(n, o[f"o_{key_col}"] == n[f"n_{key_col}"], "full_outer")
+    # join per (partition, key), not key alone: ``key_col`` need only be
+    # unique WITHIN a partition — a key value repeated across partitions
+    # (per-day sequence numbers, say) must not cross-match and fabricate
+    # update pairs between unrelated rows (self-review r11). A row that
+    # genuinely moves partitions therefore feeds delete + insert, which
+    # is the honest CDC rendering of a partition move.
+    pcol = _partition_col_of(changed)
+    j = o.join(
+        n,
+        (o[f"o_{key_col}"] == n[f"n_{key_col}"])
+        & (o[f"o_{pcol}"] == n[f"n_{pcol}"]),
+        "full_outer",
+    )
 
     def record(tag: str, change: str):
         return F.struct(
@@ -839,8 +912,13 @@ def table_commit_append(
                     stats[name] = [min(stats[name][0], lo), max(stats[name][1], hi)]
                 elif name not in cur_doc["partitions"]:
                     stats[name] = [lo, hi]  # brand-new partition: exact
-                else:
-                    stats.pop(name, None)  # old rows' range unknown
+            for name in new_parts:
+                if name not in new_stats:
+                    # the appended slice's footers were unusable (NaN
+                    # row groups, missing column): a carried range no
+                    # longer bounds the partition, and keeping it would
+                    # prune freshly appended rows (self-review r11)
+                    stats.pop(name, None)
         merged_txn = dict(cur_doc.get("txn", {}))
         if txn is not None:
             merged_txn[txn[0]] = txn[1]
@@ -858,11 +936,15 @@ def table_commit_append(
             )
             return cur_version + 1
         except FileExistsError as race:
-            # blind appends rebase unconditionally: wait for the winner
-            # and re-merge (no conflict set — appends commute)
+            # blind appends rebase past any DATA change: wait for the
+            # winner and re-merge (appends commute with rewrites and
+            # deletes — the DV exclusion re-checks against the new base
+            # at the top of the loop). Table-GLOBAL metadata still
+            # conflicts (the Delta rule; self-review r11).
             latest = table_versions(root)[-1]
-            cur_doc = _await_version(root, max(latest, cur_version + 1))
-            cur_version = cur_doc["version"]
+            latest_doc = _await_version(root, max(latest, cur_version + 1))
+            _metadata_conflict_guard(root, base_doc, latest_doc)
+            cur_version, cur_doc = latest_doc["version"], latest_doc
             last_race = race
     raise last_race
 
@@ -978,10 +1060,22 @@ def table_optimize(spark: SparkSession, root: str) -> int:
         raise ValueError(f"no table at {root}")
     doc = _read_manifest_doc(root, versions[-1])
     names = sorted(doc["partitions"])
+    if not names:
+        raise ValueError(
+            f"nothing to optimize at {root}: version {versions[-1]} has "
+            "no partitions (everything was deleted/dropped)"
+        )
     pcol = _partition_col_of(names)
     cur = _read_logical(spark, root, doc, names)
     # fully-deleted partitions: present in the manifest, absent from the
-    # logical view — driver-side partition-value list (metadata-scale)
+    # logical view — driver-side partition-value list (metadata-scale).
+    # The drop list may OVER-approximate for partition values whose dir
+    # name Spark escapes (str(value) != Hive-escaped name): such a name
+    # lands in drops but the rewrite's own slice re-adds it, and
+    # table_commit_rewrite applies drops before merging new slices —
+    # so the net manifest is (base - drops) ∪ rewritten, which is
+    # correct for every partition with surviving rows. Only genuinely
+    # row-less partitions end up dropped.
     present_vals = cur.groupBy().agg(
         F.collect_set(F.col(pcol).cast("string")).alias("vals")
     ).first()["vals"]

@@ -1232,7 +1232,13 @@ def _pq_seed_maxmin(sub: DataFrame) -> DataFrame:
             )
             .select("m", F.lit(i).cast("long").alias("c_id"), F.col("p.sv").alias("cv"))
         )
-        seeds = seeds.unionByName(pick)
+        # pin each round: seeds_i otherwise embeds seeds_{i-1} TWICE
+        # (union branch + inside pick's aggregate), re-evaluating
+        # pick_1 2^(K-2) times and re-running the whole lineage per
+        # downstream action (self-review r11). The pinned table is
+        # <= PQ_M * PQ_K rows — the lazy checkpoint costs one tiny job
+        # per round and keeps every pick evaluated exactly once.
+        seeds = seeds.unionByName(pick).localCheckpoint(eager=False)
     return seeds
 
 

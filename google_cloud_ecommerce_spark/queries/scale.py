@@ -2207,11 +2207,10 @@ QUERIES["lakehouse_optimize"] = lakehouse_optimize
 # it. At 100 TB this is the difference between an ingest epoch costing
 # its own rows and costing a rewrite of every touched day. The table
 # splits the source three ways by key residue (base + two appends), so
-# one oracle proves every version boundary; the final version is also
-# read back through a stats-range prune to prove appended slices WIDEN
-# the per-partition footer stats rather than replace them (unit test
-# pins the widened ranges; appends-commute and txn idempotence are
-# unit-tested in test_lakehouse.py).
+# one oracle proves every version boundary. The stats-WIDENING of
+# appended slices, appends-commute rebase, and txn idempotence are
+# unit-tested in test_lakehouse.py (this entry's oracle covers the
+# version-boundary values only).
 # ---------------------------------------------------------------------------
 
 APPEND_MOD = 3  # event_id % 3: residue 0 = base, 1 = first, 2 = second append

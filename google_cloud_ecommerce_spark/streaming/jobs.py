@@ -1884,15 +1884,19 @@ def streaming_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint = tempfile.mkdtemp(prefix="spark_graft_mingest_ckpt_")
     try:
         stream = read_replay_stream(spark, replay)
-        created = {"v": False}
+        # v0 is an EMPTY table created before the stream starts, so
+        # EVERY epoch (including 0) goes through the txn-guarded append
+        # path — a restart that redelivers any epoch is a manifest-level
+        # no-op, never a duplicate append and never a create-collision
+        # (self-review r11: a process-local created-flag put epoch 0
+        # outside the protocol and crashed on restart).
+        empty = spark.createDataFrame([], stream.schema).withColumn(
+            "day", F.to_date("ts")
+        )
+        table_create(empty, root)
 
         def append_epoch(batch_df, epoch_id: int) -> None:
             rows = batch_df.withColumn("day", F.to_date("ts"))
-            if not created["v"]:
-                # epoch 0 creates the table (v0); later epochs append
-                table_create(rows, root)
-                created["v"] = True
-                return
             table_commit_append(rows, root, txn=("mingest", int(epoch_id)))
 
         q = (

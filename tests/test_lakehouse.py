@@ -788,3 +788,141 @@ def test_appends_commute_with_concurrent_rewrites(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="deletion-vectored"):
         table_commit_append(dv_extra, root)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 self-review regressions.
+# ---------------------------------------------------------------------------
+
+
+def test_change_feed_keys_repeated_across_partitions_do_not_cross_match(
+    spark, tmp_path
+):
+    """key_col need only be unique WITHIN a partition: per-day sequence
+    numbers repeated across days must not cross-match between the old
+    and new side of the diff (self-review r11 — the join runs per
+    (partition, key))."""
+    from google_cloud_ecommerce_spark.lakehouse import table_changes
+
+    root = str(tmp_path / "t")
+    rows = [  # seq restarts at 0 every day
+        (seq, dt.date(2024, 1, 1 + d), float(d * 10 + seq))
+        for d in range(3)
+        for seq in range(3)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, day date, value double")
+    table_create(df, root)
+    # rewrite days 1 AND 2 changing exactly one row of day 1
+    v0 = table_read(spark, root, 0)
+    touched = v0.filter(F.col("day") <= dt.date(2024, 1, 2))
+    table_commit_rewrite(
+        touched.withColumn(
+            "value",
+            F.when(
+                (F.col("day") == dt.date(2024, 1, 1)) & (F.col("event_id") == 0),
+                F.lit(-1.0),
+            ).otherwise(F.col("value")),
+        ),
+        root,
+    )
+    ch = table_changes(spark, root, 0, 1, key_col="event_id").collect()
+    # exactly one update pair — no fabricated cross-day matches
+    assert sorted((r.event_id, str(r.day), r._change_type, r.value) for r in ch) == [
+        (0, "2024-01-01", "update_postimage", -1.0),
+        (0, "2024-01-01", "update_preimage", 0.0),
+    ]
+
+
+def test_rebase_conflicts_on_concurrent_metadata_change(spark, tmp_path):
+    """A loser whose race winner evolved the SCHEMA must conflict even
+    on disjoint partitions — rebasing would republish the stale schema
+    and silently undo the column-add table-wide (self-review r11)."""
+    from google_cloud_ecommerce_spark.lakehouse import (
+        CommitConflictError,
+        table_commit_append,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    base = table_read(spark, root, 0)
+
+    def winner_evolves_schema():
+        table_commit_rewrite(
+            base.filter(F.col("day") == dt.date(2024, 1, 1)).withColumn(
+                "band", F.lit("x")
+            ),
+            root,
+        )
+
+    with pytest.raises(CommitConflictError, match="metadata"):
+        table_commit_rewrite(
+            base.filter(F.col("day") == dt.date(2024, 1, 5)),
+            root,
+            _race_hook=winner_evolves_schema,
+        )
+    # blind appends hit the same wall
+    extra = spark.createDataFrame(
+        [(9, dt.date(2024, 1, 6), 9.0)], "event_id long, day date, value double"
+    )
+    with pytest.raises(CommitConflictError, match="metadata"):
+        table_commit_append(extra, root, _race_hook=lambda: table_commit_rewrite(
+            table_read(spark, root).filter(F.col("day") == dt.date(2024, 1, 2)).drop("band"),
+            root,
+        ))
+
+
+def test_stale_claim_is_broken_not_bricking(tmp_path, monkeypatch):
+    """No-hardlink publish fallback: a .claim whose manifest never
+    landed (writer died between claim and replace) must not block the
+    version forever — an aged claim is broken by the next writer
+    (self-review r11)."""
+    import errno
+    import os as _os
+
+    from google_cloud_ecommerce_spark import lakehouse as L
+
+    root = str(tmp_path / "t")
+    _os.makedirs(_os.path.join(root, "_manifest"))
+
+    def no_link(src, dst):
+        raise OSError(errno.EPERM, "links unsupported")
+
+    monkeypatch.setattr(L.os, "link", no_link)
+    # a dead writer's stale claim, backdated past the staleness window
+    claim = _os.path.join(root, "_manifest", "v0.json.claim")
+    open(claim, "w").close()
+    _os.utime(claim, (1, 1))
+    L._publish_manifest(root, 0, {"day=2024-01-01": "slices/v0-aa/day=2024-01-01"})
+    assert L.table_versions(root) == [0]
+    # a FRESH claim (concurrent writer mid-publish) still blocks
+    claim1 = _os.path.join(root, "_manifest", "v1.json.claim")
+    open(claim1, "w").close()
+    with pytest.raises(FileExistsError, match="already committed"):
+        L._publish_manifest(root, 1, {"day=2024-01-01": "slices/v1-aa/day=2024-01-01"})
+
+
+def test_append_drops_carried_stats_when_new_footers_unusable(
+    spark, tmp_path, monkeypatch
+):
+    """If the appended slice's footer stats are unusable, the carried
+    [min, max] no longer bounds the partition and must be dropped —
+    keeping it would prune freshly appended rows (self-review r11)."""
+    from google_cloud_ecommerce_spark import lakehouse as L
+
+    root = str(tmp_path / "t")
+    rows = [(i, dt.date(2024, 1, 1), float(i)) for i in range(4)]
+    table_create(
+        spark.createDataFrame(rows, "event_id long, day date, value double"),
+        root,
+        stats_col="event_id",
+    )
+    monkeypatch.setattr(L, "_collect_partition_stats", lambda *a, **k: {})
+    extra = spark.createDataFrame(
+        [(50, dt.date(2024, 1, 1), 50.0)], "event_id long, day date, value double"
+    )
+    L.table_commit_append(extra, root)
+    d1 = L._read_manifest_doc(root, 1)
+    assert "day=2024-01-01" not in d1.get("stats", {})
+    # and the un-stats'd partition is never pruned
+    view = table_read(spark, root, stats_range=(40, 60))
+    assert {r.event_id for r in view.collect()} == {0, 1, 2, 3, 50}

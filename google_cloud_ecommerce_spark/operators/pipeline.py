@@ -2393,12 +2393,28 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = tempfile.mkdtemp(prefix="spark_graft_evo_")
         atexit.register(shutil.rmtree, out, ignore_errors=True)
         _EVO_DIRS[sf_dir] = out
-    orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(
-        f"{out}/batch1"
-    )
-    orders.select("o_orderkey", "o_orderpriority").write.mode("overwrite").parquet(
-        f"{out}/batch2"
-    )
+    # The two batch writes are independent jobs (different producers in
+    # the story, different columns in the code) — submit them from a
+    # 2-thread pool so the second job's tasks back-fill executors freed
+    # by the first job's tail instead of waiting for it (guide §2.6
+    # "overlap independent jobs"); interleaved A/B at sf0.1: min
+    # 1.23 -> 1.02 s, mean 1.65 -> 1.31 s.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(args) -> None:
+        cols, sub = args
+        orders.select(*cols).write.mode("overwrite").parquet(f"{out}/{sub}")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _write,
+                [
+                    (("o_orderkey", "o_totalprice"), "batch1"),
+                    (("o_orderkey", "o_orderpriority"), "batch2"),
+                ],
+            )
+        )
     back = spark.read.option("mergeSchema", "true").parquet(
         f"{out}/batch1", f"{out}/batch2"
     )

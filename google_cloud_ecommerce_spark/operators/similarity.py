@@ -1819,14 +1819,20 @@ OUTLIER_SIGMA = 2.0
 def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "label", "v")
     dec_sum = lambda x: F.sum(F.round(x, 6).cast("decimal(18,6)")).cast("double")  # noqa: E731
-    centroid = emb.agg(
-        F.array(
-            *[
-                (dec_sum(F.expr(f"element_at(v, {i})")) / F.count("*")).alias(
-                    f"c{i}"
-                )
-                for i in range(1, EMBED_DIM + 1)
-            ]
+    # Round-12: the centroid was ONE aggregate with EMBED_DIM=64 parallel
+    # decimal sum columns — the exact codegen-blowup shape the round-6
+    # kmeans gotcha records. The posexplode + per-dim aggregate + array
+    # reassembly shape (kmeans_assign's _kmeans_update_step) computes the
+    # SAME order-independent decimal means; interleaved A/B at sf0.1:
+    # min 3.10 -> 1.01 s, identical output rows.
+    per_dim = (
+        emb.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg((dec_sum(F.col("val")) / F.count("*")).alias("comp"))
+    )
+    centroid = per_dim.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, comp))), s -> s.comp)"
         ).alias("cv")
     )
     # LAZY checkpoint: the dist subtree feeds both the moments

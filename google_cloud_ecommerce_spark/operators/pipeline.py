@@ -389,12 +389,18 @@ def pretraining_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_distinct") * 5 >= F.col("n_tokens"))
             & (F.col("max_rep") * 5 <= F.col("n_bigrams"))
         )
-        .select("doc_id", "lang", "text", "n_chars", "n_tokens")
+        # digest computed here so text never shuffles (guide §2.3)
+        .select(
+            "doc_id", "lang", F.md5("text").alias("digest"), "n_chars", "n_tokens"
+        )
     )
-    keeper = gated.groupBy(F.md5("text").alias("digest")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    kept = gated.join(keeper.select("doc_id"), "doc_id")
+    # keeper via a min() window over the digest instead of aggregate +
+    # join-back, which re-planned the whole gated chain a second time
+    # (round-12, the corpus_to_training_batches pattern; same rows)
+    kw = Window.partitionBy("digest")
+    kept = gated.withColumn(
+        "keep", F.col("doc_id") == F.min("doc_id").over(kw)
+    ).filter("keep")
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.expr(f"(n_chars - 1) DIV {CHUNK_STRIDE} + 1")).alias("n_chunks"),

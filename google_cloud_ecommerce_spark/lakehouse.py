@@ -224,9 +224,17 @@ def _publish_manifest(
             if os.path.exists(final):
                 raise race from None
             claim = f"{final}.claim"
+            # fencing token (ADVICE r11): identifies THIS writer's claim
+            # so a claim broken during a long stall is detected before
+            # the replace, not silently overwritten after it
+            token = f"{os.getpid()}.{uuid.uuid4().hex}"
             for attempt in (0, 1):
                 try:
-                    os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                    fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    try:
+                        os.write(fd, token.encode("ascii"))
+                    finally:
+                        os.close(fd)
                     break
                 except FileExistsError:
                     # a claim with no manifest is either a racing writer
@@ -247,6 +255,18 @@ def _publish_manifest(
                             pass  # another claim-breaker got there first
                         continue
                     raise race from None
+            # re-verify ownership IMMEDIATELY before the replace: if this
+            # writer stalled past _CLAIM_STALE_SECONDS between claim and
+            # replace (SIGSTOP, VM pause), a breaker may have re-claimed
+            # and published — replacing then would silently overwrite a
+            # committed manifest (ADVICE r11)
+            try:
+                with open(claim, encoding="ascii") as cf:
+                    owner = cf.read()
+            except OSError:
+                owner = None
+            if owner != token:
+                raise race from None  # claim broken while stalled
             try:
                 # content is already complete in tmp; replace is atomic,
                 # so no reader ever sees a partial v{n}.json
@@ -520,7 +540,20 @@ def _rebase_or_conflict(
     (slice, dv) pointer pair since its base, and no table-global
     metadata moved) or raise CommitConflictError."""
     latest = table_versions(root)[-1]
-    latest_doc = _await_version(root, max(latest, cur_version + 1))
+    try:
+        latest_doc = _await_version(root, max(latest, cur_version + 1))
+    except FileNotFoundError:
+        # the winner's claim exists but its manifest never appeared —
+        # the claim holder likely died mid-publish. Surface the
+        # RETRYABLE race error, not a bare FileNotFoundError; a retried
+        # commit reaches the stale-claim breaker once the claim ages
+        # past _CLAIM_STALE_SECONDS (ADVICE r11).
+        raise FileExistsError(
+            f"version {cur_version + 1} at {root} is claimed but its "
+            "manifest never became visible; the claim holder likely died "
+            "mid-publish — retry the commit (the stale-claim breaker "
+            f"frees the version after {_CLAIM_STALE_SECONDS}s)"
+        ) from None
     _metadata_conflict_guard(root, base_doc, latest_doc)
     base_map, latest_map = _pointer_map(base_doc), _pointer_map(latest_doc)
     changed_since_base = {
@@ -682,7 +715,17 @@ def table_read(
     if partition_filter is not None:
         names = [n for n in names if partition_filter(n)]
     if stats_range is not None:
-        lo, hi = stats_range
+        # manifest stats store temporal values as ISO strings
+        # (_stats_value), so datetime/date bounds must be normalized the
+        # same way before comparing — a raw datetime bound against a
+        # string stat is a TypeError (ADVICE r11). ISO comparison is
+        # chronological, so the pruning decision is unchanged.
+        lo, hi = (_stats_value(b) for b in stats_range)
+        if lo is None or hi is None:
+            raise ValueError(
+                f"stats_range bounds {stats_range!r} are not comparable "
+                "against manifest stats (use int/float/str/date/datetime)"
+            )
         stats = doc.get("stats", {})
         names = [
             n
@@ -729,6 +772,30 @@ def table_changes(
     # their DVs)
     changed = sorted(p for p in set(map0) | set(map1) if map0.get(p) != map1.get(p))
     schema = _manifest_schema(doc_to) or _manifest_schema(doc_from)
+    if not changed:
+        # Empty diffs are reachable — an empty micro-batch append or a
+        # txn-only redelivery publishes a new version with unchanged
+        # pointers, and write_change_feed walks every consecutive pair —
+        # so emit an empty TYPED feed instead of crashing in pcol
+        # derivation (ADVICE r11).
+        if schema is None:
+            raise ValueError(
+                f"change feed {v_from}->{v_to} at {root} is an empty diff "
+                "and the manifests predate recorded schemas, so an empty "
+                "frame cannot be typed"
+            )
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        by_name = {f.name: f for f in schema.fields}
+        out_schema = StructType(
+            [by_name[key_col]]
+            + [f for f in schema.fields if f.name != key_col]
+            + [
+                StructField(_CHANGE_TYPE_COL, StringType()),
+                StructField(_COMMIT_VERSION_COL, LongType()),
+            ]
+        )
+        return spark.createDataFrame([], out_schema)
     old_names = [p for p in changed if p in doc_from["partitions"]]
     new_names = [p for p in changed if p in doc_to["partitions"]]
     if schema is not None:
@@ -942,7 +1009,17 @@ def table_commit_append(
             # at the top of the loop). Table-GLOBAL metadata still
             # conflicts (the Delta rule; self-review r11).
             latest = table_versions(root)[-1]
-            latest_doc = _await_version(root, max(latest, cur_version + 1))
+            try:
+                latest_doc = _await_version(root, max(latest, cur_version + 1))
+            except FileNotFoundError:
+                # same translation as _rebase_or_conflict: a died claim
+                # holder must surface as the retryable race (ADVICE r11)
+                raise FileExistsError(
+                    f"version {cur_version + 1} at {root} is claimed but "
+                    "its manifest never became visible; retry the commit "
+                    "(the stale-claim breaker frees the version after "
+                    f"{_CLAIM_STALE_SECONDS}s)"
+                ) from None
             _metadata_conflict_guard(root, base_doc, latest_doc)
             cur_version, cur_doc = latest_doc["version"], latest_doc
             last_race = race

@@ -926,3 +926,132 @@ def test_append_drops_carried_stats_when_new_footers_unusable(
     # and the un-stats'd partition is never pruned
     view = table_read(spark, root, stats_range=(40, 60))
     assert {r.event_id for r in view.collect()} == {0, 1, 2, 3, 50}
+
+
+def test_change_feed_empty_diff_is_empty_typed(spark, tmp_path):
+    """An empty version diff (same version twice, or a commit that left
+    every pointer unchanged, e.g. an empty micro-batch append) must
+    yield an empty TYPED feed, not a StopIteration from pcol derivation
+    (ADVICE r11)."""
+    from google_cloud_ecommerce_spark.lakehouse import (
+        table_changes,
+        table_commit_append,
+        write_change_feed,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root, n_days=2)
+    same = table_changes(spark, root, 0, 0, "event_id")
+    assert same.count() == 0
+    assert same.columns == [
+        "event_id", "day", "value", "_change_type", "_commit_version",
+    ]
+    # an EMPTY append publishes v1 with unchanged pointers; the feed
+    # across the chain must include the empty commit without crashing
+    empty = spark.createDataFrame([], "event_id long, day date, value double")
+    v = table_commit_append(empty, root)
+    assert v == 1
+    feed_dir = str(tmp_path / "feed")
+    assert write_change_feed(spark, root, feed_dir, "event_id") == [1]
+    assert spark.read.parquet(feed_dir).count() == 0
+
+
+def test_stats_range_accepts_temporal_bounds(spark, tmp_path):
+    """Manifest stats store dates as ISO strings; date/datetime bounds
+    must be normalized the same way instead of raising a str-vs-date
+    TypeError (ADVICE r11)."""
+    root2 = str(tmp_path / "t2")
+    # stats on a DATA date column ("seen" mirrors day; the partition
+    # column itself is not in the data files, so it can't carry stats)
+    rows = [
+        (d * 100 + i, dt.date(2024, 1, 1 + d), dt.date(2024, 1, 1 + d), float(i))
+        for d in range(4)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, day date, seen date, value double"
+    )
+    table_create(df, root2, stats_col="seen")
+    view = table_read(
+        spark, root2, stats_range=(dt.date(2024, 1, 2), dt.date(2024, 1, 3))
+    )
+    got = {r.day for r in view.collect()}
+    assert got == {dt.date(2024, 1, 2), dt.date(2024, 1, 3)}
+    with pytest.raises(ValueError, match="not comparable"):
+        table_read(spark, root2, stats_range=(object(), object()))
+
+
+def test_stalled_claim_holder_does_not_overwrite_committed_manifest(
+    tmp_path, monkeypatch
+):
+    """Fencing (ADVICE r11): a writer that stalls between claim and
+    replace long enough for a breaker to re-claim and publish must FAIL
+    its replace, not silently overwrite the breaker's committed
+    manifest."""
+    import errno
+    import json as _json
+    import os as _os
+
+    from google_cloud_ecommerce_spark import lakehouse as L
+
+    root = str(tmp_path / "t")
+    _os.makedirs(_os.path.join(root, "_manifest"))
+
+    def no_link(src, dst):
+        raise OSError(errno.EPERM, "links unsupported")
+
+    monkeypatch.setattr(L.os, "link", no_link)
+    final = _os.path.join(root, "_manifest", "v0.json")
+    claim = final + ".claim"
+    real_open = _os.open
+
+    def open_then_breaker_wins(path, flags, *a):
+        fd = real_open(path, flags, *a)
+        if path == claim:
+            # the stall: before this writer's token lands, a breaker
+            # breaks the claim, re-claims with ITS token, and commits
+            _os.unlink(claim)
+            with open(claim, "w", encoding="ascii") as cf:
+                cf.write("breaker-token")
+            with open(final, "w", encoding="utf-8") as mf:
+                _json.dump({"version": 0, "partitions": {}, "by": "breaker"}, mf)
+        return fd
+
+    monkeypatch.setattr(L.os, "open", open_then_breaker_wins)
+    with pytest.raises(FileExistsError, match="already committed"):
+        L._publish_manifest(root, 0, {"day=2024-01-01": "slices/v0-aa/day=2024-01-01"})
+    with open(final, encoding="utf-8") as mf:
+        assert _json.load(mf)["by"] == "breaker"
+
+
+def test_rebase_translates_missing_winner_manifest_to_retryable_race(
+    spark, tmp_path, monkeypatch
+):
+    """If the race winner's manifest never becomes visible (claim holder
+    died), the loser must see the documented retryable FileExistsError,
+    not a bare FileNotFoundError from the rebase poll (ADVICE r11)."""
+    from google_cloud_ecommerce_spark import lakehouse as L
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root, n_days=2)
+
+    def gone(root_, version):
+        raise FileNotFoundError(f"v{version} never landed")
+
+    monkeypatch.setattr(L, "_await_version", gone)
+
+    def winner_commits():
+        # restore for the winner's own commit path, then re-break
+        monkeypatch.setattr(L, "_await_version", L._read_manifest_doc)
+        table_commit_rewrite(
+            table_read(spark, root).filter(F.col("day") == dt.date(2024, 1, 1)),
+            root,
+        )
+        monkeypatch.setattr(L, "_await_version", gone)
+
+    with pytest.raises(FileExistsError, match="never became visible"):
+        table_commit_rewrite(
+            table_read(spark, root).filter(F.col("day") == dt.date(2024, 1, 2)),
+            root,
+            _race_hook=winner_commits,
+        )

@@ -575,33 +575,25 @@ ORACLE["corpus_mixture_sample"] = _corpus_mixture_sample_sql()
 # by L1 distance. The sum is computed over INTEGER cross-multiplied
 # numerators (|c_old*T_new - c_new*T_old|, exact BIGINT) with ONE final
 # double division — no order-dependent float accumulation, so the
-# result is bit-identical across engines and partitionings. Plan: two
-# hash aggregates on (lang, token) + a co-partitioned full-outer join +
-# the per-lang roll-up; at 100 TB the BIGINT cross products cap at
-# count*total ~ 2^63 — switch to DECIMAL(38,0) past ~4e18 token-pairs.
+# result is bit-identical across engines and partitionings. Plan
+# (round 12, guide §2.4): ONE corpus scan and ONE hash aggregate —
+# both epochs' counts come from a conditional aggregate on the parity
+# of doc_id (a token missing from one epoch counts 0 there, exactly
+# the old full-outer join's coalesce), replacing two filtered scans +
+# two aggregates + a sort-merge full-outer join. Interleaved A/B at
+# sf0.1: min 0.81 -> 0.68 s, identical rows. At 100 TB the BIGINT
+# cross products cap at count*total ~ 2^63 — switch to DECIMAL(38,0)
+# past ~4e18 token-pairs.
 # ---------------------------------------------------------------------------
 
 
-# scan-audit: the two epoch slices are distinct corpus roles by design (drift
-# compares them); each scan carries its pushed epoch filter
 def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.explode(F.expr(tokens_expr("lower(text)"))).alias("token")
     )
-
-    def counted(side: int, cname: str) -> DataFrame:
-        return (
-            toks.filter(F.col("doc_id") % 2 == side)
-            .groupBy("lang", "token")
-            .agg(F.count("*").alias(cname))
-        )
-
-    old, new = counted(0, "c_old"), counted(1, "c_new")
-    merged = old.join(new, ["lang", "token"], "full_outer").select(
-        "lang",
-        "token",
-        F.coalesce("c_old", F.lit(0)).alias("c_old"),
-        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    merged = toks.groupBy("lang", "token").agg(
+        F.sum(((F.col("doc_id") % 2) == 0).cast("long")).alias("c_old"),
+        F.sum(((F.col("doc_id") % 2) == 1).cast("long")).alias("c_new"),
     )
     totals = merged.groupBy("lang").agg(
         F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")

@@ -160,8 +160,28 @@ def hybrid_search_rrf(
         "COALESCE(1.0 / (CAST({k} AS BIGINT) + lex_rank), CAST(0.0 AS DOUBLE)) + "
         "COALESCE(1.0 / (CAST({k} AS BIGINT) + sem_rank), CAST(0.0 AS DOUBLE))"
     ).format(k=RRF_K)
+    # Fusion via union + re-aggregate instead of a full-outer join: each
+    # side's rank is unique per (q_id, doc_id), so max() over the union
+    # recovers exactly the joined row — one exchange and a hash
+    # aggregate where the full-outer form paid two sorted exchanges and
+    # a sort-merge join (guide §2.4; full-outer cannot broadcast).
+    # Interleaved A/B at sf0.1: min 1.00 -> 0.84 s, identical rows.
     fused = (
-        lex.join(sem, ["q_id", "doc_id"], "full_outer")
+        lex.select(
+            "q_id", "doc_id", "lex_rank",
+            F.lit(None).cast("long").alias("sem_rank"),
+        )
+        .unionByName(
+            sem.select(
+                "q_id", "doc_id",
+                F.lit(None).cast("long").alias("lex_rank"), "sem_rank",
+            )
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.max("lex_rank").alias("lex_rank"),
+            F.max("sem_rank").alias("sem_rank"),
+        )
         .withColumn("rrf_score", F.expr(rrf))
     )
     out_w = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))

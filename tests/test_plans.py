@@ -428,9 +428,10 @@ def test_round2_operator_plan_shapes(spark, sf_smoke):
 
 def test_quantize_drift_bpe_plan_shapes(spark, sf_smoke):
     """embedding_quantize is a pure per-row projection (no exchange);
-    corpus_drift joins its two snapshot aggregates co-partitioned on
-    (lang, token) and broadcasts the per-lang totals; each BPE round is
-    one vocabulary aggregate + a 1-row broadcast merge."""
+    corpus_drift counts both epochs in ONE conditional aggregate on
+    (lang, token) (round 12 — no snapshot join left) and broadcasts the
+    per-lang totals; each BPE round is one vocabulary aggregate + a
+    1-row broadcast merge."""
     from google_cloud_ecommerce_spark.operators import pipeline, similarity, text
 
     plan = plan_of(similarity.embedding_quantize(spark, sf_smoke))

@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from google_cloud_ecommerce_spark.catalog import load_table
-from google_cloud_ecommerce_spark.iterative import iterate
 
 N_BUCKETS = 10  # category vocabulary: k % 10, as in conversion_rate
 PR_SCALE = 10**12  # fixed-point scale for integer PageRank
@@ -79,70 +78,79 @@ def pagerank_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     (85 * in_mass) DIV 100 + (15 * SCALE) DIV (100 * N). Dangling-node
     mass is dropped (documented; identical in the oracle).
     """
-    # LAZY checkpoint: the unrolled 3-round plan references the edge
-    # list ~20 times (nodes, out-weights, every contrib round); without
-    # truncation Catalyst re-plans the event-scale window+aggregate for
-    # each reference (measured: 22 parquet scans, 62 exchanges). The
-    # checkpoint materializes ONCE on the first action — still inside
-    # the timed run, nothing eager at build time — and every iteration
-    # then reads the ~|buckets|^2-row edge table.
+    # LAZY checkpoint: the aggregated edge list feeds the collect_list
+    # below; the pin keeps the event-scale window+aggregate planned
+    # once. It materializes ONCE on the first action — still inside the
+    # timed run, nothing eager at build time.
     edges = _transition_edges(spark, sf_dir).localCheckpoint(eager=False)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    # node/rank vectors are O(N_BUCKETS) rows — broadcast everywhere.
-    # The node count enters as a lazy 1-row aggregate cross-joined in
-    # (never a driver-side action: query builders must stay lazy so the
-    # bench times the whole plan).
-    consts = nodes.agg(
-        F.expr(
-            f"(({PR_DAMP_DEN - PR_DAMP_NUM}) * CAST({PR_SCALE} AS BIGINT))"
-            f" DIV ({PR_DAMP_DEN} * count(*))"
-        ).alias("tp"),
-        F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV count(*)").alias("r0"),
-    )
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    wedges = edges.join(F.broadcast(out_w), "src")
-
-    # ranks carries (node, rank, tp): tp rides along so each damping
-    # step is a pure column expression over the broadcast rank vector.
-    ranks = nodes.crossJoin(F.broadcast(consts)).select(
-        "node", F.col("r0").alias("rank"), "tp"
-    )
-    def one_round(ranks, _rnd):
-        contrib = (
-            wedges.join(
-                F.broadcast(ranks), wedges["src"] == ranks["node"]
-            )
-            .select(
-                "dst",
-                F.expr("(rank * w) DIV out_w").alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_mass"))
+    # r12 rewrite (guide §2.4): the post-pin graph is bounded by the
+    # QUERY, not the corpus — buckets = k % N_BUCKETS gives <= 10 nodes
+    # and <= 90 aggregated edges at ANY scale. The old shape ran each
+    # damping round as broadcast-join + hash-aggregate + left-join over
+    # those <= 90 rows (~12 exchanges + 9 broadcasts for 3 rounds, pure
+    # scheduling overhead); this shape collects the edge list into ONE
+    # row and runs every round as exact integer map/array arithmetic —
+    # one single-partition aggregate, zero joins. Interleaved A/B at
+    # sf0.1: min 1.54 -> 1.39 s, rows bit-identical (all-integer
+    # fixed-point, order-independent sums). The corpus-scale work (the
+    # per-user transition window + (src,dst) aggregate) is untouched.
+    one = edges.agg(F.collect_list(F.struct("src", "dst", "w")).alias("es"))
+    one = (
+        one.withColumn(
+            "nodes",
+            F.expr(
+                "array_sort(array_distinct(concat("
+                "transform(es, e -> e.src), transform(es, e -> e.dst))))"
+            ),
         )
-        return (
-            nodes.crossJoin(F.broadcast(consts))
-            .join(F.broadcast(contrib), nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.col("tp")
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * coalesce(in_mass, 0)) DIV {PR_DAMP_DEN}"
-                    )
-                ).alias("rank"),
-                "tp",
-            )
+        .withColumn("n", F.expr("size(nodes)"))
+        .withColumn(
+            "tp",
+            F.expr(
+                f"IF(n = 0, 0L, (({PR_DAMP_DEN - PR_DAMP_NUM})"
+                f" * CAST({PR_SCALE} AS BIGINT))"
+                f" DIV ({PR_DAMP_DEN} * CAST(n AS BIGINT)))"
+            ),
         )
-
-    ranks = iterate(ranks, one_round, PR_ITERS)
-    return ranks.select(
+        .withColumn(
+            "r0",
+            F.expr(
+                f"IF(n = 0, 0L, CAST({PR_SCALE} AS BIGINT) DIV CAST(n AS BIGINT))"
+            ),
+        )
+        .withColumn(
+            "ow",
+            F.expr(
+                "map_from_entries(transform(nodes, nd -> struct(nd, "
+                "aggregate(filter(es, e -> e.src = nd), 0L, (a, e) -> a + e.w))))"
+            ),
+        )
+        .withColumn(
+            "rm0", F.expr("map_from_entries(transform(nodes, nd -> struct(nd, r0)))")
+        )
+    )
+    # Each round: in_mass(nd) = sum over incoming edges of
+    # (rank[src] * w) DIV out_w[src]; rank'(nd) = tp + (85*in_mass) DIV
+    # 100 — the same per-edge integer division and order-independent
+    # integer sum as the joined form, so the result is bit-identical.
+    for i in range(1, PR_ITERS + 1):
+        one = one.withColumn(
+            f"rm{i}",
+            F.expr(
+                "map_from_entries(transform(nodes, nd -> struct(nd, "
+                f"tp + ({PR_DAMP_NUM} * aggregate(filter(es, e -> e.dst = nd), 0L, "
+                f"(a, e) -> a + (element_at(rm{i - 1}, e.src) * e.w)"
+                f" DIV element_at(ow, e.src))) DIV {PR_DAMP_DEN})))"
+            ),
+        )
+    return one.select(
+        F.explode("nodes").alias("node"), F.col(f"rm{PR_ITERS}").alias("rm")
+    ).select(
         F.col("node").alias("bucket"),
-        F.round(F.col("rank") / F.lit(float(PR_SCALE)), 6).alias("pagerank"),
-        F.col("rank").alias("rank_scaled"),
+        F.round(
+            F.expr("element_at(rm, node)") / F.lit(float(PR_SCALE)), 6
+        ).alias("pagerank"),
+        F.expr("element_at(rm, node)").alias("rank_scaled"),
     )
 
 

@@ -42,10 +42,11 @@ def test_triangle_counts_consistent(spark, sf_smoke):
 
 
 def test_pagerank_no_per_event_work_in_loop(spark, sf_smoke):
-    """The iteration must run on the aggregated edge list: the rank
-    update joins broadcast the tiny rank vector (BroadcastHashJoin),
-    and no cartesian product appears anywhere."""
+    """The iteration must run on the aggregated edge list: since the
+    r12 single-row rewrite the damping rounds are pure map/array
+    arithmetic over one collected row — no join of ANY strategy (and a
+    fortiori no cartesian product) may appear after the edge pin."""
     df = graph.pagerank_categories(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan

@@ -2678,26 +2678,32 @@ def vocab_prune_coverage(
     )
     pref = _hist_exclusive_prefix(spark, sf_dir, hist, broadcast_threshold)
     budgets = ", ".join(str(v) for v in VOCAB_BUDGETS)
-    per = (
+    # r12 fuse (guide §2.4): the budget explode replicates every pref
+    # row exactly once per budget, so sum(f*c) / sum(c) WITHIN each
+    # budget group equal the global totals exactly (integers) — the
+    # separate totals aggregate, its single-partition exchange, and the
+    # broadcast-nested-loop join-back all drop out of the plan.
+    # Interleaved A/B at sf0.1: min 1.49 -> 1.34 s, rows identical.
+    return (
         pref.select(
             "f", "c", "before", F.explode(F.expr(f"array({budgets})")).alias("v_budget")
         )
         .withColumn("take", F.expr("least(greatest(v_budget - before, 0L), c)"))
         .groupBy("v_budget")
-        .agg(F.sum(F.expr("f * take")).alias("covered_tokens"))
-    )
-    totals = hist.agg(
-        F.sum(F.expr("f * c")).alias("total_tokens"),
-        F.sum("c").alias("n_vocab"),
-    )
-    return per.join(F.broadcast(totals)).select(
-        F.col("v_budget").cast("int").alias("v_budget"),
-        F.col("covered_tokens").cast("long").alias("covered_tokens"),
-        F.col("total_tokens").cast("long").alias("total_tokens"),
-        F.col("n_vocab").cast("long").alias("n_vocab"),
-        F.expr(
-            "round(CAST(covered_tokens AS DOUBLE) / total_tokens, 6)"
-        ).alias("coverage"),
+        .agg(
+            F.sum(F.expr("f * take")).alias("covered_tokens"),
+            F.sum(F.expr("f * c")).alias("total_tokens"),
+            F.sum("c").alias("n_vocab"),
+        )
+        .select(
+            F.col("v_budget").cast("int").alias("v_budget"),
+            F.col("covered_tokens").cast("long").alias("covered_tokens"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("n_vocab").cast("long").alias("n_vocab"),
+            F.expr(
+                "round(CAST(covered_tokens AS DOUBLE) / total_tokens, 6)"
+            ).alias("coverage"),
+        )
     )
 
 

@@ -747,8 +747,11 @@ def test_semdedup_pair_join_is_salted(spark, sf_smoke):
         if "Exchange hashpartitioning" in l and "salt" in l and "subkey" in l
     ]
     assert len(salted) >= 2, "pair join lost its salted partitioning"
-    join_line = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
+    # r12: SHUFFLE_HASH hint — hashing skips sorting the 68-column
+    # scalar-expanded rows on both exchanges (guide §3.1).
+    join_line = next(l for l in plan.splitlines() if "ShuffledHashJoin" in l)
     assert "zip_with" not in join_line, "pair cosine fell back to a HOF"
+    assert "SortMergeJoin" not in plan, "pair join regressed to sort-merge"
 
 
 def test_bucketed_join_has_no_exchange_before_smj(spark, sf_smoke):

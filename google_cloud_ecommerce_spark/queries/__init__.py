@@ -64,92 +64,90 @@ def _modules():
 
 
 # The correctness driver oracle-checks the FIRST 50 registry entries only.
-# Round-11 rotation (VERDICT r10 "next round" #4): CORRECTNESS_r10
-# landed 50/50 green, the driver-green union is 283/283 and the
-# never-checked tail is again EMPTY apart from the 8 round-11
-# additions — every other slot is a re-check by necessity. Slate
-# composition, in the r10-directed order:
-# 8 round-11 additions (lakehouse_pruned_read — stats/partition-pruned
-# versioned reads — lakehouse_schema_evolution — schema-per-version
-# manifests — lakehouse_change_feed — row-level CDC off the version
-# chain — streaming_version_feed — the feed replayed one commit per
-# micro-batch — lakehouse_deletion_vectors — merge-on-read row deletes
-# — lakehouse_optimize — compaction + DV materialization —
-# lakehouse_append_ingest — blind multi-slice appends — and
-# streaming_manifest_ingest — per-epoch append commits with the
-# idempotent-writer txn protocol);
-# 14 re-checks whose code changed in round-11 commits: the five
-# entries routed through the rewritten lakehouse manifest layer
-# (vacuum_report, version_diff_pruned, merge_upsert_rewrite,
-# streaming_merge_upsert, time_travel_read), the five ANN entries
-# under the new multiprobe default dial + farthest-first PQ seeding
-# (similarity_multiprobe_topk, pq_encode, pq_distortion_report,
-# similarity_pq_topk, similarity_ivfpq_topk), the three span-index
-# consumers (repeated_span_dedup, dedup_span_excision,
-# curation_funnel_v2), and tpch_q1_pricing_summary as the compaction
-# guard canary;
-# then strictly oldest evidence: the 3 r03-last names deferred since
-# round 10 (weekday_eventtype_chisq, wire_format_source,
-# zorder_curve), then the first 25 of the 44 r05-last names,
-# alphabetical (rolling_median_daily_value onward rolls to round 12).
-# Every name has
-# an oracle; tests/test_registry.py pins the slate and the
-# no-wasted-slot rule.
+# Round-12 rotation (VERDICT r11 "next round" #5): CORRECTNESS_r11
+# landed 50/50 green and the driver-green union is 291/291 — the
+# never-checked tail is EMPTY, so every slot is a DOCUMENTED re-check.
+# Slate composition (round 12 is an optimization round: re-checks are
+# the queries whose plans were rewritten, then strictly oldest
+# evidence):
+# 12 re-checks whose code changed in round-12 optimization commits —
+# curation_funnel_v2 (one-pass spine), corpus_to_training_batches +
+# pretraining_corpus_prep (digest-window keeper), embedding_outliers
+# (posexplode centroid), skipgram_pairs + skipgram_pmi (zip_with
+# slices), schema_evolution_read (overlapped fixture writes),
+# hybrid_search_rrf + corpus_drift (full-outer joins fused to
+# union/conditional aggregates), pagerank_categories (single-row
+# integer rounds), vocab_prune_coverage (fused totals),
+# semdedup_clusters (pair stage SHUFFLE_HASH);
+# 5 re-checks routed through the round-12 manifest-layer hardening
+# (empty-diff change feed, claim fencing, temporal stats bounds,
+# retryable rebase): lakehouse_change_feed, streaming_version_feed,
+# lakehouse_pruned_read, lakehouse_append_ingest,
+# streaming_manifest_ingest;
+# tpch_q1_pricing_summary as the cross-round canary;
+# then strictly oldest evidence: the 19 remaining r05-last names
+# (rolling_median_daily_value onward — skipgram_pairs/pmi already
+# appear above as code-changed), then the first 15 of the 44 r06-last
+# names alphabetically, skipping the three already in the
+# code-changed group (corpus_to_training_batches, hybrid_search_rrf,
+# pretraining_corpus_prep). Every name has an oracle;
+# tests/test_registry.py pins the slate and the no-wasted-slot rule.
 PRIORITY: tuple[str, ...] = (
-    # --- 8 round-11 additions (never driver-checked) ---
-    "lakehouse_pruned_read",
-    "lakehouse_schema_evolution",
+    # --- 12 re-checks: code changed in round-12 commits ---
+    "curation_funnel_v2",
+    "corpus_to_training_batches",
+    "pretraining_corpus_prep",
+    "embedding_outliers",
+    "skipgram_pairs",
+    "skipgram_pmi",
+    "schema_evolution_read",
+    "hybrid_search_rrf",
+    "corpus_drift",
+    "pagerank_categories",
+    "vocab_prune_coverage",
+    "semdedup_clusters",
+    # --- 5 re-checks: routed through the r12 manifest hardening ---
     "lakehouse_change_feed",
     "streaming_version_feed",
-    "lakehouse_deletion_vectors",
-    "lakehouse_optimize",
+    "lakehouse_pruned_read",
     "lakehouse_append_ingest",
     "streaming_manifest_ingest",
-    # --- 14 re-checks: code changed in round-11 commits ---
-    "vacuum_report",
-    "version_diff_pruned",
-    "merge_upsert_rewrite",
-    "streaming_merge_upsert",
-    "time_travel_read",
-    "similarity_multiprobe_topk",
-    "pq_encode",
-    "pq_distortion_report",
-    "similarity_pq_topk",
-    "similarity_ivfpq_topk",
-    "repeated_span_dedup",
-    "dedup_span_excision",
-    "curation_funnel_v2",
+    # --- cross-round canary ---
     "tpch_q1_pricing_summary",
-    # --- 3 re-checks: oldest driver evidence (r03-last, deferred twice) ---
-    "weekday_eventtype_chisq",
-    "wire_format_source",
-    "zorder_curve",
-    # --- 25 re-checks: next-oldest evidence (r05-last), alphabetical ---
-    "ab_test_report",
-    "adaptive_quality_gates",
-    "ann_recall_report",
-    "cdc_chunk_dedup",
-    "conversion_latency_percentiles",
-    "cusum_changepoints",
-    "daily_value_gapfill",
-    "dedup_recall_report",
-    "dedup_threshold_sweep",
-    "dup_cluster_histogram",
-    "embedding_outliers",
-    "embedding_projection",
-    "epoch_shuffle_shards",
-    "eval_split_leakage",
-    "gate_attribution",
-    "heldout_perplexity",
-    "importance_sampling_weights",
-    "jsonl_roundtrip",
-    "kanon_suppression",
-    "lsh_band_sweep",
-    "media_chunks",
-    "media_phash_clusters",
-    "ngram_novelty",
-    "packing_capacity_sweep",
-    "quality_classifier_score",
+    # --- 17 re-checks: oldest evidence (r05-last, the deferred tail) ---
+    "rolling_median_daily_value",
+    "rolling_weekly_active_users",
+    "series_similarity",
+    "span_corruption_masks",
+    "stratified_hash_sample",
+    "streaming_band_enrichment",
+    "streaming_dedup_within_watermark",
+    "streaming_incremental_mv",
+    "streaming_kmv_sketch",
+    "streaming_media_features",
+    "streaming_purchase_attribution_outer",
+    "streaming_rate_limit",
+    "streaming_similarity_topk",
+    "streaming_two_level_window",
+    "streaming_view_purchase_full_outer",
+    "tokenizer_fertility",
+    "user_activity_bitmap",
+    # --- 15 re-checks: next-oldest evidence (r06-last), alphabetical ---
+    "balanced_group_sample",
+    "corpus_mixture_sample",
+    "corpus_quality_dashboard",
+    "corpus_stats",
+    "dedup_embedding_cosine",
+    "dedup_segments",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_tokens_udtf",
+    "embedding_dim_stats",
+    "expanded_keyword_search",
+    "hard_negative_mining",
+    "ivf_balance_report",
+    "label_centroids",
+    "length_bucket_batches",
 )
 
 

@@ -47,48 +47,53 @@ _FAMILY_ANCHORS = {
 # 101-name never-checked tail.
 
 
-# Round-11 window slate (VERDICT r10 directive #4): CORRECTNESS_r10
-# landed 50/50 and the never-checked tail is EMPTY apart from the 8
-# round-11 additions (lakehouse_pruned_read, lakehouse_schema_evolution,
-# lakehouse_change_feed, streaming_version_feed,
-# lakehouse_deletion_vectors, lakehouse_optimize,
-# lakehouse_append_ingest, streaming_manifest_ingest), so every other
-# slot
-# is a DOCUMENTED re-check — justified only when the operator's code
-# changed in round-11 commits (the rewritten lakehouse manifest layer
-# behind the five versioned-table entries; the multiprobe default-dial
-# raise + farthest-first PQ seeding behind the five ANN entries; the
-# shared span-fingerprint index behind the three span consumers;
-# tpch_q1 as the compaction-guard canary) or by strictly oldest
-# evidence (the 3 r03-last names deferred since round 10, then the
-# first 25 of the 44 r05-last names alphabetically;
-# rolling_median_daily_value onward rolls to round 12).
-# An undocumented re-check is still a wasted slot.
+# Round-12 window slate (VERDICT r11 directive #5): CORRECTNESS_r11
+# landed 50/50 and the driver-green union is 291/291 — the
+# never-checked tail is EMPTY, so ALL 50 slots are DOCUMENTED
+# re-checks: the 12 queries whose plans were rewritten by round-12
+# optimization commits, the 5 entries routed through the round-12
+# manifest-layer hardening (empty-diff change feed, claim fencing,
+# temporal stats bounds, retryable rebase), the tpch_q1 canary, then
+# strictly oldest evidence (the 19 remaining r05-last names — two of
+# which, skipgram_pairs/pmi, double as code-changed — then the first
+# 15 r06-last names alphabetically, skipping the three already in the
+# code-changed group). An undocumented re-check is still a wasted slot.
 _RECHECK_SLATE = {
-    # round-11 code changes
-    "vacuum_report", "version_diff_pruned", "merge_upsert_rewrite",
-    "streaming_merge_upsert", "time_travel_read",
-    "similarity_multiprobe_topk", "pq_encode", "pq_distortion_report",
-    "similarity_pq_topk", "similarity_ivfpq_topk",
-    "repeated_span_dedup", "dedup_span_excision", "curation_funnel_v2",
+    # round-12 optimization code changes
+    "curation_funnel_v2", "corpus_to_training_batches",
+    "pretraining_corpus_prep", "embedding_outliers", "skipgram_pairs",
+    "skipgram_pmi", "schema_evolution_read", "hybrid_search_rrf",
+    "corpus_drift", "pagerank_categories", "vocab_prune_coverage",
+    "semdedup_clusters",
+    # routed through the r12 manifest hardening
+    "lakehouse_change_feed", "streaming_version_feed",
+    "lakehouse_pruned_read", "lakehouse_append_ingest",
+    "streaming_manifest_ingest",
+    # cross-round canary
     "tpch_q1_pricing_summary",
-    # oldest evidence: last driver row is r03 (deferred twice)
-    "weekday_eventtype_chisq", "wire_format_source", "zorder_curve",
-    # next-oldest evidence: last driver row is r05 (first 25, alphabetical)
-    "ab_test_report", "adaptive_quality_gates", "ann_recall_report",
-    "cdc_chunk_dedup", "conversion_latency_percentiles",
-    "cusum_changepoints", "daily_value_gapfill", "dedup_recall_report",
-    "dedup_threshold_sweep", "dup_cluster_histogram", "embedding_outliers",
-    "embedding_projection", "epoch_shuffle_shards", "eval_split_leakage",
-    "gate_attribution", "heldout_perplexity", "importance_sampling_weights",
-    "jsonl_roundtrip", "kanon_suppression", "lsh_band_sweep",
-    "media_chunks", "media_phash_clusters", "ngram_novelty",
-    "packing_capacity_sweep", "quality_classifier_score",
+    # oldest evidence: last driver row is r05 (the deferred tail)
+    "rolling_median_daily_value", "rolling_weekly_active_users",
+    "series_similarity", "span_corruption_masks", "stratified_hash_sample",
+    "streaming_band_enrichment", "streaming_dedup_within_watermark",
+    "streaming_incremental_mv", "streaming_kmv_sketch",
+    "streaming_media_features", "streaming_purchase_attribution_outer",
+    "streaming_rate_limit", "streaming_similarity_topk",
+    "streaming_two_level_window", "streaming_view_purchase_full_outer",
+    "tokenizer_fertility", "user_activity_bitmap",
+    # next-oldest evidence: last driver row is r06 (first 15, alphabetical)
+    "balanced_group_sample", "corpus_mixture_sample",
+    "corpus_quality_dashboard", "corpus_stats", "dedup_embedding_cosine",
+    "dedup_segments", "dedup_simhash", "doc_fingerprint",
+    "doc_tokens_udtf", "embedding_dim_stats", "expanded_keyword_search",
+    "hard_negative_mining", "ivf_balance_report", "label_centroids",
+    "length_bucket_batches",
 }
 
 
 def _driver_checked_names(
-    rounds: tuple[str, ...] = ("01", "02", "03", "05", "06", "07", "08", "09", "10"),
+    rounds: tuple[str, ...] = (
+        "01", "02", "03", "05", "06", "07", "08", "09", "10", "11",
+    ),
 ) -> set[str]:
     """Names with a driver row in the given rounds (missing files
     skipped). Pinned to the rounds known when the current window was

@@ -2407,9 +2407,20 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.23 -> 1.02 s, mean 1.65 -> 1.31 s.
     from concurrent.futures import ThreadPoolExecutor
 
+    # coalesce(1): each batch is a ~1 MB two-column projection, and the
+    # unguided write inherited the SCAN's split count — 19 files of
+    # ~60 KB per batch at sf0.1, paying 19 task launches + 19 commit
+    # renames per write and a 38-file listing+footer read on the merge
+    # side (guide §6: output files belong in the 128 MB–1 GB range, so
+    # a fixture this size is ONE file at any scale; a production port
+    # writing real batch volumes would target that byte size via
+    # maxRecordsPerFile / AQE rebalance instead of a constant 1).
+    # Interleaved A/B at sf0.1: min 1.08 -> 0.81 s, median 1.28 -> 0.90.
     def _write(args) -> None:
         cols, sub = args
-        orders.select(*cols).write.mode("overwrite").parquet(f"{out}/{sub}")
+        orders.select(*cols).coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/{sub}"
+        )
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         list(

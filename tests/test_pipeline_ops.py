@@ -430,3 +430,22 @@ def test_schema_evolution_merge_null_fills(spark, sf_smoke):
     assert r.n_rows == 2 * n_orders
     assert r.n_price == n_orders and r.n_priority == n_orders
     assert r.n_keys == load_table(spark, sf_smoke, "orders").select("o_orderkey").distinct().count()
+
+
+def test_schema_evolution_fixture_writes_one_file_per_batch(spark, sf_smoke):
+    """r12 output sizing (guide §6): the ~MB fixture batches must land
+    as ONE parquet file each, not one shard per scan task — 19 tiny
+    files per batch cost 19 task launches + commit renames per write
+    and a 38-footer merge read."""
+    import os
+
+    from google_cloud_ecommerce_spark.operators.pipeline import (
+        _EVO_DIRS,
+        schema_evolution_read,
+    )
+
+    schema_evolution_read(spark, sf_smoke).collect()
+    out = _EVO_DIRS[sf_smoke]
+    for sub in ("batch1", "batch2"):
+        files = [f for f in os.listdir(f"{out}/{sub}") if f.endswith(".parquet")]
+        assert len(files) == 1, (sub, files)

@@ -400,6 +400,17 @@ def main() -> None:
     # (for the driver's bounded tail capture)
     print(json.dumps(detail))
     print(json.dumps(summary))
+    # Additionally persist the detail dict next to the repo (VERDICT r12
+    # #2): the driver's ~2000-byte tail capture only preserves the
+    # summary line, so per-query timings were invisible to its
+    # round-over-round regression check. Additions-only: stdout above is
+    # byte-identical to the r12 contract.
+    try:
+        with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
 
 
 if __name__ == "__main__":

@@ -1186,6 +1186,11 @@ ORACLE["dedup_prefix_filter"] = _dedup_prefix_filter_sql()
 
 SEMDEDUP_CLUSTER_CAP = 256
 SEMDEDUP_SPLIT_BITS = 8  # max n_sub = 256 subkeys per oversized cluster
+# clusters above this size get the pair-join salt (see semdedup_clusters
+# step 2): below it, even a degenerate sign-LSH split leaves a bounded
+# single-task pair space, and skipping the salt keeps the keeper-side
+# exchange at 1x rows instead of salt_n x.
+SEMDEDUP_SALT_MIN_CLUSTER = 4 * SEMDEDUP_CLUSTER_CAP
 
 
 def _semdedup_split_key_expr() -> str:
@@ -1249,23 +1254,28 @@ def semdedup_clusters(
         KMEANS_ITERS,
         KMEANS_K,
         _emb,
-        _kmeans_assign_step,
-        _kmeans_update_step,
+        _kmeans_assign_step_row,
+        _kmeans_update_row,
     )
 
     k = KMEANS_K if k is None else k
     iters = KMEANS_ITERS if iters is None else iters
     emb = _emb(spark, sf_dir).select("vec_id", "v")
-    cents = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    # one-row centroid state per Lloyd round (r13, see kmeans_assign):
+    # one corpus aggregate + one broadcast per round, no regroup
+    # exchange.
+    cents_row = emb.filter(F.col("vec_id") < k).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        ).alias("cs")
     )
-    cents = iterate(
-        cents,
-        lambda c, _rnd: _kmeans_update_step(_kmeans_assign_step(emb, c)),
+    cents_row = iterate(
+        cents_row,
+        lambda c, _rnd: _kmeans_update_row(_kmeans_assign_step_row(emb, c)),
         iters,
     )
     assigned = (
-        _kmeans_assign_step(emb, cents)
+        _kmeans_assign_step_row(emb, cents_row)
         .select("vec_id", "v", F.col("c_id").alias("cluster_id"))
         .withColumn("norm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
         # pin: both join sides read this; without it the assignment
@@ -1278,15 +1288,11 @@ def semdedup_clusters(
     # change for bounded clusters).
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("c_n"))
     needed = f"(c_n + {cluster_cap - 1}) DIV {cluster_cap}"
-    keyed = (
-        assigned.join(F.broadcast(sizes), "cluster_id")
-        .withColumn(
-            "subkey",
-            F.expr(
-                f"({_semdedup_split_key_expr()}) % ({_semdedup_n_sub_case(needed)})"
-            ),
-        )
-        .drop("c_n")
+    keyed = assigned.join(F.broadcast(sizes), "cluster_id").withColumn(
+        "subkey",
+        F.expr(
+            f"({_semdedup_split_key_expr()}) % ({_semdedup_n_sub_case(needed)})"
+        ),
     )
     # Pair stage (round-4 tuning, A/B-measured at sf0.1):
     #   1. Scalar-expand each vector ONCE per row (v[i] -> e0..e63) so
@@ -1296,24 +1302,44 @@ def semdedup_clusters(
     #      re-interprets per candidate pair (HOFs never codegen). The
     #      chain adds terms left-to-right — the same order as the fold —
     #      so the cosine is bit-identical to the oracle's.
-    #   2. Salt the join: (cluster_id, subkey) alone has k * n_sub
-    #      distinct keys, so the shuffle serializes each bucket's whole
-    #      pair space into one task. Exploding PAIR_SALT salt values on
-    #      the keeper side (x SALT row replication, |corpus|-bounded)
-    #      against pmod(vec_id, SALT) on the probe side splits every
-    #      bucket's pair space across SALT tasks with no semantic
-    #      change. Measured: 3.4-6.2 s (high GC variance from the
-    #      interpreted-HOF allocation) -> stable ~3.0 s.
+    #   2. Salt the join — ADAPTIVELY (r13, guide §2.3/§2.5). Exploding
+    #      salt values on the keeper side against pmod(vec_id, salt) on
+    #      the probe side splits one bucket's pair space across salt
+    #      tasks with no semantic change (each (a, b) pair matches on
+    #      exactly one salt: b's). But the explode REPLICATES the wide
+    #      scalar-expanded rows through the exchange, so a blanket salt
+    #      multiplies the shuffled bytes of the whole corpus by salt_n
+    #      — exactly the §2.3 cost class that grows with data volume.
+    #      What the salt buys is WITHIN-bucket parallelism, needed only
+    #      when the bucket count (~ k x n_sub) is below the stage's
+    #      target parallelism: at the registry k=4 the 8-way salt is
+    #      what spreads the pair compute across cores (a no-salt
+    #      variant measured 0.85x — REJECTED; the r4 blanket-salt win
+    #      stands), while at a SemDeDup-scale k ~ 11k there are
+    #      thousands of buckets and blanket replication is pure shuffle
+    #      amplification. So salt_base = ceil(shuffle_partitions / k)
+    #      capped at salt_n — the full 8 locally (bit-identical plan
+    #      economics to r12), 1 at production k — and clusters above
+    #      SEMDEDUP_SALT_MIN_CLUSTER always take the full salt as the
+    #      degenerate-LSH safety net (an uneven sign split of a huge
+    #      cluster can leave one subkey holding most of its pair
+    #      space; c_n is computed identically on both join sides).
     salt_n = 8
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    salt_base = max(1, min(salt_n, -(-shuffle_p // max(int(k), 1))))
     expanded = keyed.select(
         "vec_id",
         "cluster_id",
         "subkey",
         "norm",
+        F.expr(
+            f"CAST(IF(c_n > {SEMDEDUP_SALT_MIN_CLUSTER}, {salt_n}, "
+            f"{salt_base}) AS INT)"
+        ).alias("s_n"),
         *[F.col("v")[i].alias(f"e{i}") for i in range(EMBED_DIM)],
     )
     a = expanded.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+        "salt", F.explode(F.expr("sequence(0, s_n - 1)"))
     ).alias("a")
     # r12 (guide §3.1): SHUFFLE_HASH on the probe side — sort-merge
     # would SORT both exchanges of these 68-column scalar-expanded rows;
@@ -1324,7 +1350,7 @@ def semdedup_clusters(
     # Interleaved A/B at sf0.1: min 5.29 -> 3.81 s (same noisy epoch,
     # direction stable across two 4-6-rep runs), rows identical.
     b = (
-        expanded.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(salt_n)))
+        expanded.withColumn("salt", F.pmod(F.col("vec_id"), F.col("s_n")))
         .hint("shuffle_hash")
         .alias("b")
     )

